@@ -28,11 +28,13 @@ object Tables {
     * truncation is lossless — see TESTDATA probe).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros, lit}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
     val raw = load(s, d, "events")
+    // Integer `div`, NOT `/`: ns epochs exceed double's 2^53 mantissa, so
+    // float division drifts by ±1us.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -1,0 +1,78 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** X1 — comment response linking (SURVEY.md §2.7): the reference's only
+  * genuinely stateful operator (reference: src/index.mjs:59-81).
+  *
+  * For a comment whose content starts with k carets (`^^^` = "reply to the
+  * 3rd comment above me"), walk backwards within the same video and link to
+  * the k-th previous comment, *skipping* any comment that was already deleted
+  * when the reply was written (deleted_at non-null and strictly earlier than
+  * the reply's created_at — the replier couldn't see it, so their carets
+  * didn't count it; reference src/index.mjs:70-73). Unresolvable (video
+  * boundary / not enough history) leaves response_to null
+  * (reference src/index.mjs:64-78).
+  *
+  * Spark shape: `groupByKey(video_id) -> flatMapGroups` — the shuffle on
+  * video_id is the only exchange; within a group the scan is sequential
+  * exactly as the semantics demand. Scale posture: group size is bounded by
+  * comments-per-video (documented skew assumption, SURVEY §7.5 risk 6);
+  * parallelism is across videos, which is the natural 100 TB partitioning.
+  */
+object CommentLinks {
+
+  /** Input row; content carries the caret markers. */
+  case class CommentRow(
+      id: Long,
+      video_id: Long,
+      content: String,
+      created_at: Timestamp,
+      deleted_at: Option[Timestamp])
+
+  /** Output row. */
+  case class LinkedComment(id: Long, video_id: Long, response_to: Option[Long])
+
+  /** Caret-run length at the start of content (reference src/index.mjs:62). */
+  def caretCount(content: String): Int = {
+    if (content == null) return 0
+    var i = 0
+    while (i < content.length && content.charAt(i) == '^') i += 1
+    i
+  }
+
+  /** Link one video's comments, already sorted by id ascending. Faithful
+    * transliteration of the reference's backward scan (src/index.mjs:64-78).
+    */
+  def linkGroup(rows: Array[CommentRow]): Iterator[LinkedComment] =
+    rows.iterator.zipWithIndex.map { case (cur, i) =>
+      val k = caretCount(cur.content)
+      var found: Option[Long] = None
+      if (k > 0) {
+        var need = k
+        var j = i - 1
+        while (j >= 0 && need > 0) {
+          val prev = rows(j)
+          // Skip: prev was already deleted when cur was written.
+          val skip = prev.deleted_at.exists(d => d.before(cur.created_at))
+          if (!skip) {
+            need -= 1
+            if (need == 0) found = Some(prev.id)
+          }
+          j -= 1
+        }
+      }
+      LinkedComment(cur.id, cur.video_id, found)
+    }
+
+  /** Distributed form: shuffle by video, per-group in-memory ordered replay. */
+  def link(ds: Dataset[CommentRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.video_id)
+      .flatMapGroups { (_, it) => linkGroup(it.toArray.sortBy(_.id)) }
+      .toDF()
+  }
+}

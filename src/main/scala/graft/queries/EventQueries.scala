@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.CommentLinks
+import graft.streaming.EventStreams
+
+/** Event-table queries: the X1 stateful linking operator (on synthesized
+  * comment markers) and the batch-checkable faces of the streaming window
+  * operators (SURVEY.md §2.7, §2.10).
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic comment-synthesis from events (FIXTURES.md §A mapping):
+    * id=event_id, video_id=user_id, created_at=ts; caret depth = event_id%4
+    * baked into content; deleted_at: 'error' rows die at creation (always
+    * skipped by later replies), 'click' rows die far in the future (never
+    * skipped), everything else lives.
+    */
+  private def synthComments(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as("id"),
+      col("user_id").as("video_id"),
+      concat(expr("repeat('^', cast(event_id % 4 as int))"), lit("c")).as("content"),
+      col("ts").as("created_at"),
+      when(col("event_type") === "error", col("ts"))
+        .when(col("event_type") === "click", col("ts") + expr("INTERVAL 1000 HOURS"))
+        .otherwise(lit(null).cast("timestamp")).as("deleted_at"))
+
+  val queries: Map[String, Q] = Map(
+    // X1 — ordered, deletion-aware variable-lag linking via
+    // groupByKey(video).flatMapGroups (SURVEY §2.7).
+    "x1_response_linking" -> ((s, d) => {
+      import s.implicits._
+      CommentLinks.link(synthComments(s, d).as[CommentLinks.CommentRow])
+    }),
+
+    "st1_tumbling_window" -> ((s, d) =>
+      EventStreams.tumblingStats(Tables.events(s, d))),
+
+    "st2_sliding_window" -> ((s, d) =>
+      EventStreams.slidingStats(Tables.events(s, d))),
+
+    "st3_session_window" -> ((s, d) =>
+      EventStreams.sessionStats(Tables.events(s, d))),
+
+    "st4_window_dedup" -> ((s, d) =>
+      EventStreams.dedupWithinWindow(Tables.events(s, d)))
+  )
+
+  // Common synthesized-comments CTE for the X1 oracle (mirrors synthComments).
+  private val commentsCte =
+    """SELECT event_id AS id, user_id AS video_id, ts::TIMESTAMP AS created_at,
+         (event_id % 4)::BIGINT AS k,
+         CASE WHEN event_type = 'error' THEN ts::TIMESTAMP
+              WHEN event_type = 'click' THEN ts::TIMESTAMP + INTERVAL 1000 HOUR
+              ELSE NULL END AS deleted_at
+       FROM events"""
+
+  val oracles: Map[String, String] = Map(
+    // The backward skip-scan replayed relationally: collect all previous
+    // (id, deleted_at) per video, filter to the ones visible at reply time,
+    // take the k-th from the end. Negative list index past the start -> NULL.
+    "x1_response_linking" ->
+      s"""WITH c AS ($commentsCte),
+         w AS (
+           SELECT id, video_id, created_at, k,
+             list(struct_pack(pid := id, pdel := deleted_at))
+               OVER (PARTITION BY video_id ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+           FROM c)
+         SELECT id, video_id,
+           CASE WHEN k > 0 THEN
+             list_filter(prev, x -> x.pdel IS NULL OR x.pdel >= created_at)[-k].pid
+           ELSE NULL END AS response_to
+         FROM w""",
+    "st1_tumbling_window" ->
+      """SELECT make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start,
+           event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "st2_sliding_window" ->
+      """SELECT make_timestamp(((floor(epoch(ts) / 600) * 600)::BIGINT - off) * 1000000) AS w_start,
+           event_type, count(*)::BIGINT AS n
+         FROM events CROSS JOIN (VALUES (0), (600), (1200)) o(off)
+         GROUP BY 1, 2""",
+    "st3_session_window" ->
+      """WITH y AS (
+           SELECT user_id, ts::TIMESTAMP AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         z AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM y)
+         SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*)::BIGINT AS n
+         FROM z GROUP BY user_id, sid""",
+    "st4_window_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+           make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start
+         FROM events"""
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming operators over the events table (SURVEY.md §2.10 — the
+  * reference is batch-only; these are the north-star stream surface).
+  *
+  * Every transform here is written against a plain DataFrame so the SAME
+  * builder serves both the batch oracle queries (EventQueries) and real
+  * Structured Streaming graphs (`readStream`/MemoryStream in tests):
+  * `withWatermark` is a no-op on a batch DataFrame, so batch results are the
+  * streaming results with all data on time — which is exactly what the
+  * DuckDB oracle can check.
+  *
+  * Scale posture: tumbling/sliding aggs are hash aggregations keyed by
+  * (window, event_type) — map-side partial agg then one shuffle; session
+  * windows shuffle by user_id. Watermarks bound state size at 100 TB stream
+  * scale.
+  */
+object EventStreams {
+
+  /** Schema of the events table, for readStream (streaming needs an explicit
+    * schema; ts already converted to microseconds by Tables.events for batch).
+    */
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Tumbling 10-minute counts + sums per event type. */
+  def tumblingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 30-minute windows every 10 minutes: each event lands in 3. */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: a session closes after a 30-minute silence per user.
+    * Output avoids the gap-padded session end (min/max/count are
+    * oracle-checkable; the padded end is a Spark implementation detail).
+    */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("first_ts"), col("last_ts"), col("n"))
+
+  /** Within-watermark dedup: distinct (user, type, 10-minute bucket) —
+    * the batch equivalent of streaming `dropDuplicates` bounded by watermark.
+    */
+  def dedupWithinWindow(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        window(col("ts"), "10 minutes").getField("start").as("w_start"))
+      .distinct()
+
+  /** Real streaming source over a parquet directory (file micro-batching). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}
