@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (builder-prompt north
+  * star). Four families: exact (hash-groupBy), MinHash+LSH, SimHash, and
+  * n-gram Jaccard. Embedding-cosine near-dup lives with the vector ops.
+  *
+  * Hash choice: every hash is derived from md5 hex strings — deliberately
+  * engine-portable (the DuckDB oracle computes the identical signature), and
+  * seeded per hash-function by prefixing the index. All expressions are
+  * Catalyst built-ins (codegen'd higher-order functions), no UDFs.
+  *
+  * Scale posture: exact dedup is one hash-shuffle; MinHash signatures are
+  * per-row (shuffle-free); LSH candidate generation shuffles (band, value)
+  * pairs — rows ≈ docs × bands, joined on band buckets so the cross-join
+  * never materializes (the whole point of LSH at 100 TB); verification
+  * (true Jaccard) touches only candidates.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (0-based `getItem`); input must have >= n words. */
+  def shingles(words: Column, n: Int = 3): Column =
+    transform(sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))
+
+  /** MinHash signature as an array of `num` hex-string minima.
+    * h_i(S) = min over shingles s of md5(i || '|' || s).
+    */
+  def minhashSig(shingleCol: Column, num: Int = 8): Column =
+    array((0 until num).map { i =>
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
+    }: _*)
+
+  /** LSH banding with 1 hash per band: (doc, band-key) rows; docs sharing any
+    * band-key are candidates. With b bands of r=1 rows, P(candidate) =
+    * 1-(1-J)^b — tune b for the target Jaccard threshold.
+    */
+  def lshBandKeys(df: DataFrame, idCol: String, sigCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(sigCol)).as(Seq("band", "h")))
+      .select(col(idCol), concat_ws(":", col("band"), col("h")).as("band_key"))
+
+  /** Distinct candidate pairs (a < b) from shared band keys. */
+  def candidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
+    val l = bandKeys.withColumnRenamed(idCol, "a")
+    val r = bandKeys.withColumnRenamed(idCol, "b")
+    l.join(r, "band_key")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Set Jaccard of two shingle arrays (distinct semantics, like
+    * array_intersect/union).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash (60-bit): per bit, majority vote of word-hash bits weighted by
+    * occurrence. Word hash = first 15 md5 hex chars as an integer (portable:
+    * the DuckDB oracle computes the identical value). Nested higher-order
+    * functions, fully codegen'd.
+    */
+  def simhash(words: Column): Column = {
+    val hs = transform(words, x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("bigint"))
+    val bits = transform(sequence(lit(0), lit(59)), b =>
+      when(
+        aggregate(hs, lit(0L),
+          (acc, h) => acc +
+            when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        ) > 0,
+        call_function("shiftleft", lit(1L), b)
+      ).otherwise(0L))
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Text-analysis + dedup queries over the documents table (north-star
+  * operators; FIXTURES.md §A). Every query here has a full DuckDB oracle —
+  * including MinHash/SimHash, whose md5-derived hashes are engine-portable
+  * by construction.
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Shared doc prep: words + 3-gram shingles, docs with >= 3 words.
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", Dedup.shingles(col("w")))
+
+  val queries: Map[String, Q] = Map(
+    // ----- text analysis -----
+    "tx1_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
+
+    "tx2_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.stopwordHits(col("text")).as("stop_hits"),
+        TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    "tx3_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "tx4_fingerprint_bow" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintBow(col("text")).as("fp"))),
+
+    // ----- dedup -----
+    // D1: exact dedup via hash-groupBy — one shuffle on the content hash.
+    "d1_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    // D2: MinHash signatures (8 portable hash functions over 3-gram shingles).
+    "d2_minhash_signature" -> ((s, d) =>
+      shingled(s, d).select(
+        col("doc_id"),
+        array_join(Dedup.minhashSig(col("sh")), "|").as("sig"))),
+
+    // D3: LSH candidate pairs — docs sharing any of the 8 single-hash bands.
+    // The banded self-join replaces the quadratic cross-join (the scale path).
+    "d3_lsh_candidate_pairs" -> ((s, d) => {
+      val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+    }),
+
+    // D4: true n-gram Jaccard on a bounded id range (verification stage of
+    // the MinHash pipeline; exact set semantics).
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val t = shingled(s, d).filter(col("doc_id") < 60)
+      val a = t.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val b = t.select(col("doc_id").as("b"), col("sh").as("shb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
+    }),
+
+    // D5: 60-bit SimHash per document.
+    "d5_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.simhash(col("w")).as("simhash"))),
+
+    // ----- multimodal plumbing (binary columns) -----
+    // MM1: opaque binary payload + typed metadata: byte length and a content
+    // digest — the schema/partitioning pattern for image/audio blobs.
+    "mm1_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest")))
+  )
+
+  private val shingleCte =
+    """SELECT doc_id, w, list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       WHERE len(w) >= 3"""
+
+  private val minhashSigExpr = (0 until 8)
+    .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+    .mkString(" || '|' || ")
+
+  val oracles: Map[String, String] = Map(
+    "tx1_token_counts" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe
+         FROM documents""",
+    "tx2_quality_score" ->
+      """SELECT doc_id, stop_hits,
+           least(stop_hits / n_tok * 5.0, 1.0) * 0.5 + least(n_tok / 200.0, 1.0) * 0.5 AS score
+         FROM (SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS stop_hits,
+                 len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tok
+               FROM documents)""",
+    "tx3_lang_id" ->
+      """SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM (SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS s_en,
+                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+                 len(regexp_extract_all(lower(text), '\b(el|los|las|es|una)\b')) AS s_es,
+                 len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS s_fr,
+                 len(regexp_extract_all(lower(text), '(的|是|了|在|我)')) AS s_zh
+               FROM documents)""",
+    "tx4_fingerprint_bow" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+         FROM documents""",
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+         FROM documents GROUP BY 1""",
+    "d2_minhash_signature" ->
+      s"""WITH t AS ($shingleCte)
+         SELECT doc_id, $minhashSigExpr AS sig FROM t""",
+    "d3_lsh_candidate_pairs" ->
+      s"""WITH t AS ($shingleCte),
+         sigs AS (
+           SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, (i - 1)::VARCHAR || ':' || sig[i] AS band_key
+           FROM sigs, unnest(range(1, 9)) u(i)),
+         pairs AS (
+           SELECT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id)
+         SELECT DISTINCT a, b FROM pairs""",
+    "d4_ngram_jaccard" ->
+      s"""WITH t AS ($shingleCte)
+         SELECT l.doc_id AS a, r.doc_id AS b,
+           len(list_distinct(list_intersect(l.sh, r.sh)))::DOUBLE /
+           len(list_distinct(l.sh || r.sh))::DOUBLE AS jaccard
+         FROM t l, t r
+         WHERE l.doc_id < 60 AND r.doc_id < 60 AND l.doc_id < r.doc_id""",
+    "d5_simhash" ->
+      """SELECT doc_id,
+           list_sum(list_transform(range(60), b ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS simhash
+         FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+               FROM documents)""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS digest
+         FROM documents"""
+  )
+}

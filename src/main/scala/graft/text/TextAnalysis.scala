@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (builder-prompt north star;
+  * no reference analog — the reference's only string ops are split/regex,
+  * SURVEY.md §2.4). All pure Column expressions: codegen-friendly, no UDFs in
+  * the hot path, shuffle-free (per-row), so they scale linearly with input
+  * splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(tokens(text)).cast("bigint")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0))).cast("bigint")
+
+  /** English stopword hits (tiny fixed list, shared with the oracle SQL). */
+  val stopEn = "\\b(the|a|of|and|to|in|is)\\b"
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(stopEn), lit(0))).cast("bigint")
+
+  /** Quality score in [0,1]: stopword density (caps at 1/5 token share) and
+    * length credit (caps at 200 tokens), equally weighted. Deterministic
+    * double arithmetic — element-wise, so bit-identical across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val stopRatio = stopwordHits(text).cast("double") / nTok
+    least(stopRatio * 5.0, lit(1.0)) * 0.5 + least(nTok / 200.0, lit(1.0)) * 0.5
+  }
+
+  /** Language-ID marker sets (n-gram/stopword heuristic). Order = tie-break
+    * priority.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "es" -> "\\b(el|los|las|es|una)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b",
+    "zh" -> "(的|是|了|在|我)")
+
+  /** Predicted language: argmax of marker hits with fixed priority order. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, p) =>
+      l -> size(regexp_extract_all(lower(text), lit(p), lit(0))).cast("bigint")
+    }
+    // en wins ties vs all; de vs the rest; ... last one is the fallback.
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), elseCol) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.foldLeft(lit(true))((acc, r) => acc && s >= r), lit(l))
+          .otherwise(elseCol)
+    }
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token list — a
+    * canonical-form document hash for near-exact dedup (token-order
+    * insensitive).
+    */
+  def fingerprintBow(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ").cast("binary"))
+}
