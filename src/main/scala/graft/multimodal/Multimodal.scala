@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder-prompt north star): image/audio/video
+  * as opaque binary columns with typed metadata, batch feature extraction
+  * via mapPartitions.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this environment):
+  * [[StubDecoder]] produces deterministic fake features from the bytes. The
+  * Spark-side plumbing — schema, batched per-partition processing, feature
+  * struct shape — is real and tested; swapping in a real decoder changes one
+  * function.
+  *
+  * Scale posture: payloads stay opaque binary end-to-end (no driver
+  * collect); extraction is per-partition with an explicit batch size so a
+  * real decoder can amortize model/codec init per batch, exactly like a
+  * Pandas-UDF `mapInPandas` would on the Python side.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata. */
+  case class MediaRecord(id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (decoder output schema). */
+  case class MediaFeatures(
+      id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, digest: String)
+
+  /** The decode seam: bytes -> features. Swap for a real codec binding.
+    * Serializable: decoder instances ship inside the mapPartitions closure.
+    */
+  trait Decoder extends (MediaRecord => MediaFeatures) with Serializable
+
+  /** STUB decoder — deterministic fake decode standing in for
+    * image/audio/video codecs (not available in this container). Field
+    * derivations are arbitrary but stable: real plumbing, fake pixels.
+    */
+  object StubDecoder extends Decoder {
+    def apply(m: MediaRecord): MediaFeatures = {
+      val n = m.payload.length.toLong
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(m.payload).map("%02x".format(_)).mkString
+      MediaFeatures(
+        id = m.id, kind = m.kind, n_bytes = n,
+        width = (n % 1024).toInt,
+        height = (if (n > 0) m.payload(0) & 0xff else 0),
+        n_frames = if (m.kind == "video") (n % 30).toInt + 1 else 1,
+        digest = digest)
+    }
+  }
+
+  /** Batched per-partition feature extraction. `batchSize` groups records so
+    * a real decoder initializes once per batch (grouped() is lazy — no
+    * partition-wide materialization).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      decoder: Decoder = StubDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // Real decoders: init codec/model HERE, once per batch.
+        batch.map(decoder)
+      }
+    }
+  }
+
+  /** Fixture stand-in: wrap the documents table's text as binary payloads
+    * (kind round-robins over media types by id).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** Frame sampling for video payloads: n evenly spaced pseudo-offsets.
+    * With a real container parser the offsets become frame timestamps; the
+    * sampling arithmetic and explode shape are the real thing.
+    */
+  def sampleFrameOffsets(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(n - 1)),
+          i => (i.cast("bigint") * octet_length(col("payload")).cast("bigint") / n)
+            .cast("bigint"))).as("frame_offset"))
+}

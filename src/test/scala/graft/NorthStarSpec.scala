@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.VectorOps
+
+/** Dedup, similarity-search, and multimodal operator units. */
+class NorthStarSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      StructType.fromDDL("doc_id BIGINT, text STRING"))
+
+  test("shingles: 3-gram windows in order") {
+    val out = docs((1L, "a b c d")).select(
+      Dedup.shingles(split(col("text"), " ")).as("sh")).collect().head
+    assert(out.getAs[Seq[String]]("sh") === Seq("a b c", "b c d"))
+  }
+
+  test("minhash: identical docs share signatures, jaccard detects near-dups") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat today"), // near dup
+      (4L, "completely different text with no shared shingles at all ok"))
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " ")).as("sh"))
+    val sigs = d.select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(sigs(1L) === sigs(2L))
+    // near-dup shares most minima
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } >= 4)
+    assert(sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } === 0)
+
+    val a = d.filter(col("doc_id") === 1).select(col("sh").as("sha"))
+    val b = d.filter(col("doc_id") === 3).select(col("sh").as("shb"))
+    val j = a.crossJoin(b).select(Dedup.jaccard(col("sha"), col("shb")))
+      .collect().head.getDouble(0)
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("lsh candidate pairs find the dup without a cross join") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different text with no shared shingles at all ok"))
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " ")).as("sh"))
+    val sigs = d.select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: equal for dups, near for near-dups, hamming works") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "unrelated words entirely here nothing shared at all"))
+      .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sh"))
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) === m(2L))
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("knn brute force: exact neighbors on constructed vectors") {
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f)))
+    import spark.implicits._
+    val c = rows.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val q = c.filter(col("n_id") === 0).select(col("n_id").as("q_id"), col("nv").as("qv"))
+    val out = VectorOps.bruteForceTopK(c, q, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList // (rank, n_id)
+    assert(out === List((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("lsh ann: high recall on clustered vectors") {
+    // 10 clusters x 20 members; members of a cluster are tiny perturbations
+    // of the centroid, so true neighbors share the cluster and LSH buckets.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((c * 20 + m).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val planes = VectorOps.randomPlanes(4, dim, seed = 11)
+    val q = df.select(col("n_id").as("q_id"), col("nv").as("qv"))
+    val bf = VectorOps.bruteForceTopK(df, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = VectorOps.lshTopK(df, planes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall > 0.9, s"recall=$recall")
+  }
+
+  test("multimodal: stub decode through mapPartitions, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      docs((0L, "abcd"), (1L, "efgh"), (2L, "ijklmnop")))
+    val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord], batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(0L).kind === "image" && feats(1L).kind === "audio" && feats(2L).kind === "video")
+    assert(feats(2L).n_bytes === 8L && feats(2L).height === 'i'.toInt)
+    assert(feats(2L).n_frames === 9) // video: 8 % 30 + 1
+    assert(feats(0L).digest.length === 64)
+
+    val frames = Multimodal.sampleFrameOffsets(media, 4).collect()
+      .map(r => r.getLong(1))
+    assert(frames.toSeq === Seq(0L, 2L, 4L, 6L)) // doc 2 is video, 8 bytes
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Drives the EventStreams builders in REAL streaming mode (MemoryStream):
+  * proves the same graphs run incrementally with watermark state, not just
+  * as batch queries.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def ev(id: Long, at: String, typ: String = "view", v: Double = 1.0) =
+    Ev(id, ts(at), 1L, typ, v, "{}")
+
+  test("tumbling aggregation runs incrementally over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStats(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:04:00"),
+        ev(3, "2024-01-01 10:11:00", "click", 2.0))
+      q.processAllAvailable()
+      val r1 = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(r1 === Set(
+        ("2024-01-01 10:00:00.0", "view", 2L),
+        ("2024-01-01 10:10:00.0", "click", 1L)))
+
+      // a second micro-batch updates existing window state
+      mem.addData(ev(4, "2024-01-01 10:07:00"))
+      q.processAllAvailable()
+      val r2 = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(r2.contains(("2024-01-01 10:00:00.0", "view", 3L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops state for late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingStats(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      // advance event time far past the watermark -> 10:00 window finalizes
+      mem.addData(ev(2, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val emitted = spark.table("wm_out").collect()
+        .map(r => r.getTimestamp(0).toString).toSet
+      assert(emitted === Set("2024-01-01 10:00:00.0"))
+
+      // an event 1h late, inside the finalized window: watermark discards it
+      mem.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val after = spark.table("wm_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(after === Set(("2024-01-01 10:00:00.0", 1L)), "late row must not reopen the window")
+    } finally q.stop()
+  }
+
+  test("session windows merge across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      mem.addData(ev(3, "2024-01-01 12:00:00")) // > 30 min gap -> new session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(sessions === Set(
+        ("2024-01-01 10:00:00.0", 2L), ("2024-01-01 12:00:00.0", 1L)))
+    } finally q.stop()
+  }
+}
