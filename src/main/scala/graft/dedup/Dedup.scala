@@ -33,13 +33,19 @@ object Dedup {
       array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
     }: _*)
 
-  /** LSH banding with 1 hash per band: (doc, band-key) rows; docs sharing any
-    * band-key are candidates. With b bands of r=1 rows, P(candidate) =
-    * 1-(1-J)^b — tune b for the target Jaccard threshold.
+  /** LSH banding: split the signature into bands of `rowsPerBand` hashes;
+    * docs sharing any full band are candidates. P(candidate) = 1-(1-J^r)^b —
+    * with r=2, b=4 the S-curve centers near J≈0.5, which keeps skewed
+    * vocabularies from exploding bucket sizes (r=1 buckets on any shared
+    * min-shingle; r>=2 requires agreement on r independent minima).
     */
-  def lshBandKeys(df: DataFrame, idCol: String, sigCol: String): DataFrame =
-    df.select(col(idCol), posexplode(col(sigCol)).as(Seq("band", "h")))
+  def lshBandKeys(df: DataFrame, idCol: String, sigCol: String,
+      rowsPerBand: Int = 2, numBands: Int = 4): DataFrame = {
+    val bands = transform(sequence(lit(0), lit(numBands - 1)),
+      i => concat_ws("|", slice(col(sigCol), i * rowsPerBand + lit(1), lit(rowsPerBand))))
+    df.select(col(idCol), posexplode(bands).as(Seq("band", "h")))
       .select(col(idCol), concat_ws(":", col("band"), col("h")).as("band_key"))
+  }
 
   /** Distinct candidate pairs (a < b) from shared band keys. */
   def candidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {

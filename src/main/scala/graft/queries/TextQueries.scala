@@ -16,8 +16,12 @@ object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   // Shared doc prep: words + 3-gram shingles, docs with >= 3 words.
+  // Repartition first: the md5-minhash work downstream is CPU-bound, and the
+  // small local fixture arrives as one split; real 100 TB inputs have many
+  // splits, so this only levels the local playing field.
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", Dedup.shingles(col("w")))
@@ -79,6 +83,7 @@ object TextQueries {
     // D5: 60-bit SimHash per document.
     "d5_simhash" -> ((s, d) =>
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), Dedup.simhash(col("w")).as("simhash"))),
 
@@ -144,8 +149,8 @@ object TextQueries {
            SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
            FROM t),
          bands AS (
-           SELECT doc_id, (i - 1)::VARCHAR || ':' || sig[i] AS band_key
-           FROM sigs, unnest(range(1, 9)) u(i)),
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
          pairs AS (
            SELECT l.doc_id AS a, r.doc_id AS b
            FROM bands l JOIN bands r USING (band_key)

@@ -14,9 +14,11 @@ import graft.similarity.VectorOps
 object VectorQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Tables.embeddings(s, d).select(
       col("vec_id").as("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+  }
 
   val queries: Map[String, Q] = Map(
     // V1: brute-force cosine top-5 for the first 20 query vectors.
