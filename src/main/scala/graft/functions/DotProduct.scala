@@ -38,13 +38,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName: this expression can occur several times in one codegen
+      // scope (e.g. dot(v,v) for a norm next to dot(a,b)) — fixed local
+      // names would collide and fail Janino compilation.
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       s"""
-         |int n = Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Beyond-reference relational coverage: TPC-H-style headline queries, set
+  * operations, semi joins, cube, and exact percentiles — the surface a user
+  * of a general analytics engine expects even though the reference never
+  * needed it (SURVEY §2.8 "not present" rows).
+  */
+object AdvancedQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q3 shape: filtered 3-way join, grouped revenue, deterministic
+    // top-10. Filters reach the scans; top-k is TakeOrderedAndProject.
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    // TPC-H Q5 shape: 6-table star join with a same-nation constraint,
+    // revenue per nation within one region.
+    "q5_local_supplier" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Set operations (distinct semantics, shuffle on the full row).
+    "set1_intersect" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      big.intersect(building)
+    }),
+    "set2_except" -> ((s, d) => {
+      val all = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      all.except(withOrders)
+    }),
+
+    // Semi join: EXISTS without duplicating the probe side.
+    "h1_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Cube: all grouping-set combinations over two dimensions.
+    "g2_cube" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g2_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+           FROM g2_orders
+           GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    // quantile_cont), grouped.
+    "p1_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
+    // Exact grouped distinct counts (two different keys in one pass —
+    // Catalyst plans the expand + two-phase aggregate).
+    "cnt1_distinct_counts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "set1_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "set2_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT
+         SELECT o_custkey FROM orders""",
+    "h1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "g2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "p1_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "cnt1_distinct_counts" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS n_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS n_supps
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

@@ -80,12 +80,28 @@ object TextQueries {
         .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
     }),
 
-    // D5: 60-bit SimHash per document.
-    "d5_simhash" -> ((s, d) =>
+    // D5: 60-bit SimHash per document (native expression; the declarative
+    // Dedup.simhash is the executable spec, parity-tested in NorthStarSpec).
+    "d5_simhash" -> ((s, d) => {
+      graft.functions.SimHash.register(s)
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), Dedup.simhash(col("w")).as("simhash"))),
+        .select(col("doc_id"), graft.functions.SimHash.simhash(col("w")).as("simhash"))
+    }),
+
+    // TX5: winnowing fingerprint — per 4-shingle window keep the minimum
+    // k-gram hash; the distinct minima are the document's fingerprint set
+    // (rolling-window selection over content hashes, as in MOSS winnowing).
+    "tx5_winnow_fingerprint" -> ((s, d) =>
+      shingled(s, d).filter(size(col("sh")) >= 4)
+        .withColumn("hs", transform(col("sh"), x => substring(md5(x.cast("binary")), 1, 15)))
+        .select(col("doc_id"),
+          array_join(
+            array_sort(array_distinct(
+              transform(sequence(lit(0), size(col("hs")) - 4),
+                i => array_min(slice(col("hs"), i + lit(1), lit(4)))))),
+            "|").as("fp"))),
 
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
@@ -173,6 +189,13 @@ object TextQueries {
                  list_transform(string_split(text, ' '),
                    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
                FROM documents)""",
+    "tx5_winnow_fingerprint" ->
+      s"""WITH t AS ($shingleCte)
+         SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))), '|') AS fp
+         FROM (SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 15)) AS hs
+               FROM t WHERE len(sh) >= 4)""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS digest
          FROM documents"""

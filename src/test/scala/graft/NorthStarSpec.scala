@@ -56,6 +56,19 @@ class NorthStarSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simhash: native expression matches the declarative spec") {
+    graft.functions.SimHash.register(spark)
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other words appear here repeatedly repeatedly"),
+      (3L, "x"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val both = d.select(col("doc_id"),
+      Dedup.simhash(col("w")).as("spec"),
+      graft.functions.SimHash.simhash(col("w")).as("native")).collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("simhash: equal for dups, near for near-dups, hamming works") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
