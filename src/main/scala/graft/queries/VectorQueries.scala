@@ -33,9 +33,14 @@ object VectorQueries {
       VectorOps.cosineDupPairs(corpus(s, d), 0.35)),
 
     // V3: LSH-bucketed ANN (6 hyperplanes -> 64 buckets). Rows-only driver
-    // check; recall vs v1 asserted in VectorOpsSpec.
+    // check; recall vs v1 asserted in NorthStarSpec.
     "v3_knn_lsh" -> ((s, d) =>
-      VectorOps.lshTopK(corpus(s, d), VectorOps.randomPlanes(6, 64), 5))
+      VectorOps.lshTopK(corpus(s, d), VectorOps.randomPlanes(6, 64), 5)),
+
+    // V4: IVF ANN (16 cells, probe 4). Rows-only driver check; recall vs
+    // brute force asserted in NorthStarSpec.
+    "v4_knn_ivf" -> ((s, d) =>
+      VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5))
   )
 
   private val eCte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"

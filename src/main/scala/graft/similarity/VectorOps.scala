@@ -93,6 +93,47 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells` cells
+    * (centroids = the first nCells vectors by id — a deterministic sample,
+    * the standard "train on a sample" quantizer), then answer queries by
+    * probing the `nProbe` nearest cells only.
+    *
+    * Scale shape: assignment is corpus ⋈ broadcast(centroids) (one pass);
+    * search is an equi-join on cell id, touching ~nProbe/nCells of the
+    * corpus per query instead of all of it. Complements LSH: IVF adapts to
+    * the data distribution, LSH is oblivious but needs no training pass.
+    */
+  def ivfTopK(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val centroids = withN.orderBy(col("n_id")).limit(nCells)
+      .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
+    // cell assignment: nearest centroid by cosine
+    def assign(df: DataFrame, vec: String, norm: String, rankLimit: Int, out: String) = {
+      val keep = df.columns.map(col)
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosineWithNorms(col(vec), col("cv"), col(norm), col("cn")))
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= rankLimit)
+        .select(keep :+ col("cell").as(out): _*)
+    }
+    val corpusCells = assign(withN, "nv", "nn", 1, "cell")
+    val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val queryCells = assign(q, "qv", "qn", nProbe, "cell")
+    val joined = queryCells.join(corpusCells, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+    // no dedup needed: each corpus vector lives in exactly one cell, so a
+    // (q, n) pair joins at most once even with nProbe > 1
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection).
     * Brute-force face for oracle checking; at scale the same predicate runs
     * over LSH candidates instead of the cross-join.

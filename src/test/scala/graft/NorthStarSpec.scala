@@ -118,6 +118,26 @@ class NorthStarSpec extends SparkSpec {
     assert(recall > 0.9, s"recall=$recall")
   }
 
+  test("ivf ann: high recall on clustered vectors, probes beat single cell") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 8; m <- 0 until 25) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((c * 25 + m).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val q = df.select(col("n_id").as("q_id"), col("nv").as("qv"))
+    val bf = VectorOps.bruteForceTopK(df, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = VectorOps.ivfTopK(df, nCells = 16, nProbe = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.9, s"recall=$recall")
+  }
+
   test("multimodal: stub decode through mapPartitions, frame sampling") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(
