@@ -98,7 +98,21 @@ object AdvancedQueries {
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps")))
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // Salted two-phase aggregation: identical results to the direct groupBy
+    // (that IS the oracle), resilient to hot keys that AQE can't rebalance.
+    "sk1_salted_agg" -> ((s, d) =>
+      graft.ops.Skew.saltedSumCount(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")),
+
+    // HLL sketch distinct counts — no cross-engine oracle (sketch internals
+    // are engine-specific); rows-only driver check, error bound asserted in
+    // the test suite.
+    "apx1_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +160,9 @@ object AdvancedQueries {
       """SELECT l_returnflag,
            count(DISTINCT l_partkey)::BIGINT AS n_parts,
            count(DISTINCT l_suppkey)::BIGINT AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "sk1_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_value, count(*)::BIGINT AS n
          FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -48,7 +48,15 @@ object EventQueries {
       EventStreams.sessionStats(Tables.events(s, d))),
 
     "st4_window_dedup" -> ((s, d) =>
-      EventStreams.dedupWithinWindow(Tables.events(s, d)))
+      EventStreams.dedupWithinWindow(Tables.events(s, d))),
+
+    // ST5: batch face of the flatMapGroupsWithState custom-state operator —
+    // in batch each user is one group call over empty state, so the emitted
+    // cumulative rows equal the plain grouped totals.
+    "st5_stateful_user_totals" -> ((s, d) =>
+      EventStreams.runningUserTotals(Tables.events(s, d))
+        .toDF()
+        .select(col("user_id"), col("n"), round(col("total"), 6).as("total")))
   )
 
   // Common synthesized-comments CTE for the X1 oracle (mirrors synthComments).
@@ -103,6 +111,9 @@ object EventQueries {
     "st4_window_dedup" ->
       """SELECT DISTINCT user_id, event_type,
            make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start
-         FROM events"""
+         FROM events""",
+    "st5_stateful_user_totals" ->
+      """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
+         FROM events GROUP BY user_id"""
   )
 }

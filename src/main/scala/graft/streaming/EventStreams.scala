@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming operators over the events table (SURVEY.md §2.10 — the
@@ -69,4 +70,50 @@ object EventStreams {
   /** Real streaming source over a parquet directory (file micro-batching). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  // ----- custom state (flatMapGroupsWithState) -----
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class UserState(n: Long, total: Double)
+  case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Per-user running totals with explicit state — the custom-state escape
+    * hatch for semantics windows can't express. Each micro-batch emits the
+    * updated cumulative row per user seen in that batch; state persists in
+    * the state store across batches. Works identically on a batch Dataset
+    * (one group call, empty initial state), which is what the batch oracle
+    * face checks.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EventRow], state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          Iterator(UserTotals(uid, n, total))
+        })
+  }
+
+  /** Streaming dedup bounded by watermark: duplicates of (user, type) within
+    * the watermark horizon are dropped; state for expired keys is evicted.
+    * Streaming-only (the batch face is dedupWithinWindow/st4).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-static enrichment join: the static dimension is re-read per
+    * micro-batch (broadcast if small); no state store involved.
+    */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
 }

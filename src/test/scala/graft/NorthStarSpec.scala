@@ -138,6 +138,15 @@ class NorthStarSpec extends SparkSpec {
     assert(recall > 0.9, s"recall=$recall")
   }
 
+  test("approx distinct sketch stays within 10% of exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1, s"exact=$exact approx=$approx")
+  }
+
   test("multimodal: stub decode through mapPartitions, frame sampling") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

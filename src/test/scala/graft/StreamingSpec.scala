@@ -70,6 +70,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserTotals(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", v = 2.0), ev(2, "2024-01-01 10:01:00", v = 3.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:02:00", v = 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sorted
+      // batch 1 emits cumulative (2, 5.0); batch 2 re-emits updated (3, 10.0)
+      assert(rows === List((1L, 2L, 5.0), (1L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops repeats inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupedStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", "view"), ev(2, "2024-01-01 10:01:00", "view"),
+        ev(3, "2024-01-01 10:02:00", "click"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2) // second view dropped
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment joins per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enriched(mem.toDF(), dim)
+      .select("event_id", "tier")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      val r = spark.table("enrich_out").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(r.toList === List((1L, "gold")))
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
