@@ -93,15 +93,16 @@ object TextQueries {
     // TX5: winnowing fingerprint — per 4-shingle window keep the minimum
     // k-gram hash; the distinct minima are the document's fingerprint set
     // (rolling-window selection over content hashes, as in MOSS winnowing).
-    "tx5_winnow_fingerprint" -> ((s, d) =>
-      shingled(s, d).filter(size(col("sh")) >= 4)
-        .withColumn("hs", transform(col("sh"), x => substring(md5(x.cast("binary")), 1, 15)))
-        .select(col("doc_id"),
-          array_join(
-            array_sort(array_distinct(
-              transform(sequence(lit(0), size(col("hs")) - 4),
-                i => array_min(slice(col("hs"), i + lit(1), lit(4)))))),
-            "|").as("fp"))),
+    // Native one-pass expression; the declarative slice/array_min form it
+    // replaced is pinned by the same DuckDB oracle.
+    "tx5_winnow_fingerprint" -> ((s, d) => {
+      graft.functions.Winnow.register(s)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 6) // >= 4 three-word shingles
+        .select(col("doc_id"), graft.functions.Winnow.winnow(col("w"), 3, 4).as("fp"))
+    }),
 
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
