@@ -47,14 +47,23 @@ object Dedup {
       .select(col(idCol), concat_ws(":", col("band"), col("h")).as("band_key"))
   }
 
-  /** Distinct candidate pairs (a < b) from shared band keys. */
-  def candidatePairs(bandKeys: DataFrame, idCol: String): DataFrame = {
-    val l = bandKeys.withColumnRenamed(idCol, "a")
-    val r = bandKeys.withColumnRenamed(idCol, "b")
-    l.join(r, "band_key")
+  /** Distinct candidate pairs (a < b) from shared band keys.
+    *
+    * Shape: group ids per band bucket, then expand pairs inside each bucket
+    * with two chained explodes — ONE pass over the (expensive) signatures
+    * instead of a self-join that recomputes the minhash lineage for both
+    * sides. Bucket sizes are bounded by the r>=2 banding (SCALE.md), so the
+    * within-bucket expansion is small; a pathological bucket would need the
+    * salting treatment (ops.Skew).
+    */
+  def candidatePairs(bandKeys: DataFrame, idCol: String): DataFrame =
+    bandKeys
+      .groupBy("band_key").agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+      .distinct()
 
   /** Set Jaccard of two shingle arrays (distinct semantics, like
     * array_intersect/union).

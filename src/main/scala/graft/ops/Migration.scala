@@ -146,7 +146,16 @@ object Migration {
   /** The full DAG over already-loaded sources. Returns every target table
     * keyed by name (lazy — callers write or inspect).
     */
+  /** Source tables [[migrate]] requires. */
+  val requiredSources: Set[String] = Set(
+    "users", "videos", "taggable_taggables", "taggable_tags",
+    "comments", "messages", "playlists", "favorites", "uploads")
+
   def migrate(src: Map[String, DataFrame], cfg: Config = Config()): Map[String, DataFrame] = {
+    val missing = requiredSources -- src.keySet
+    require(missing.isEmpty,
+      s"migrate() missing source tables: ${missing.toSeq.sorted.mkString(", ")} " +
+        s"(required: ${requiredSources.toSeq.sorted.mkString(", ")})")
     val users = transformUsers(src("users"), cfg)
     val (videos, tagDict) = buildVideoTags(
       src("videos"), src("taggable_taggables"), src("taggable_tags"), cfg)

@@ -106,6 +106,30 @@ object AdvancedQueries {
       graft.ops.Skew.saltedSumCount(
         Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")),
 
+    // TPC-H Q6 shape: pure filtered aggregation — every predicate reaches
+    // the parquet scan, one partial+final agg, no join.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    // expressed in SQL — Catalyst decorrelates into an aggregate + join.
+    "q17_small_quantity" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q17_lineitem")
+      s.sql(
+        """SELECT l_partkey, round(sum(l_extendedprice), 2) AS total
+           FROM q17_lineitem l1
+           WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                               FROM q17_lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+           GROUP BY l_partkey""")
+    }),
+
     // HLL sketch distinct counts — no cross-engine oracle (sketch internals
     // are engine-specific); rows-only driver check, error bound asserted in
     // the test suite.
@@ -163,6 +187,20 @@ object AdvancedQueries {
          FROM lineitem GROUP BY l_returnflag""",
     "sk1_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_value, count(*)::BIGINT AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 24""",
+    "q17_small_quantity" ->
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS total
+         FROM lineitem l1
+         WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l_partkey"""
   )
 }
