@@ -92,4 +92,46 @@ object Dedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+  /** Dedup cluster resolution: connected components over candidate pairs by
+    * iterative min-label propagation. Candidates alone don't dedup a corpus —
+    * transitive duplicates (a~b, b~c) must collapse to one survivor, so each
+    * node gets the minimum reachable id as its cluster, and the survivor is
+    * the node equal to its cluster id.
+    *
+    * Each iteration is one join + aggregate over the edge list; label count
+    * converges in O(log diameter) rounds (near-dup clusters are shallow —
+    * `maxIter` 10 covers diameter ~1000). The driver loop only checks a
+    * scalar convergence count per round; labels never leave the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Undirected edge list, both directions. Materialized once: the loop
+    // below references it every round, and without the checkpoint each
+    // iteration would re-execute the full upstream lineage (for LSH input,
+    // the entire MinHash pipeline).
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label for each node: min over itself and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      val changed = next.alias("n")
+        .join(labels.alias("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next.localCheckpoint() // cut the growing lineage each round
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
 }

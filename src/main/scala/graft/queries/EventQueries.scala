@@ -50,6 +50,20 @@ object EventQueries {
     "st4_window_dedup" -> ((s, d) =>
       EventStreams.dedupWithinWindow(Tables.events(s, d))),
 
+    // AS1: as-of join — each purchase picks up the latest signup "rate"
+    // at-or-before its timestamp per user. Oracle is DuckDB's native
+    // ASOF LEFT JOIN; our implementation is the union+carry-forward
+    // composition (ops.AsOfJoin).
+    "as1_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val snaps = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("rate"))
+      graft.ops.AsOfJoin.asof(probes, snaps, "user_id", "ts", Seq("rate"))
+        .select(col("event_id"), col("user_id"), col("rate"))
+    }),
+
     // ST5: batch face of the flatMapGroupsWithState custom-state operator —
     // in batch each user is one group call over empty state, so the emitted
     // cumulative rows equal the plain grouped totals.
@@ -114,6 +128,11 @@ object EventQueries {
          FROM events""",
     "st5_stateful_user_totals" ->
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+    "as1_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.value AS rate
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts"""
   )
 }
