@@ -130,6 +130,29 @@ object AdvancedQueries {
            GROUP BY l_partkey""")
     }),
 
+    // Range join via grid bucketing: orders priced into overlapping price
+    // bands — an equi-join on grid cell + residual filter instead of the
+    // BroadcastNestedLoopJoin a raw theta-join would plan.
+    "rj1_range_join" -> ((s, d) => {
+      val intervals = s.range(12).select(
+        col("id").as("band_id"),
+        (col("id") * 40000.0).as("lo"),
+        (col("id") * 40000.0 + 60000.0).as("hi"))
+      graft.ops.RangeJoin.grid(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          intervals, "o_totalprice", "lo", "hi", cellSize = 40000.0)
+        .select("o_orderkey", "band_id")
+    }),
+
+    // Salted skew join: results identical to the plain join, hot keys spread
+    // over 16 reducers (small side replicated per salt).
+    "sk2_salted_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(Tables.lineitem(s, d), dim, "l_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
+    }),
+
     // HLL sketch distinct counts — no cross-engine oracle (sketch internals
     // are engine-specific); rows-only driver check, error bound asserted in
     // the test suite.
@@ -201,6 +224,13 @@ object AdvancedQueries {
          WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
                              FROM lineitem l2
                              WHERE l2.l_partkey = l1.l_partkey)
-         GROUP BY l_partkey"""
+         GROUP BY l_partkey""",
+    "rj1_range_join" ->
+      """SELECT o_orderkey, i AS band_id
+         FROM orders, range(12) t(i)
+         WHERE o_totalprice >= i * 40000 AND o_totalprice < i * 40000 + 60000""",
+    "sk2_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
   )
 }
