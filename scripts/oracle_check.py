@@ -31,6 +31,11 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(oracle)}")
+        sys.exit(2)
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:

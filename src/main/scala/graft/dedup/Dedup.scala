@@ -121,14 +121,19 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
+      // Checkpoint BEFORE the convergence check: it cuts the growing lineage
+      // and means the join+aggregate runs once per round (the check then
+      // reads the materialized frame, not the lineage a second time).
       val next = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), "node")
         .filter(col("n.label") =!= col("o.label"))
         .limit(1).count()
-      labels = next.localCheckpoint() // cut the growing lineage each round
+      if (iter > 0) labels.unpersist() // free the previous round's checkpoint
+      labels = next
       converged = changed == 0
       iter += 1
     }

@@ -42,10 +42,17 @@ object Multimodal {
       val n = m.payload.length.toLong
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(m.payload).map("%02x".format(_)).mkString
+      // "height" = first code point of the payload decoded as UTF-8 (NOT the
+      // first raw byte: the DuckDB oracle's ascii() is code-point-based, and
+      // the two diverge on multibyte text).
+      val firstCp =
+        if (n > 0) new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePointAt(0)
+        else 0
       MediaFeatures(
         id = m.id, kind = m.kind, n_bytes = n,
         width = (n % 1024).toInt,
-        height = (if (n > 0) m.payload(0) & 0xff else 0),
+        height = firstCp,
         n_frames = if (m.kind == "video") (n % 30).toInt + 1 else 1,
         digest = digest)
     }

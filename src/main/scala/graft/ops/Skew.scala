@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted sum/count over `keys`. The salt must be uniform but need not be
-    * deterministic across runs — partial sums merge to the same totals.
+  /** Salted sum/count over `keys`. The salt is derived from the input
+    * partition id — DETERMINISTIC under task retry (a random/row-id salt can
+    * lose or duplicate partials when a map stage is partially recomputed
+    * after reducers have fetched, the SPARK-23207 failure class) and it
+    * spreads a hot key across however many partitions carry it, which is
+    * exactly the skew being mitigated.
     */
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
-    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keyCols: _*)
@@ -40,8 +44,10 @@ object Skew {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    // Partition-id salt: deterministic under retry (see saltedSumCount).
+    // A hot key confined to one input partition keeps one salt — acceptable,
+    // since a single input partition is already one task's worth of rows.
+    val saltedBig = big.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

@@ -63,8 +63,9 @@ object TextQueries {
         col("doc_id"),
         array_join(Dedup.minhashSig(col("sh")), "|").as("sig"))),
 
-    // D3: LSH candidate pairs — docs sharing any of the 8 single-hash bands.
-    // The banded self-join replaces the quadratic cross-join (the scale path).
+    // D3: LSH candidate pairs — docs agreeing on any of the 4 bands of 2
+    // hashes each (r=2, b=4: S-curve centered near J≈0.5; see
+    // Dedup.lshBandKeys). Banded equi-join replaces the quadratic cross-join.
     "d3_lsh_candidate_pairs" -> ((s, d) => {
       val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
       Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
