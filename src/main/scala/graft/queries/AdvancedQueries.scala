@@ -130,6 +130,41 @@ object AdvancedQueries {
            GROUP BY l_partkey""")
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    "q10_returned_items" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape: order-priority counts by lateness class.
+    "q12_priority_counts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_count"))
+    }),
+
+    // E1 through the SQL surface: the registered normalize_tag UDF callable
+    // from plain SQL (the Column-API form drives pipeline_videos_tags).
+    "e1_normalize_sql" -> ((s, d) => {
+      graft.ops.TagNormalize.register(s)
+      Tables.part(s, d).createOrReplaceTempView("e1_part")
+      s.sql(
+        """SELECT p_partkey, normalize_tag('  ' || upper(p_name) || '  ') AS tag
+           FROM e1_part""")
+    }),
+
     // Range join via grid bucketing: orders priced into overlapping price
     // bands — an equi-join on grid cell + residual filter instead of the
     // BroadcastNestedLoopJoin a raw theta-join would plan.
@@ -225,6 +260,23 @@ object AdvancedQueries {
                              FROM lineitem l2
                              WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q12_priority_counts" ->
+      """SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)::BIGINT AS high_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)::BIGINT AS low_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_linestatus""",
+    "e1_normalize_sql" ->
+      """SELECT p_partkey, trim(lower('  ' || upper(p_name) || '  ')) AS tag FROM part""",
     "rj1_range_join" ->
       """SELECT o_orderkey, i AS band_id
          FROM orders, range(12) t(i)

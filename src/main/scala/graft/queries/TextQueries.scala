@@ -89,6 +89,18 @@ object TextQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // D7: the dedup pipeline's final answer — the surviving corpus. A doc
+    // survives unless cluster resolution assigned it a smaller-id duplicate.
+    "d7_dedup_survivors" -> ((s, d) => {
+      val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("cluster") =!= col("doc_id"))
+        .select("doc_id")
+      Tables.documents(s, d).select("doc_id")
+        .join(dropped, Seq("doc_id"), "left_anti")
+    }),
+
     // D5: 60-bit SimHash per document (native expression; the declarative
     // Dedup.simhash is the executable spec, parity-tested in NorthStarSpec).
     "d5_simhash" -> ((s, d) => {
@@ -182,6 +194,28 @@ object TextQueries {
            FROM bands l JOIN bands r USING (band_key)
            WHERE l.doc_id < r.doc_id)
          SELECT DISTINCT a, b FROM pairs""",
+    "d7_dedup_survivors" ->
+      s"""WITH RECURSIVE t AS ($shingleCte),
+         sigs AS (
+           SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(n, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         dropped AS (
+           SELECT n FROM reach GROUP BY n HAVING min(m) != n)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT n FROM dropped)""",
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE t AS ($shingleCte),
          sigs AS (
