@@ -125,6 +125,28 @@ object TextQueries {
         .select(col("doc_id"), graft.functions.Winnow.winnow(col("w"), 3, 4).as("fp"))
     }),
 
+    // TX6: token-length histogram — fixed-width buckets over the corpus
+    // (the "what does my data look like" op every pipeline runs first).
+    "tx6_length_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select((floor(TextAnalysis.tokenCountWs(col("text")) / 10) * 10).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))),
+
+    // TX7: language-stratified deterministic sampling — keep a per-language
+    // fraction using a content-hash threshold, so the sample is stable
+    // across runs/executors (no RNG) and oracle-checkable. Fractions: en
+    // heavily downsampled, others kept — the balancing move of multilingual
+    // corpus construction.
+    "tx7_stratified_sample" -> ((s, d) => {
+      // 60-bit md5 bucket: portable across engines (Spark hash() is not).
+      val bucket = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+      val keepPct = when(col("lang") === "en", 25).otherwise(75)
+      Tables.documents(s, d)
+        .filter(bucket < keepPct)
+        .select("doc_id", "lang")
+    }),
+
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
     // digest — the schema/partitioning pattern for image/audio blobs.
@@ -259,6 +281,14 @@ object TextQueries {
              list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))), '|') AS fp
          FROM (SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 15)) AS hs
                FROM t WHERE len(sh) >= 4)""",
+    "tx6_length_histogram" ->
+      """SELECT (floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10)::BIGINT AS bucket_lo,
+           count(*)::BIGINT AS n_docs
+         FROM documents GROUP BY 1""",
+    "tx7_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 <
+               CASE WHEN lang = 'en' THEN 25 ELSE 75 END""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS digest
          FROM documents"""
