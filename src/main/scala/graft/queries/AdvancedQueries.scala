@@ -155,6 +155,23 @@ object AdvancedQueries {
           count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_count"))
     }),
 
+    // Pivot: wide per-status quantity sums per return flag.
+    "pv1_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .sum("l_quantity")),
+
+    // Unpivot (melt): the wide pivot back to long form.
+    "pv2_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .sum("l_quantity")
+        .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "linestatus", "sum_qty")
+        .filter(col("sum_qty").isNotNull)),
+
     // E1 through the SQL surface: the registered normalize_tag UDF callable
     // from plain SQL (the Column-API form drives pipeline_videos_tags).
     "e1_normalize_sql" -> ((s, d) => {
@@ -277,6 +294,20 @@ object AdvancedQueries {
          GROUP BY l_linestatus""",
     "e1_normalize_sql" ->
       """SELECT p_partkey, trim(lower('  ' || upper(p_name) || '  ')) AS tag FROM part""",
+    "pv1_pivot" ->
+      """SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+         FROM lineitem GROUP BY l_returnflag""",
+    "pv2_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+             sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'F' AS linestatus, f_qty AS sum_qty FROM wide WHERE f_qty IS NOT NULL
+         UNION ALL
+         SELECT l_returnflag, 'O', o_qty FROM wide WHERE o_qty IS NOT NULL""",
     "rj1_range_join" ->
       """SELECT o_orderkey, i AS band_id
          FROM orders, range(12) t(i)
