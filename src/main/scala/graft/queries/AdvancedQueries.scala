@@ -155,6 +155,18 @@ object AdvancedQueries {
           count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_count"))
     }),
 
+    // A5: byte-faithful MySQL GROUP_CONCAT(DISTINCT .. SEPARATOR ,) with the
+    // group_concat_max_len truncation, as a typed Aggregator (SURVEY §2.6's
+    // deferred faithful variant) — partial TreeSet buffers merge map-side.
+    "a5_group_concat_mysql" -> ((s, d) => {
+      val gc = udaf(new graft.functions.Aggregators.GroupConcatDistinct(",", 100))
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(gc(col("p_name")).as("tags"))
+    }),
+
     // Pivot: wide per-status quantity sums per return flag.
     "pv1_pivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -294,6 +306,11 @@ object AdvancedQueries {
          GROUP BY l_linestatus""",
     "e1_normalize_sql" ->
       """SELECT p_partkey, trim(lower('  ' || upper(p_name) || '  ')) AS tag FROM part""",
+    "a5_group_concat_mysql" ->
+      """SELECT l_orderkey,
+           substr(array_to_string(list_sort(list(DISTINCT p_name)), ','), 1, 100) AS tags
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY l_orderkey""",
     "pv1_pivot" ->
       """SELECT l_returnflag,
            sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",

@@ -40,15 +40,49 @@ object VectorQueries {
     // V4: IVF ANN (16 cells, probe 4). Rows-only driver check; recall vs
     // brute force asserted in NorthStarSpec.
     "v4_knn_ivf" -> ((s, d) =>
-      VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5))
+      VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5)),
+
+    // V5: same brute-force top-5 as v1 but reduced by the bounded-heap TopK
+    // Aggregator instead of a window — map-side partial combine keeps at
+    // most k pairs per (query, partition), so the shuffle carries heaps,
+    // not every scored pair (the 100 TB shape). Same oracle as v1.
+    "v5_knn_topk_agg" -> ((s, d) => {
+      val c = corpus(s, d)
+        .withColumn("nn", VectorOps.l2norm(col("nv")))
+        .repartition(s.sparkContext.defaultParallelism)
+      val q = c.filter(col("n_id") < 20)
+        .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(5))
+      c.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", VectorOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .groupBy("q_id")
+        .agg(topk(col("cos"), col("n_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col._2").as("n_id"), round(col("col._1"), 6).as("cos"))
+    })
   )
 
   private val eCte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
   private val cosExpr =
     """list_inner_product(a.v, b.v) /
        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"""
+  // (knnOracle below is shared by v1 and v5 — identical semantics, different
+  // physical reduction.)
+
+  private val knnOracle =
+    s"""WITH e AS ($eCte)
+       SELECT q_id, rank, n_id, cos FROM (
+         SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosExpr DESC, b.vec_id) AS rank,
+           round($cosExpr, 6) AS cos
+         FROM e a, e b
+         WHERE a.vec_id < 20 AND b.vec_id != a.vec_id)
+       WHERE rank <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "v5_knn_topk_agg" -> knnOracle,
     "v1_knn_bruteforce" ->
       s"""WITH e AS ($eCte)
          SELECT q_id, rank, n_id, cos FROM (
