@@ -25,13 +25,34 @@ object Dedup {
     transform(sequence(lit(0), size(words) - n),
       i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))
 
-  /** MinHash signature as an array of `num` hex-string minima.
-    * h_i(S) = min over shingles s of md5(i || '|' || s).
+  /** Attach a MinHash signature column: an array of `num` (even) hex-string
+    * minima.
+    *
+    * Hash economics: md5 evaluation dominates signature cost at scale, so
+    * each seeded md5 yields TWO independent 60-bit hash values (hex chars
+    * 1-15 and 17-31) — num hashes for num/2 md5 calls per shingle:
+    * h_{2i}(S)   = min over s of md5(i|s)[1..15]
+    * h_{2i+1}(S) = min over s of md5(i|s)[17..31]
+    *
+    * Shaped as a DataFrame transform (not a pure Column) so each seed's md5
+    * array binds to a real intermediate column used twice — CollapseProject
+    * keeps expensive twice-referenced projections separate, guaranteeing one
+    * md5 pass; a duplicated Column tree would silently evaluate twice.
     */
-  def minhashSig(shingleCol: Column, num: Int = 8): Column =
-    array((0 until num).map { i =>
-      array_min(transform(shingleCol, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
-    }: _*)
+  def withMinhashSig(df: DataFrame, shCol: String, outCol: String, num: Int = 8): DataFrame = {
+    require(num % 2 == 0, s"minhash num must be even, got $num")
+    val seeds = 0 until num / 2
+    val withMds = seeds.foldLeft(df) { (d, i) =>
+      d.withColumn(s"__md$i",
+        transform(col(shCol), s => md5(concat(lit(s"$i|"), s).cast("binary"))))
+    }
+    val entries = (0 until num).map { j =>
+      array_min(transform(col(s"__md${j / 2}"),
+        m => substring(m, 1 + 16 * (j % 2), 15)))
+    }
+    withMds.withColumn(outCol, array(entries: _*))
+      .drop(seeds.map(i => s"__md$i"): _*)
+  }
 
   /** LSH banding: split the signature into bands of `rowsPerBand` hashes;
     * docs sharing any full band are candidates. P(candidate) = 1-(1-J^r)^b —

@@ -59,15 +59,14 @@ object TextQueries {
 
     // D2: MinHash signatures (8 portable hash functions over 3-gram shingles).
     "d2_minhash_signature" -> ((s, d) =>
-      shingled(s, d).select(
-        col("doc_id"),
-        array_join(Dedup.minhashSig(col("sh")), "|").as("sig"))),
+      Dedup.withMinhashSig(shingled(s, d), "sh", "sig")
+        .select(col("doc_id"), array_join(col("sig"), "|").as("sig"))),
 
     // D3: LSH candidate pairs — docs agreeing on any of the 4 bands of 2
     // hashes each (r=2, b=4: S-curve centered near J≈0.5; see
     // Dedup.lshBandKeys). Banded equi-join replaces the quadratic cross-join.
     "d3_lsh_candidate_pairs" -> ((s, d) => {
-      val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
     }),
 
@@ -84,7 +83,7 @@ object TextQueries {
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
     "d6_dedup_clusters" -> ((s, d) => {
-      val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
       Dedup.connectedComponents(pairs)
     }),
@@ -92,7 +91,7 @@ object TextQueries {
     // D7: the dedup pipeline's final answer — the surviving corpus. A doc
     // survives unless cluster resolution assigned it a smaller-id duplicate.
     "d7_dedup_survivors" -> ((s, d) => {
-      val sigs = shingled(s, d).select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("cluster") =!= col("doc_id"))
@@ -162,9 +161,11 @@ object TextQueries {
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        WHERE len(w) >= 3"""
 
-  private val minhashSigExpr = (0 until 8)
-    .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
-    .mkString(" || '|' || ")
+  // Oracle mirror of Dedup.withMinhashSig: two 60-bit values per seeded md5.
+  private val sigEntriesSql: Seq[String] = (0 until 8).map { j =>
+    s"list_min(list_transform(sh, s -> substr(md5('${j / 2}|' || s), ${1 + 16 * (j % 2)}, 15)))"
+  }
+  private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
 
   val oracles: Map[String, String] = Map(
     "tx1_token_counts" ->
@@ -206,7 +207,7 @@ object TextQueries {
     "d3_lsh_candidate_pairs" ->
       s"""WITH t AS ($shingleCte),
          sigs AS (
-           SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
            FROM t),
          bands AS (
            SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
@@ -219,7 +220,7 @@ object TextQueries {
     "d7_dedup_survivors" ->
       s"""WITH RECURSIVE t AS ($shingleCte),
          sigs AS (
-           SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
            FROM t),
          bands AS (
            SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
@@ -241,7 +242,7 @@ object TextQueries {
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE t AS ($shingleCte),
          sigs AS (
-           SELECT doc_id, list_value(${(0 until 8).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))").mkString(", ")}) AS sig
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
            FROM t),
          bands AS (
            SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
