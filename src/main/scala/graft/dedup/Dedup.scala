@@ -158,6 +158,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // After >=1 iteration labels is checkpointed and no longer needs the
+    // edge blocks (with maxIter=0 the un-iterated labels still would).
+    if (iter > 0) edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 }

@@ -49,12 +49,14 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
-  /** MySQL GROUP_CONCAT(DISTINCT ... SEPARATOR sep) with the
-    * group_concat_max_len truncation the reference relied on
-    * (SURVEY §2.6 A1; MySQL truncates mid-element at the byte budget).
-    * Elements deduped and sorted for cross-run determinism (the reference's
-    * order is implementation-defined and semantically irrelevant — the
-    * string is immediately re-split, src/index.mjs:43).
+  /** MySQL GROUP_CONCAT(DISTINCT ... SEPARATOR sep) with
+    * group_concat_max_len-style truncation (SURVEY §2.6 A1). Documented
+    * deviation: MySQL's budget is BYTES; this truncates at `maxLen`
+    * CHARACTERS (matching engine-portable substr semantics — on multibyte
+    * text the byte count can exceed maxLen). Elements deduped and sorted
+    * for cross-run determinism (the reference's order is
+    * implementation-defined and semantically irrelevant — the string is
+    * immediately re-split, src/index.mjs:43).
     */
   class GroupConcatDistinct(sep: String, maxLen: Int)
       extends Aggregator[String, mutable.TreeSet[String], String] {

@@ -45,9 +45,11 @@ object Multimodal {
       // "height" = first code point of the payload decoded as UTF-8 (NOT the
       // first raw byte: the DuckDB oracle's ascii() is code-point-based, and
       // the two diverge on multibyte text).
+      // Decode only the first 4 bytes (a UTF-8 code point is at most 4) —
+      // payloads model multi-MB media blobs; never decode the whole thing.
       val firstCp =
-        if (n > 0) new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-          .codePointAt(0)
+        if (n > 0) new String(m.payload, 0, math.min(4, m.payload.length),
+          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
         else 0
       MediaFeatures(
         id = m.id, kind = m.kind, n_bytes = n,

@@ -116,4 +116,14 @@ object EventStreams {
     */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** Batch-sink bridge: run any batch writer (JdbcEdges.writeAppend, a
+    * clustered parquet write, ...) per micro-batch via foreachBatch — how a
+    * stream feeds the migration's sinks. The writer sees a normal batch
+    * DataFrame; exactly-once depends on the writer being idempotent per
+    * batchId (e.g. K2's anti-join upsert), which is the caller's contract.
+    */
+  def sinkEachBatch(stream: DataFrame, writer: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(writer)
 }

@@ -23,8 +23,8 @@ object TagNormalizeProps extends Properties("normalizeTag") {
     val r = f(s); r == r.trim
   }
   property("no double spaces") = forAll(gen) { s => !f(s).contains("  ") }
-  property("lowercase ascii") = forAll(gen) { s =>
-    f(s).forall(c => !c.isLetter || !c.isUpper || c.toString != c.toString.toLowerCase)
+  property("no uppercase letters survive") = forAll(gen) { s =>
+    f(s).forall(c => !c.isLetter || !c.isUpper)
   }
   property("null-safe") = Prop(f(null) == "")
 }
@@ -42,13 +42,16 @@ object CommentLinkProps extends Properties("commentLinks") {
       created_at = ts(i), deleted_at = d.map(off => ts(i + off)))
   }.toArray
 
+  private def byId(rows: Array[CommentLinks.CommentRow]) =
+    rows.map(r => r.id -> r).toMap
+
   property("links point backwards to same-video visible comments") =
     forAll(groupGen) { rows =>
-      val byId = rows.map(r => r.id -> r).toMap
+      val m = byId(rows)
       CommentLinks.linkGroup(rows).forall { l =>
         l.response_to.forall { r =>
-          val target = byId(r)
-          val self = byId(l.id)
+          val target = m(r)
+          val self = m(l.id)
           r < l.id && !target.deleted_at.exists(_.before(self.created_at))
         }
       }
@@ -56,12 +59,10 @@ object CommentLinkProps extends Properties("commentLinks") {
 
   property("non-replies never link; output preserves cardinality") =
     forAll(groupGen) { rows =>
+      val m = byId(rows)
       val out = CommentLinks.linkGroup(rows).toList
       out.size == rows.length &&
-        out.filter(l => CommentLinks.caretCount(byId(rows)(l.id).content) == 0)
+        out.filter(l => CommentLinks.caretCount(m(l.id).content) == 0)
           .forall(_.response_to.isEmpty)
     }
-
-  private def byId(rows: Array[CommentLinks.CommentRow]) =
-    rows.map(r => r.id -> r).toMap
 }

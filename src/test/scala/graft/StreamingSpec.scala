@@ -122,6 +122,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch bridges a stream into a batch sink per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, rows)
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sinkEachBatch(mem.toDF(),
+      (batch, id) => sunk.synchronized { sunk += ((id, batch.count())) }).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      assert(sunk.toList === List((0L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
