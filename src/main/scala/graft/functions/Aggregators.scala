@@ -44,7 +44,7 @@ object Aggregators {
       b.toSeq.sortBy { case (s, i) => (-s, i) }
 
     override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
-      Encoders.javaSerialization[mutable.PriorityQueue[(Double, Long)]]
+      Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
@@ -75,6 +75,8 @@ object Aggregators {
       if (full.length <= maxLen) full else full.substring(0, maxLen)
     }
 
+    // javaSerialization, not kryo: kryo fails to decode TreeSet (its
+    // Ordering field doesn't survive the round-trip -> EXPRESSION_DECODING_FAILED).
     override def bufferEncoder: Encoder[mutable.TreeSet[String]] =
       Encoders.javaSerialization[mutable.TreeSet[String]]
     override def outputEncoder: Encoder[String] = Encoders.STRING
