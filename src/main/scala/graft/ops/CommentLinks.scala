@@ -75,4 +75,28 @@ object CommentLinks {
       .flatMapGroups { (_, it) => linkGroup(it.toArray.sortBy(_.id)) }
       .toDF()
   }
+
+  /** SURVEY §2.7's option (b): the same semantics as a window expression —
+    * collect each comment's predecessors, filter to the ones visible at
+    * reply time, take the k-th from the end. Declarative cross-check for
+    * [[link]] (equality asserted in CommentLinksSpec); the flatMapGroups
+    * form is the production path (no per-row predecessor lists).
+    */
+  def linkViaWindow(comments: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("video_id")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    comments
+      .withColumn("k", Cleansing.caretDepth(col("content")))
+      .withColumn("prev",
+        collect_list(struct(col("id").as("pid"), col("deleted_at").as("pdel"))).over(w))
+      .select(col("id"), col("video_id"),
+        when(col("k") > 0,
+          try_element_at(
+            filter(col("prev"),
+              p => p.getField("pdel").isNull || p.getField("pdel") >= col("created_at")),
+            -col("k")).getField("pid"))
+          .as("response_to"))
+  }
 }

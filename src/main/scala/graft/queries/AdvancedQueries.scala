@@ -100,6 +100,29 @@ object AdvancedQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    // Datetime scalar coverage: component extraction + month truncation
+    // (dayofweek omitted: Spark is 1=Sunday, DuckDB 0=Sunday).
+    "dt1_date_parts" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("m"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))),
+
+    // Fuzzy matching: Levenshtein distance on bounded candidate pairs —
+    // the edit-distance verify stage of fuzzy dedup (bounded a<b id range,
+    // first 20 chars, like d4's Jaccard stage).
+    "ld1_levenshtein" -> ((s, d) => {
+      val t = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
+      val a = t.select(col("doc_id").as("a"), col("prefix").as("pa"))
+      val b = t.select(col("doc_id").as("b"), col("prefix").as("pb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("pa"), col("pb")).cast("bigint").as("dist"))
+    }),
+
     // Salted two-phase aggregation: identical results to the direct groupBy
     // (that IS the oracle), resilient to hot keys that AQE can't rebalance.
     "sk1_salted_agg" -> ((s, d) =>
@@ -275,6 +298,14 @@ object AdvancedQueries {
     "sk1_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_value, count(*)::BIGINT AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "dt1_date_parts" ->
+      """SELECT o_orderkey, year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+           day(o_orderdate)::BIGINT AS dom, date_trunc('month', o_orderdate) AS month_start
+         FROM orders""",
+    "ld1_levenshtein" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 20) AS prefix FROM documents WHERE doc_id < 40)
+         SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.prefix, b.prefix)::BIGINT AS dist
+         FROM t a, t b WHERE a.doc_id < b.doc_id""",
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
          FROM lineitem

@@ -54,6 +54,14 @@ class CommentLinksSpec extends SparkSpec {
     assert(linked(1) === None && linked(10) === None)
   }
 
+  test("window formulation agrees with the flatMapGroups scan on the fixture") {
+    import spark.implicits._
+    val df = spark.createDataset(fixture).toDF()
+    val viaWindow = CommentLinks.linkViaWindow(df)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](2)).map(_.toLong)).toMap
+    assert(viaWindow === linked)
+  }
+
   test("randomized invariants: earlier id, same video, visible at reply time") {
     val rnd = new scala.util.Random(42)
     val comments = (1 to 400).map { i =>
@@ -81,5 +89,10 @@ class CommentLinksSpec extends SparkSpec {
     }
     // sanity: the scan actually links things in this data
     assert(out.count(_.response_to.isDefined) > 100)
+
+    // cross-implementation: window formulation agrees on all 400 random rows
+    val viaWindow = CommentLinks.linkViaWindow(spark.createDataset(comments).toDF())
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](2)).map(_.toLong)).toMap
+    assert(viaWindow === out.map(l => l.id -> l.response_to).toMap)
   }
 }
