@@ -100,6 +100,41 @@ object AdvancedQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by year
+    // (supplier nation -> customer nation, either direction).
+    "q7_nation_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val su = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share for one ship-month.
+    "q14_promo_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val p = Tables.part(s, d)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"))
+    }),
+
     // Datetime scalar coverage: component extraction + month truncation
     // (dayofweek omitted: Spark is 1=Sunday, DuckDB 0=Sunday).
     "dt1_date_parts" -> ((s, d) =>
@@ -298,6 +333,27 @@ object AdvancedQueries {
     "sk1_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_value, count(*)::BIGINT AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY supp_nation, cust_nation, l_year""",
+    "q14_promo_share" ->
+      """SELECT round(
+           sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
     "dt1_date_parts" ->
       """SELECT o_orderkey, year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
            day(o_orderdate)::BIGINT AS dom, date_trunc('month', o_orderdate) AS month_start
