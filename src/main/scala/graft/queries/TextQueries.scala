@@ -146,6 +146,21 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // TX8: per-language top-3 bigrams — the n-gram frequency profile used
+    // for corpus inspection and as language-model features. Explode word
+    // bigrams, count per (lang, bigram), rank within language.
+    "tx8_bigram_profile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("lang"), explode(Dedup.shingles(col("words"), 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+    }),
+
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
     // digest — the schema/partitioning pattern for image/audio blobs.
@@ -282,6 +297,16 @@ object TextQueries {
              list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])))), '|') AS fp
          FROM (SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 15)) AS hs
                FROM t WHERE len(sh) >= 4)""",
+    "tx8_bigram_profile" ->
+      """SELECT lang, bigram, n, rank FROM (
+           SELECT lang, bigram, count(*)::BIGINT AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram ASC) AS rank
+           FROM (
+             SELECT lang, unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bigram
+             FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+             WHERE len(w) >= 2)
+           GROUP BY lang, bigram)
+         WHERE rank <= 3""",
     "tx6_length_histogram" ->
       """SELECT (floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10)::BIGINT AS bucket_lo,
            count(*)::BIGINT AS n_docs

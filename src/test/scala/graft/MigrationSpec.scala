@@ -133,6 +133,16 @@ class MigrationSpec extends SparkSpec {
     samples.foreach(s => assert(f(f(s)) === f(s), s"not idempotent on $s"))
   }
 
+  test("migrate() handles all-empty sources without crashing") {
+    val empty = sources.map { case (k, v) => k -> v.limit(0) }
+    val out = Migration.migrate(empty)
+    out.foreach { case (t, frame) =>
+      assert(frame.count() === 0, s"table $t should be empty")
+    }
+    // sequence fixup on an empty table: max(id)+1 is null -> caller decides
+    assert(Migration.nextSequenceValue(out("users")).collect().head.isNullAt(0))
+  }
+
   test("jdbc epilogue SQL builders (K2/K3/K4)") {
     assert(JdbcEdges.alterSequenceSql("users", 42L) ===
       "ALTER SEQUENCE users_id_seq RESTART WITH 42")
