@@ -28,6 +28,19 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("schema evolution: mergeSchema unions batch schemas, old rows get nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // batch 1: (id, a); batch 2 adds column b — the additive-evolution case
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/b1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/b2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id"))
+    val rows = merged.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[java.lang.Double]("b"))).toMap
+    assert(rows === Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("partitioned layout prunes directories on the partition predicate") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     Storage.writePartitioned(
