@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the at-rest half of the scale story.
   *
@@ -29,4 +30,42 @@ object Storage {
   /** Hive-style directory partitioning: one directory per `partCol` value. */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
+  /** Morton (Z-order) code from two 16-bit quantized dimensions: interleave
+    * the bits so file ranges stay tight in BOTH dimensions — parquet min/max
+    * skipping then prunes on either predicate, where a single-column sort
+    * only prunes on the sort key. Pure bit arithmetic, codegen'd.
+    */
+  def mortonCode(qx: Column, qy: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      val xb = shiftrightunsigned(qx.cast("long"), b).bitwiseAND(1)
+      val yb = shiftrightunsigned(qy.cast("long"), b).bitwiseAND(1)
+      acc
+        .bitwiseOR(shiftleft(xb, 2 * b))
+        .bitwiseOR(shiftleft(yb, 2 * b + 1))
+    }
+
+  /** Z-ordered layout over two numeric dimensions: quantize each to 16 bits
+    * against its global range (two scalars collected — a metadata-sized
+    * action), range-partition + sort by the interleaved code. The multi-D
+    * generalization of Migration.writeClustered; locality proof in
+    * StorageSpec (a box predicate touches fewer files than under a
+    * single-column sort).
+    */
+  def writeZOrdered(df: DataFrame, cx: String, cy: String, path: String,
+      files: Int = 32): Unit = {
+    val b = df.agg(
+      min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+      min(col(cy)).cast("double"), max(col(cy)).cast("double")).collect().head
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0)
+      else least(floor((c.cast("double") - lo) / (hi - lo) * 65535), lit(65535.0)).cast("int")
+    df.withColumn("__z",
+        mortonCode(quant(col(cx), b.getDouble(0), b.getDouble(1)),
+          quant(col(cy), b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

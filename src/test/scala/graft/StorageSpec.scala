@@ -28,6 +28,39 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("z-order layout skips more files than a single-column sort on the off-axis predicate") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).cast("double").as("o_epoch"))
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    val sDir = java.nio.file.Files.createTempDirectory("sort").toString
+    Storage.writeZOrdered(orders, "o_totalprice", "o_epoch", zDir, files = 16)
+    orders.repartitionByRange(16, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice").write.mode("overwrite").parquet(sDir)
+
+    // files a date-band predicate would have to scan = files whose
+    // [min,max] epoch range intersects the band (what parquet row-group
+    // skipping does with column stats)
+    def touched(dir: String, lo: Double, hi: Double): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_epoch")).as("lo"), max(col("o_epoch")).as("hi"))
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .count()
+
+    val (lo, hi) = {
+      val r = orders.agg(min(col("o_epoch")), max(col("o_epoch"))).collect().head
+      val span = r.getDouble(1) - r.getDouble(0)
+      (r.getDouble(0) + span * 0.4, r.getDouble(0) + span * 0.5) // a 10% date band
+    }
+    val zTouched = touched(zDir, lo, hi)
+    val sTouched = touched(sDir, lo, hi)
+    // price-sorted files each span nearly the whole date range -> all touched;
+    // z-ordered files stay tight in both dimensions -> a strict subset.
+    assert(sTouched === 16L, s"expected the price-sorted layout to touch all files, got $sTouched")
+    assert(zTouched < sTouched, s"z=$zTouched sorted=$sTouched")
+  }
+
   test("schema evolution: mergeSchema unions batch schemas, old rows get nulls") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
