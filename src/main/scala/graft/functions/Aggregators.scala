@@ -57,28 +57,64 @@ object Aggregators {
     * for cross-run determinism (the reference's order is
     * implementation-defined and semantically irrelevant — the string is
     * immediately re-split, src/index.mjs:43).
+    *
+    * Buffer = a SORTED, DISTINCT Seq[String] under the product/array
+    * encoder: partials cross the shuffle as a plain Catalyst string array
+    * (earlier revisions used a TreeSet, which kryo cannot decode in Spark
+    * 4.1 and Java serialization ships with ObjectOutputStream overhead per
+    * partial). Dedup happens map-side on every insert, so a partial never
+    * exceeds the group's distinct-value count.
     */
   class GroupConcatDistinct(sep: String, maxLen: Int)
-      extends Aggregator[String, mutable.TreeSet[String], String] {
+      extends Aggregator[String, Seq[String], String] {
 
-    override def zero: mutable.TreeSet[String] = mutable.TreeSet.empty[String]
+    override def zero: Seq[String] = Vector.empty
 
-    override def reduce(b: mutable.TreeSet[String], a: String) = {
-      if (a != null) b += a
-      b
+    /** Binary-search insertion index of `a` in sorted `b` (lower bound). */
+    private def lowerBound(b: Seq[String], a: String): Int = {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid).compareTo(a) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
     }
 
-    override def merge(x: mutable.TreeSet[String], y: mutable.TreeSet[String]) = x ++= y
+    override def reduce(b: Seq[String], a: String): Seq[String] =
+      if (a == null) b
+      else {
+        val i = lowerBound(b, a)
+        if (i < b.length && b(i) == a) b
+        else (b.take(i) :+ a) ++ b.drop(i)
+      }
 
-    override def finish(b: mutable.TreeSet[String]): String = {
+    /** Classic sorted-distinct two-pointer merge. */
+    override def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        var j = 0
+        while (i < x.length && j < y.length) {
+          val c = x(i).compareTo(y(j))
+          if (c < 0) { out += x(i); i += 1 }
+          else if (c > 0) { out += y(j); j += 1 }
+          else { out += x(i); i += 1; j += 1 }
+        }
+        while (i < x.length) { out += x(i); i += 1 }
+        while (j < y.length) { out += y(j); j += 1 }
+        out.result()
+      }
+
+    override def finish(b: Seq[String]): String = {
       val full = b.mkString(sep)
       if (full.length <= maxLen) full else full.substring(0, maxLen)
     }
 
-    // javaSerialization, not kryo: kryo fails to decode TreeSet (its
-    // Ordering field doesn't survive the round-trip -> EXPRESSION_DECODING_FAILED).
-    override def bufferEncoder: Encoder[mutable.TreeSet[String]] =
-      Encoders.javaSerialization[mutable.TreeSet[String]]
+    override def bufferEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 }

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.similarity.VectorOps
 
-/** Similarity-search queries over the embeddings table. v1/v2 carry full
-  * DuckDB oracles (double math is engine-identical); the LSH variant is the
-  * scale path, recall-checked against v1 in the test suite (no closed-form
-  * SQL oracle for the hyperplane literals — registered as rows-only).
+/** Similarity-search queries over the embeddings table. ALL carry full
+  * DuckDB oracles: double math is engine-identical, and the LSH hyperplanes /
+  * IVF centroids are deterministic (fixed seed / first-N-by-id), so the
+  * bucket assignment replays in closed-form SQL — the plane literals are
+  * emitted into the oracle from the very same [[VectorOps.randomPlanes]]
+  * call the Spark plan uses.
   */
 object VectorQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -28,17 +30,25 @@ object VectorQueries {
       VectorOps.bruteForceTopK(c, q, 5)
     }),
 
-    // V2: embedding near-dup pairs above a cosine threshold.
+    // V2: embedding near-dup pairs above a cosine threshold — exact oracle
+    // face, id-bounded (like d4/ld1) so the cross-join is constant-size at
+    // any sf. The unbounded scale path is v2b.
     "v2_cosine_dup_pairs" -> ((s, d) =>
-      VectorOps.cosineDupPairs(corpus(s, d), 0.35)),
+      VectorOps.cosineDupPairs(corpus(s, d).filter(col("n_id") < 300), 0.35)),
 
-    // V3: LSH-bucketed ANN (6 hyperplanes -> 64 buckets). Rows-only driver
-    // check; recall vs v1 asserted in NorthStarSpec.
+    // V2b: the same near-dup predicate over LSH bucket candidates — the
+    // production form: candidate generation is an equi-join on bucket id,
+    // never a cross-join, so it scales to the full corpus.
+    "v2b_cosine_dup_lsh" -> ((s, d) =>
+      VectorOps.cosineDupPairsLsh(corpus(s, d), planes, 0.35)),
+
+    // V3: LSH-bucketed ANN (6 hyperplanes -> 64 buckets). Full closed-form
+    // oracle (plane literals replayed in SQL); recall vs v1 in NorthStarSpec.
     "v3_knn_lsh" -> ((s, d) =>
-      VectorOps.lshTopK(corpus(s, d), VectorOps.randomPlanes(6, 64), 5)),
+      VectorOps.lshTopK(corpus(s, d), planes, 5)),
 
-    // V4: IVF ANN (16 cells, probe 4). Rows-only driver check; recall vs
-    // brute force asserted in NorthStarSpec.
+    // V4: IVF ANN (16 cells, probe 4). Full closed-form oracle (first-16
+    // centroids replayed in SQL); recall vs brute force in NorthStarSpec.
     "v4_knn_ivf" -> ((s, d) =>
       VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5)),
 
@@ -64,10 +74,37 @@ object VectorQueries {
     })
   )
 
+  /** The hyperplanes shared by v2b/v3 — ONE deterministic generation feeds
+    * both the Spark plan and the SQL oracle literals below.
+    */
+  private val planes: Seq[Array[Double]] = VectorOps.randomPlanes(6, 64)
+
   private val eCte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
   private val cosExpr =
     """list_inner_product(a.v, b.v) /
        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"""
+
+  /** A plane as a DuckDB DOUBLE[] literal. Scala's Double.toString is the
+    * shortest round-trip decimal repr, so DuckDB parses back the identical
+    * binary double and the sign-bit bucket replay is exact.
+    */
+  private def planeLit(p: Array[Double]): String =
+    p.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Replay of [[VectorOps.lshBucket]]: sum of sign bits ≙ when(dot>0, 2^i). */
+  private def bucketSql(vCol: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product($vCol, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Bucketed corpus CTE shared by the v2b/v3 oracles: per-row norm + bucket. */
+  private def bucketedCte: String =
+    s"""WITH e AS ($eCte),
+       bk AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+                ${bucketSql("v")} AS bucket
+              FROM e)"""
+
+  private val pairCos = "list_inner_product(q.v, n.v) / (q.nrm * n.nrm)"
   // (knnOracle below is shared by v1 and v5 — identical semantics, different
   // physical reduction.)
 
@@ -96,6 +133,42 @@ object VectorQueries {
       s"""WITH e AS ($eCte)
          SELECT a.vec_id AS a, b.vec_id AS b, round($cosExpr, 6) AS cos
          FROM e a, e b
-         WHERE a.vec_id < b.vec_id AND $cosExpr >= 0.35"""
+         WHERE a.vec_id < 300 AND b.vec_id < 300
+           AND a.vec_id < b.vec_id AND $cosExpr >= 0.35""",
+    "v2b_cosine_dup_lsh" ->
+      s"""$bucketedCte
+         SELECT q.vec_id AS a, n.vec_id AS b, round($pairCos, 6) AS cos
+         FROM bk q JOIN bk n ON q.bucket = n.bucket AND q.vec_id < n.vec_id
+         WHERE $pairCos >= 0.35""",
+    "v3_knn_lsh" ->
+      s"""$bucketedCte
+         SELECT q_id, rank, n_id, cos FROM (
+           SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY $pairCos DESC, n.vec_id) AS rank,
+             round($pairCos, 6) AS cos
+           FROM bk q JOIN bk n ON q.bucket = n.bucket AND n.vec_id != q.vec_id)
+         WHERE rank <= 5""",
+    "v4_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+         cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
+                  FROM e ORDER BY vec_id LIMIT 16),
+         scored AS (
+           SELECT e.vec_id, e.v, e.nrm, cent.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn) DESC,
+                        cent.cell) AS r
+           FROM e CROSS JOIN cent),
+         ccell AS (SELECT vec_id, v, nrm, cell FROM scored WHERE r <= 1),
+         qcell AS (SELECT vec_id, v, nrm, cell FROM scored WHERE r <= 4)
+         SELECT q_id, rank, n_id, cos FROM (
+           SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY $pairCos DESC, n.vec_id) AS rank,
+             round($pairCos, 6) AS cos
+           FROM qcell q JOIN ccell n ON q.cell = n.cell AND n.vec_id != q.vec_id)
+         WHERE rank <= 5"""
   )
 }

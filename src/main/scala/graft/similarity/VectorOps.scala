@@ -108,20 +108,23 @@ object VectorOps {
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    // cell assignment: nearest centroid by cosine
-    def assign(df: DataFrame, vec: String, norm: String, rankLimit: Int, out: String) = {
+    // cell assignment: nearest centroid by cosine. The rank window partitions
+    // by the ROW ID alone — ids are unique, so that is the per-row rank, and
+    // the shuffle/compare key is one long, never the 64-double vector.
+    def assign(df: DataFrame, idCol: String, vec: String, norm: String,
+        rankLimit: Int, out: String) = {
       val keep = df.columns.map(col)
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("csim", cosineWithNorms(col(vec), col("cv"), col(norm), col("cn")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
+      val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cell").asc)
       scored.withColumn("r", row_number().over(w))
         .filter(col("r") <= rankLimit)
         .select(keep :+ col("cell").as(out): _*)
     }
-    val corpusCells = assign(withN, "nv", "nn", 1, "cell")
+    val corpusCells = assign(withN, "n_id", "nv", "nn", 1, "cell")
     val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
-    val queryCells = assign(q, "qv", "qn", nProbe, "cell")
+    val queryCells = assign(q, "q_id", "qv", "qn", nProbe, "cell")
     val joined = queryCells.join(corpusCells, "cell")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
@@ -134,9 +137,33 @@ object VectorOps {
     // (q, n) pair joins at most once even with nProbe > 1
   }
 
+  /** All pairs above a cosine threshold over LSH bucket candidates — the
+    * scale path for embedding near-dup detection. Candidate generation is an
+    * equi-join on the hyperplane bucket id (each vector lives in exactly one
+    * bucket, so a pair joins at most once and never twice); only same-bucket
+    * pairs pay a dot product. Recall vs the exact [[cosineDupPairs]] is the
+    * LSH collision probability (1 - θ/π per plane) — measured in the spec.
+    */
+  def cosineDupPairsLsh(
+      vectors: DataFrame, planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    val bucketed = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("bucket", lshBucket(col("nv"), planes))
+    val a = bucketed.select(col("n_id").as("a"), col("nv").as("va"),
+      col("nn").as("na"), col("bucket"))
+    val b = bucketed.select(col("n_id").as("b"), col("nv").as("vb"),
+      col("nn").as("nb"), col("bucket"))
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection).
-    * Brute-force face for oracle checking; at scale the same predicate runs
-    * over LSH candidates instead of the cross-join.
+    * Exact brute-force face for oracle checking — callers MUST bound the
+    * input (the registry query limits ids, like d4/ld1): the plan is a
+    * cross-join, O(n²) at any scale. The unbounded production form is
+    * [[cosineDupPairsLsh]].
     */
   def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
