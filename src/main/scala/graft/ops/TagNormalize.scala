@@ -44,4 +44,30 @@ object TagNormalize {
   /** SQL registration: `SELECT normalize_tag(name) FROM ...`. */
   def register(spark: SparkSession): Unit =
     spark.udf.register("normalize_tag", normalize)
+
+  /** E1 route (2) — the reference's actual mechanism: pipe the tag stream
+    * through an EXTERNAL command, one tag per stdin line, one normalized tag
+    * per stdout line, results zipped back POSITIONALLY
+    * (reference src/normalize_tags.mjs:8: `tags[i] -> lines[i]`).
+    *
+    * `RDD.pipe` is the distributed form of that contract: each partition
+    * forks the command once, streams its rows as lines, and reads back lines
+    * in order — so `zip` (same partitioning, same per-partition counts,
+    * REQUIRES the command to emit exactly one line per input line) restores
+    * the pairing without any join key, exactly like the reference's
+    * index-zip. One process per partition, not per row: at 1000 executors
+    * that is 1000 long-lived subprocesses, each saturated by its partition.
+    *
+    * Tags must be newline-free (the reference has the same constraint — a
+    * newline inside a tag would desync its zip too).
+    *
+    * @return (tag, normalized) pairs, one per input row.
+    */
+  def normalizeViaPipe(
+      spark: SparkSession, tags: org.apache.spark.sql.DataFrame,
+      command: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val in = tags.select("tag").as[String].rdd
+    in.zip(in.pipe(command)).toDF("tag", "normalized")
+  }
 }

@@ -3,6 +3,8 @@ package graft.sources
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col}
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** JDBC source/sink edges for the production deployment (MariaDB in,
   * PostgreSQL out — reference src/index.mjs:11-12, SURVEY §2.1/§2.2).
@@ -41,6 +43,20 @@ object JdbcEdges {
   /** Small-table scan (dimensions; no partitioning needed). */
   def readSmallTable(spark: SparkSession, conn: Conn, table: String): DataFrame =
     spark.read.jdbc(conn.url, table, conn.props)
+
+  /** Sink adapter for engines without native array columns: every
+    * array<string> column becomes sep-joined text (the reference's
+    * tagSeparator round-trip, config.json:15 — MariaDB stored tags exactly
+    * this way). A PostgreSQL sink skips this: text[] is native there
+    * (column_sets.mjs:44-52). Null arrays stay null (array_join semantics).
+    */
+  def stringifyArrays(df: DataFrame, sep: String): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType.isInstanceOf[ArrayType] &&
+          f.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        d.withColumn(f.name, array_join(col(f.name), sep))
+      case (d, _) => d
+    }
 
   /** Batched append (K1). batchsize ≙ the reference's multi-row VALUES. */
   def writeAppend(df: DataFrame, conn: Conn, table: String, batchSize: Int = 10000): Unit =

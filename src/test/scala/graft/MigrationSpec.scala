@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.ops.{Migration, TagNormalize}
@@ -141,6 +142,25 @@ class MigrationSpec extends SparkSpec {
     }
     // sequence fixup on an empty table: max(id)+1 is null -> caller decides
     assert(Migration.nextSequenceValue(out("users")).collect().head.isNullAt(0))
+  }
+
+  test("e1 route 2: rdd.pipe normalization matches the UDF route positionally") {
+    // The external command here is `tr A-Z a-z` — a stand-in for the
+    // reference's Rust binary (src/normalize_tags.mjs:3-20): line in, line
+    // out, order-preserving. On pre-trimmed single-token ASCII tags the
+    // documented normalization reduces to lowercasing, so the two routes
+    // must agree EXACTLY — and the zip must hold across partitions.
+    val tags = (1 to 40).map(i => s"TaG$i")
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(tags, 4).toDF("tag")
+    val piped = TagNormalize.normalizeViaPipe(spark, df, Seq("tr", "A-Z", "a-z"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaUdf = df.select(col("tag"), TagNormalize.normalizeTag(col("tag")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(piped.size === 40)
+    assert(piped === viaUdf)
+    // the zip is positional, not content-based: every pair is (TaGi, tagi)
+    tags.foreach(t => assert(piped(t) === t.toLowerCase))
   }
 
   test("jdbc epilogue SQL builders (K2/K3/K4)") {

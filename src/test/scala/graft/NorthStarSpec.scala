@@ -140,6 +140,32 @@ class NorthStarSpec extends SparkSpec {
     assert(recall > 0.9, s"recall=$recall")
   }
 
+  test("lsh near-dup pairs: exact precision, high recall on clustered vectors") {
+    // Near-dup pairs = same-cluster pairs (members are tiny perturbations of
+    // a shared centroid, cos ≈ 1; cross-cluster cos is far below threshold).
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((c * 20 + m).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val planes = VectorOps.randomPlanes(4, dim, seed = 31)
+    val exact = VectorOps.cosineDupPairs(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineDupPairsLsh(df, planes, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // Precision is exact by construction: candidates still pass the true
+    // cosine predicate, so every LSH pair is a true pair.
+    assert((lsh -- exact).isEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall > 0.9, s"recall=$recall")
+  }
+
   test("approx distinct sketch stays within 10% of exact") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val r = li.agg(
