@@ -60,6 +60,37 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder — pure-JVM `javax.imageio` (PNG/BMP/GIF readers ship
+    * with the JDK, no native codecs needed). For image payloads ImageIO can
+    * parse, width/height are the decoded pixel dimensions; anything else
+    * falls back to [[StubDecoder]] so audio/video (whose codecs genuinely
+    * aren't in this container) keep the documented stub semantics.
+    */
+  object ImageIoDecoder extends Decoder {
+    def apply(m: MediaRecord): MediaFeatures =
+      if (m.kind != "image") StubDecoder(m)
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) StubDecoder(m)
+        else StubDecoder(m).copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
+      }
+  }
+
+  /** A real PNG payload with the given dimensions; pixel (0,0) carries
+    * `rgb` (24-bit). Runs executor-side per row — the write half of the
+    * codec round trip the mm4 oracle pins.
+    */
+  def synthesizePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Batched per-partition feature extraction. `batchSize` groups records so
     * a real decoder initializes once per batch (grouped() is lazy — no
     * partition-wide materialization).

@@ -31,7 +31,30 @@ object MediaQueries {
     // MM3: frame-offset sampling arithmetic + explode shape.
     "mm3_frame_offsets" -> ((s, d) =>
       Multimodal.sampleFrameOffsets(
-        Multimodal.mediaFromDocuments(Tables.documents(s, d)), 4))
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), 4)),
+
+    // MM4: REAL codec round trip — synthesize a PNG with closed-form dims
+    // per doc (executor-side ImageIO.write), decode it back through the
+    // Decoder seam (ImageIO.read), emit the decoded dimensions. The oracle
+    // knows only the arithmetic: the row hashes can match ONLY if a real
+    // PNG encoder and decoder both ran. Bounded to 200 docs — codec work is
+    // per-row CPU, and the check needs coverage, not volume.
+    "mm4_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "image", Multimodal.synthesizePng(
+            width = (id % 64 + 1).toInt, height = (id % 48 + 1).toInt,
+            rgb = ((id * 1000003L) % 16777216L).toInt))
+        }
+      Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+        .toDF()
+        .select(col("id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    })
   )
 
   private val kindExpr = "['image','audio','video'][(doc_id % 3 + 1)::INT]"
@@ -49,6 +72,12 @@ object MediaQueries {
       s"""SELECT doc_id AS id,
            (i * octet_length(encode(text))) // 4 AS frame_offset
          FROM documents, unnest([0, 1, 2, 3]) u(i)
-         WHERE $kindExpr = 'video'"""
+         WHERE $kindExpr = 'video'""",
+    "mm4_png_decode" ->
+      """SELECT doc_id AS id,
+           (doc_id % 64 + 1)::BIGINT AS width,
+           (doc_id % 48 + 1)::BIGINT AS height,
+           1::BIGINT AS n_frames
+         FROM documents WHERE doc_id < 200"""
   )
 }

@@ -190,4 +190,17 @@ class NorthStarSpec extends SparkSpec {
       .map(r => r.getLong(1))
     assert(frames.toSeq === Seq(0L, 2L, 4L, 6L)) // doc 2 is video, 8 bytes
   }
+
+  test("multimodal: real PNG codec round trip — dims AND pixel survive") {
+    val png = Multimodal.synthesizePng(width = 7, height = 3, rgb = 0xABCDEF)
+    // PNG magic proves a real container, not a fake byte blob
+    assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val feats = Multimodal.ImageIoDecoder(Multimodal.MediaRecord(1L, "image", png))
+    assert(feats.width === 7 && feats.height === 3 && feats.n_frames === 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert((img.getRGB(0, 0) & 0xFFFFFF) === 0xABCDEF)
+    // non-image payloads fall back to stub semantics
+    val junk = Multimodal.MediaRecord(2L, "image", "not a png".getBytes)
+    assert(Multimodal.ImageIoDecoder(junk) === Multimodal.StubDecoder(junk))
+  }
 }
