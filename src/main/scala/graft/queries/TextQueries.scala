@@ -50,6 +50,32 @@ object TextQueries {
         col("doc_id"),
         TextAnalysis.fingerprintBow(col("text")).as("fp"))),
 
+    // TX9: per-doc top-3 tf-idf terms — the relational tf-idf composition
+    // (term explode -> tf agg -> df agg -> broadcast N -> score window).
+    // Two shuffles (tf and df, both keyed) + a broadcast of the scalar doc
+    // count and the word->df side, the 100 TB shape for corpus-level term
+    // weighting. ln/× double math is engine-identical; ties broken by word.
+    "tx9_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), round(col("score"), 6).as("score"))
+    }),
+
     // ----- dedup -----
     // D1: exact dedup via hash-groupBy — one shuffle on the content hash.
     "d1_exact_dedup" -> ((s, d) =>
@@ -183,6 +209,25 @@ object TextQueries {
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
 
   val oracles: Map[String, String] = Map(
+    "tx9_tfidf_top_terms" ->
+      """WITH words AS (
+           SELECT doc_id, word
+           FROM documents,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) u(word)
+           WHERE word != ''),
+         tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+         dfreq AS (SELECT word, count(*)::BIGINT AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, word, tf * ln(n_docs::DOUBLE / df) AS score
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         SELECT doc_id, rank, word, score FROM (
+           SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank,
+             round(score, 6) AS score
+           FROM scored)
+         WHERE rank <= 3""",
     "tx1_token_counts" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws,
