@@ -135,26 +135,32 @@ object Dedup {
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
+    val labelType = labels.schema("label").dataType
+    var checkpointed: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label for each node: min over itself and neighbors' labels
+      // candidate label for each node: min over itself and neighbors' labels.
+      // The self rows also CARRY the previous label through the aggregate
+      // (each node contributes exactly one self row, so max(old) recovers
+      // it), which makes the convergence check a filter on the materialized
+      // frame instead of an extra old⋈new shuffle join per round.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("label"))
+        .select(col("src").as("node"), col("label").as("contrib"),
+          lit(null).cast(labelType).as("old"))
       // Checkpoint BEFORE the convergence check: it cuts the growing lineage
       // and means the join+aggregate runs once per round (the check then
       // reads the materialized frame, not the lineage a second time).
-      val next = labels.select(col("node"), col("label"))
+      val next = labels
+        .select(col("node"), col("label").as("contrib"), col("label").as("old"))
         .union(viaNeighbors)
-        .groupBy("node").agg(min(col("label")).as("label"))
+        .groupBy("node").agg(min(col("contrib")).as("label"), max(col("old")).as("old"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      if (iter > 0) labels.unpersist() // free the previous round's checkpoint
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).limit(1).count()
+      if (checkpointed != null) checkpointed.unpersist() // free the previous round
+      checkpointed = next
+      labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
     }

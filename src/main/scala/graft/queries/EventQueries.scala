@@ -70,7 +70,18 @@ object EventQueries {
     "st5_stateful_user_totals" -> ((s, d) =>
       EventStreams.runningUserTotals(Tables.events(s, d))
         .toDF()
-        .select(col("user_id"), col("n"), round(col("total"), 6).as("total")))
+        .select(col("user_id"), col("n"), round(col("total"), 6).as("total"))),
+
+    // SJ1: batch face of the STREAM-STREAM interval join (purchases ⋈
+    // same-user signups within the preceding hour). The streaming graph is
+    // identical code (watermarks are no-ops on batch); the double-sided
+    // state bound is exercised in StreamingSpec.
+    "sj1_stream_stream_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      EventStreams.purchasesWithRecentSignups(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "signup"))
+    })
   )
 
   // Common synthesized-comments CTE for the X1 oracle (mirrors synthComments).
@@ -133,6 +144,12 @@ object EventQueries {
       """SELECT p.event_id, p.user_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
-           ON p.user_id = s.user_id AND s.ts <= p.ts"""
+           ON p.user_id = s.user_id AND s.ts <= p.ts""",
+    "sj1_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id, s.value AS rate
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id
+          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR"""
   )
 }

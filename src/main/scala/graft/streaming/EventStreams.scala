@@ -117,6 +117,26 @@ object EventStreams {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** STREAM-STREAM interval join: each purchase pairs with the same user's
+    * signups from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so the state store holds at
+    * most (watermark + interval) of each side per key — the one streaming
+    * join shape that needs state on BOTH sides. Works identically on batch
+    * DataFrames (watermark is a no-op), which is what the sj1 oracle checks.
+    */
+  def purchasesWithRecentSignups(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+      col("ts").as("p_ts")).withWatermark("p_ts", "30 minutes")
+    val s = signups.select(col("event_id").as("s_id"),
+      col("user_id").as("s_user_id"), col("ts").as("s_ts"),
+      col("value").as("rate")).withWatermark("s_ts", "30 minutes")
+    p.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"), col("s_id"), col("rate"))
+  }
+
   /** Batch-sink bridge: run any batch writer (JdbcEdges.writeAppend, a
     * clustered parquet write, ...) per micro-batch via foreachBatch — how a
     * stream feeds the migration's sinks. The writer sees a normal batch

@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs rows arriving in different batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = EventStreams.purchasesWithRecentSignups(purchases.toDF(), signups.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // signup arrives FIRST, in its own micro-batch: it must be held in
+      // the join state until the matching purchase shows up.
+      signups.addData(Ev(10, ts("2024-01-01 10:00:00"), 1L, "signup", 0.25, "{}"))
+      q.processAllAvailable()
+      purchases.addData(
+        ev(1, "2024-01-01 10:30:00", "purchase"), // 30 min after -> joins
+        ev(2, "2024-01-01 11:30:00", "purchase")) // 90 min after -> outside interval
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set((1L, 10L, 0.25)))
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
