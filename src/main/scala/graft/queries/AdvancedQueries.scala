@@ -339,6 +339,40 @@ object AdvancedQueries {
           col("c_name"), col("n_big"), col("total_big"))
     }),
 
+    // Ranked-window family: ntile quartiles, percent_rank, cume_dist, and
+    // first_value — deterministic because the order key ends with the
+    // unique o_orderkey (ties would make percent_rank/cume_dist
+    // engine-ambiguous otherwise).
+    "w3_ranked_windows" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first(col("o_orderkey")).over(w).as("top_order"))
+    }),
+
+    // Statistical aggregates: correlation, sample covariance/stddev.
+    // Both engines stream co-moments; magnitudes here leave >= 6 orders of
+    // headroom between FP noise and the rounding decimals.
+    "stat1_corr_covar" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))),
+
+    // Regex transform + predicate: global replace (Spark replaces all
+    // matches; DuckDB needs the explicit 'g' flag) and an rlike filter.
+    "t9_regex_replace" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^(red|blue)\\b"))
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("masked"))),
+
     // Quantile sketch with the apx1-style tolerance contract: each engine
     // checks its own sketch against its own exact quantile, so the output
     // (exact value, within-5%) is engine-independent. Spark's GK sketch at
@@ -517,6 +551,23 @@ object AdvancedQueries {
                     FROM orders WHERE o_totalprice > 250000
                     GROUP BY o_custkey) o
            ON c.c_custkey = o.o_custkey""",
+    "w3_ranked_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS top_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "stat1_corr_covar" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev
+         FROM lineitem GROUP BY l_returnflag""",
+    "t9_regex_replace" ->
+      """SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked
+         FROM part WHERE regexp_matches(p_name, '^(red|blue)\b')""",
     "apx2_approx_quantile" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_p50,
