@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape invariants over the ENTIRE query registry — every
+  * SparkEntry.queries entry is planned (not executed) against the sf0.001
+  * fixtures and its physical plan is checked:
+  *
+  * Quadratic join shapes (CartesianProduct / BroadcastNestedLoopJoin) are
+  * forbidden except where a query is DOCUMENTED as a bounded brute-force
+  * oracle face (id-limited or broadcast-query-side, constant-size at any
+  * scale factor). A new query accidentally planning a cross-join — the
+  * classic 100 TB scale-killer — fails this suite instead of surfacing in
+  * a cluster bill.
+  */
+class RegistryPlanSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a nested-loop/cartesian shape,
+    * each with the reason it stays bounded.
+    */
+  private val boundedBruteForce: Map[String, String] = Map(
+    "v1_knn_bruteforce" -> "corpus x broadcast(20 query rows): one pass, no corpus shuffle",
+    "v5_knn_topk_agg" -> "same broadcast query side as v1, Aggregator reduction",
+    "v2_cosine_dup_pairs" -> "exact oracle face, id < 300 both sides (constant at any sf)",
+    "d4_ngram_jaccard" -> "Jaccard verify stage, doc_id < 60 both sides",
+    "ld1_levenshtein" -> "edit-distance verify stage, doc_id < 40 both sides",
+    "rj1_range_join" -> "12 interval rows broadcast against the grid equi-join residual",
+    "tx9_tfidf_top_terms" -> "cross join is a single broadcast scalar (corpus doc count)",
+    "apx2_approx_quantile" -> "percentile agg plans an exchange-fed single group, no join",
+    "mm3_frame_offsets" -> "no join: explode of a 4-element sequence",
+    "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
+      "IVF training cost — the SEARCH join is the cell equi-join"))
+
+  test("no registry query plans an unbounded cartesian or nested-loop join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      val quadratic = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (quadratic && !boundedBruteForce.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shape in: ${offenders.mkString(", ")} — either fix the plan " +
+        "or document the bound in boundedBruteForce")
+  }
+
+  test("the documented bounded faces still exist and still plan as declared") {
+    val sfDir = "/root/testdata/sf0.001"
+    boundedBruteForce.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"$name left the registry; prune the allowlist")
+    }
+    // the scale-path pair generators must be equi-joins, never quadratic
+    // (v4's candidate SEARCH is also a cell equi-join; its allowlisted BNLJ
+    // is only the O(n*k) centroid assignment)
+    Seq("v2b_cosine_dup_lsh", "v3_knn_lsh", "d3_lsh_candidate_pairs")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name (a scale path) planned a quadratic join")
+      }
+  }
+}
