@@ -86,6 +86,59 @@ object Dedup {
       .filter(col("a") < col("b"))
       .distinct()
 
+  /** SimHash band candidates — the simhash flavor of LSH dedup: split the
+    * 60-bit hash into 4 x 15-bit bands; docs agreeing on ANY band are
+    * candidates, then the exact Hamming distance verifies. By pigeonhole the
+    * composition is EXACT for hamming <= 3 (four bands can't all differ),
+    * so unlike MinHash banding there are no false negatives at that radius.
+    *
+    * One pass: (id, simhash) structs ride the bucket collect, so the
+    * verify stage reads the carried hashes — no join back to the signature
+    * table. Same bounded-bucket posture as candidatePairs.
+    */
+  def simhashCandidates(sigs: DataFrame, idCol: String, shCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bandVals = array((0 until 4).map(i =>
+      shiftright(col(shCol), i * 15).bitwiseAND(lit(0x7FFFL))): _*)
+    sigs.select(col(idCol), col(shCol), posexplode(bandVals).as(Seq("band", "bval")))
+      .groupBy("band", "bval")
+      .agg(collect_set(struct(col(idCol).as("id"), col(shCol).as("sh"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** LSH candidates WITH the MinHash Jaccard estimate: matching signature
+    * positions / signature length — the sketch-only verify stage (no raw
+    * text touched, exact multiples of 1/num so engine-exact). Signatures
+    * ride the bucket collect like [[simhashCandidates]].
+    */
+  def candidatePairsWithEstimate(sigs: DataFrame, idCol: String, sigCol: String,
+      rowsPerBand: Int = 2, numBands: Int = 4): DataFrame = {
+    val bands = transform(sequence(lit(0), lit(numBands - 1)),
+      i => concat_ws("|", slice(col(sigCol), i * rowsPerBand + lit(1), lit(rowsPerBand))))
+    sigs.select(col(idCol), col(sigCol), posexplode(bands).as(Seq("band", "h")))
+      .select(col(idCol), col(sigCol),
+        concat_ws(":", col("band"), col("h")).as("band_key"))
+      .groupBy("band_key")
+      .agg(collect_set(struct(col(idCol).as("id"), col(sigCol).as("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (aggregate(
+          zip_with(col("x.sig"), col("y.sig"), (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          size(col("x.sig")).cast("double")).as("est_j"))
+      .distinct()
+  }
+
   /** Set Jaccard of two shingle arrays (distinct semantics, like
     * array_intersect/union).
     */

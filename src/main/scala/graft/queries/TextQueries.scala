@@ -136,6 +136,24 @@ object TextQueries {
         .select(col("doc_id"), graft.functions.SimHash.simhash(col("w")).as("simhash"))
     }),
 
+    // D8: SimHash band candidates + exact Hamming verify — one pass, no
+    // signature rejoin; exact (no false negatives) for hamming <= 3.
+    "d8_simhash_candidates" -> ((s, d) => {
+      graft.functions.SimHash.register(s)
+      val sigs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash(split(col("text"), " ")).as("sh"))
+      Dedup.simhashCandidates(sigs, "doc_id", "sh", maxHamming = 3)
+    }),
+
+    // D9: LSH candidates with the signature-only Jaccard ESTIMATE (matching
+    // minima / 8) — the sketch verify stage that never rereads raw text.
+    "d9_minhash_jaccard_est" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      Dedup.candidatePairsWithEstimate(sigs, "doc_id", "sig")
+    }),
+
     // TX5: winnowing fingerprint — per 4-shingle window keep the minimum
     // k-gram hash; the distinct minima are the document's fingerprint set
     // (rolling-window selection over content hashes, as in MOSS winnowing).
@@ -208,7 +226,43 @@ object TextQueries {
   }
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
 
+  // Oracle mirror of the d5 simhash, as a reusable CTE body.
+  private val simhashCte =
+    """SELECT doc_id,
+         list_sum(list_transform(range(60), b ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS simhash
+       FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+             FROM documents)"""
+
   val oracles: Map[String, String] = Map(
+    "d8_simhash_candidates" ->
+      s"""WITH sh AS ($simhashCte),
+         bands AS (
+           SELECT doc_id, simhash, i, (simhash >> (15 * i::INT)) & 32767 AS bval
+           FROM sh, unnest(range(4)) u(i))
+         SELECT a, b, hamming FROM (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+           FROM bands l JOIN bands r ON l.i = r.i AND l.bval = r.bval
+           WHERE l.doc_id < r.doc_id)
+         WHERE hamming <= 3""",
+    "d9_minhash_jaccard_est" ->
+      s"""WITH t AS ($shingleCte),
+         sigs AS (
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, sig, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i))
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           list_sum(list_transform(range(8), i ->
+             CASE WHEN l.sig[i+1] = r.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / 8 AS est_j
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id""",
     "tx9_tfidf_top_terms" ->
       """WITH words AS (
            SELECT doc_id, word
