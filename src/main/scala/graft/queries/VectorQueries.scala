@@ -52,6 +52,12 @@ object VectorQueries {
     "v4_knn_ivf" -> ((s, d) =>
       VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5)),
 
+    // V6: int8 scalar-quantization audit — per-vector range + dequantization
+    // MSE (shuffle-free per-row math; the go/no-go check before storing
+    // embeddings at 1 byte/dim).
+    "v6_quantize_stats" -> ((s, d) =>
+      VectorOps.quantizeStats(corpus(s, d))),
+
     // V5: same brute-force top-5 as v1 but reduced by the bounded-heap TopK
     // Aggregator instead of a window — map-side partial combine keeps at
     // most k pairs per (query, partition), so the shuffle carries heaps,
@@ -119,6 +125,17 @@ object VectorQueries {
        WHERE rank <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "v6_quantize_stats" ->
+      s"""WITH e AS ($eCte)
+         SELECT vec_id AS n_id,
+           round(list_min(v), 6) AS q_min,
+           round(list_max(v), 6) AS q_max,
+           round(list_sum(list_transform(
+             list_transform(v, x ->
+               x - (list_min(v) + floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5)
+                      * ((list_max(v) - list_min(v)) / 255.0))),
+             y -> y * y)) / len(v), 12) AS mse
+         FROM e""",
     "v5_knn_topk_agg" -> knnOracle,
     "v1_knn_bruteforce" ->
       s"""WITH e AS ($eCte)

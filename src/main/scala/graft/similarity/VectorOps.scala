@@ -137,6 +137,28 @@ object VectorOps {
     // (q, n) pair joins at most once even with nProbe > 1
   }
 
+  /** Per-vector int8 scalar quantization: x -> floor((x-min)*255/(max-min)
+    * + 0.5) (explicit floor+0.5, not round(), so no engine rounding-mode
+    * ambiguity), plus the dequantization MSE — the compression audit a
+    * 100 TB embedding store runs before switching storage to 1 byte/dim.
+    * Pure per-row Column math: shuffle-free, codegen'd, 4x storage cut with
+    * measured reconstruction error.
+    */
+  def quantizeStats(vectors: DataFrame): DataFrame = {
+    val v = col("nv")
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = (hi - lo) / lit(255.0)
+    val dq = transform(v, x =>
+      lo + floor((x - lo) / scale + lit(0.5)) * scale)
+    val mse = aggregate(
+      zip_with(v, dq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e) / size(v)
+    vectors.select(col("n_id"),
+      round(lo, 6).as("q_min"), round(hi, 6).as("q_max"),
+      round(mse, 12).as("mse"))
+  }
+
   /** All pairs above a cosine threshold over LSH bucket candidates — the
     * scale path for embedding near-dup detection. Candidate generation is an
     * equi-join on the hyperplane bucket id (each vector lives in exactly one
