@@ -136,6 +136,24 @@ object TextQueries {
         .select(col("doc_id"), graft.functions.SimHash.simhash(col("w")).as("simhash"))
     }),
 
+    // CH1: overlapping document chunking — the LLM context-window prep step
+    // (chunk 40 words, stride 30, 10-word overlap). Pure per-row explode:
+    // shuffle-free, and the chunk count per doc is closed-form so both
+    // engines enumerate identical windows.
+    "ch1_doc_chunks" -> ((s, d) => {
+      val chunk = 40
+      val step = 30
+      val overlap = chunk - step
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val starts = sequence(
+        lit(0), greatest(size(col("w")) - overlap - 1, lit(0)), lit(step))
+      docs.select(col("doc_id"), col("w"), posexplode(starts).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          array_join(slice(col("w"), col("start") + 1, lit(chunk)), " ").as("chunk_text"),
+          least(size(col("w")) - col("start"), lit(chunk)).cast("bigint").as("n_words"))
+    }),
+
     // D8: SimHash band candidates + exact Hamming verify — one pass, no
     // signature rejoin; exact (no false negatives) for hamming <= 3.
     "d8_simhash_candidates" -> ((s, d) => {
@@ -239,6 +257,14 @@ object TextQueries {
              FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ch1_doc_chunks" ->
+      """SELECT doc_id, i AS chunk_idx,
+           array_to_string(w[s+1 : s+40], ' ') AS chunk_text,
+           least(len(w) - s, 40)::BIGINT AS n_words
+         FROM (
+           SELECT doc_id, w, u.i, (u.i * 30)::INT AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range((greatest(len(w) - 10 - 1, 0) // 30) + 1)) u(i))""",
     "d8_simhash_candidates" ->
       s"""WITH sh AS ($simhashCte),
          bands AS (
