@@ -90,6 +90,32 @@ object JdbcEdges {
     s"INSERT INTO $table ($cols) VALUES ($params) ON CONFLICT ($conflictKey) DO NOTHING"
   }
 
+  /** The sink column's declared DEFAULT, from JDBC metadata. The reference
+    * maps unparseable timestamps to a raw `DEFAULT` token so the COLUMN
+    * default applies (src/column_sets.mjs:5-8); multi-row JDBC batches
+    * can't emit per-row DEFAULT tokens, so the engine fetches the actual
+    * column default and injects it as the sentinel value — same semantics
+    * (the sink's own default lands in the row), decided engine-side.
+    * Returns the raw COLUMN_DEF with one layer of surrounding quotes
+    * stripped (Derby/Postgres report string defaults quoted).
+    */
+  def columnDefault(conn: Conn, table: String, column: String): Option[String] = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      def lookup(t: String, col: String): Option[String] = {
+        val rs = c.getMetaData.getColumns(null, null, t, col)
+        try if (rs.next()) Option(rs.getString("COLUMN_DEF")) else None
+        finally rs.close()
+      }
+      // identifier case-folding differs per engine (Derby upper, Postgres lower)
+      lookup(table, column).orElse(lookup(table.toUpperCase, column.toUpperCase))
+        .orElse(lookup(table.toLowerCase, column.toLowerCase))
+        .map(_.trim)
+        .map(d => if (d.length >= 2 && d.startsWith("'") && d.endsWith("'"))
+          d.substring(1, d.length - 1) else d)
+    } finally c.close()
+  }
+
   /** Execute epilogue statements over one connection (driver-side, tiny). */
   def runStatements(conn: Conn, statements: Seq[String]): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)

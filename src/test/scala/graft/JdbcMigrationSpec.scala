@@ -111,7 +111,8 @@ class JdbcMigrationSpec extends SparkSpec {
            id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1),
            username VARCHAR(64), password VARCHAR(64),
            created_at TIMESTAMP, updated_at TIMESTAMP, deleted_at TIMESTAMP,
-           banned TIMESTAMP, banreason VARCHAR(64), filters VARCHAR(256))""",
+           banned TIMESTAMP DEFAULT '1970-01-01 00:00:00',
+           banreason VARCHAR(64), filters VARCHAR(256))""",
       """CREATE TABLE videos (
            id BIGINT, file VARCHAR(64), created_at TIMESTAMP,
            updated_at TIMESTAMP, deleted_at TIMESTAMP, hash VARCHAR(64),
@@ -144,10 +145,16 @@ class JdbcMigrationSpec extends SparkSpec {
       "playlists" -> JdbcEdges.readSmallTable(spark, conn, "playlists"),
       "favorites" -> JdbcEdges.readSmallTable(spark, conn, "src_favorites"),
       "uploads" -> JdbcEdges.readSmallTable(spark, conn, "src_uploads"))
-    val out = Migration.migrate(src)
-    val sep = Migration.Config().tagSeparator
+    // The reference emits a raw DEFAULT token for unparseable timestamps so
+    // the sink column's default applies (column_sets.mjs:5-8). The engine
+    // honors the same contract by fetching the COLUMN'S OWN declared
+    // default from sink metadata and injecting it as the sentinel.
+    val sinkDefault = JdbcEdges.columnDefault(conn, "users", "banned")
+      .getOrElse(fail("users.banned declares a DEFAULT the metadata must expose"))
+    val cfg = Migration.Config(defaultTimestamp = sinkDefault)
+    val out = Migration.migrate(src, cfg)
     out.foreach { case (table, df) =>
-      JdbcEdges.writeAppend(JdbcEdges.stringifyArrays(df, sep), conn, table)
+      JdbcEdges.writeAppend(JdbcEdges.stringifyArrays(df, cfg.tagSeparator), conn, table)
     }
   }
 
