@@ -66,3 +66,44 @@ object CommentLinkProps extends Properties("commentLinks") {
           .forall(_.response_to.isEmpty)
     }
 }
+
+/** The a5 GroupConcatDistinct buffer is a hand-merged sorted-distinct Seq —
+  * merge-order invariance is exactly where a buffer/encoder bug would bite,
+  * so it gets algebraic properties: any partitioning of the inputs, reduced
+  * partition-wise then merged in any grouping order, must equal the direct
+  * sorted-distinct join.
+  */
+object GroupConcatProps extends Properties("groupConcatDistinct") {
+  import graft.functions.Aggregators.GroupConcatDistinct
+
+  private val agg = new GroupConcatDistinct(",", 100)
+
+  private def viaAgg(parts: List[List[String]]): String = {
+    val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+  }
+
+  private def reference(xs: List[String]): String = {
+    val full = xs.filter(_ != null).distinct.sorted.mkString(",")
+    if (full.length <= 100) full else full.substring(0, 100)
+  }
+
+  private val inputGen: Gen[List[List[String]]] =
+    Gen.listOf(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(null: String))))
+
+  property("partition-wise reduce+merge equals direct sorted distinct") =
+    forAll(inputGen) { parts => viaAgg(parts) == reference(parts.flatten) }
+
+  property("merge order irrelevant") = forAll(inputGen) { parts =>
+    val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+    val fwd = partials.foldLeft(agg.zero)(agg.merge)
+    val rev = partials.reverse.foldLeft(agg.zero)(agg.merge)
+    agg.finish(fwd) == agg.finish(rev)
+  }
+
+  property("buffer stays sorted and distinct") = forAll(inputGen) { parts =>
+    val b = parts.flatten.foldLeft(agg.zero)(agg.reduce)
+    b == b.distinct.sorted
+  }
+}
