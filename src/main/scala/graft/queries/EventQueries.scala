@@ -72,6 +72,37 @@ object EventQueries {
         .toDF()
         .select(col("user_id"), col("n"), round(col("total"), 6).as("total"))),
 
+    // EV1: funnel analysis — per user, how far through view -> click ->
+    // purchase IN ORDER. Staged min-timestamp chaining: each stage is a
+    // keyed aggregate over rows after the previous stage's timestamp, so
+    // the whole funnel is three filtered agg+joins on user_id (no
+    // per-user event arrays materialize; at 100 TB the stage frames are
+    // user-cardinality, not event-cardinality).
+    "ev1_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
+        val base = e.filter(col("event_type") === typ)
+          .select(col("user_id"), col("ts"))
+        val scoped = prev match {
+          case Some(p) => base.join(p, "user_id").filter(col("ts") > col(prevTs))
+          case None => base
+        }
+        scoped.groupBy("user_id").agg(min(col("ts")).as(out))
+      }
+      val v = stage("view", None, "", "t_view")
+      val c = stage("click", Some(v), "t_view", "t_click")
+      val p = stage("purchase", Some(c), "t_click", "t_purchase")
+      e.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("funnel_stage"))
+    }),
+
     // SJ1: batch face of the STREAM-STREAM interval join (purchases ⋈
     // same-user signups within the preceding hour). The streaming graph is
     // identical code (watermarks are no-ops on batch); the double-sided
@@ -145,6 +176,29 @@ object EventQueries {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND s.ts <= p.ts""",
+    "ev1_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY e.user_id)
+         SELECT u.user_id,
+           CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                WHEN v.t_view IS NOT NULL THEN 1
+                ELSE 0 END::BIGINT AS funnel_stage
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id""",
     "sj1_stream_stream_join" ->
       """SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
