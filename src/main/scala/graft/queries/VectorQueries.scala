@@ -132,8 +132,9 @@ object VectorQueries {
            round(list_max(v), 6) AS q_max,
            round(list_sum(list_transform(
              list_transform(v, x ->
-               x - (list_min(v) + floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5)
-                      * ((list_max(v) - list_min(v)) / 255.0))),
+               x - (CASE WHEN list_max(v) = list_min(v) THEN list_min(v)
+                    ELSE list_min(v) + floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5)
+                           * ((list_max(v) - list_min(v)) / 255.0) END)),
              y -> y * y)) / len(v), 12) AS mse
          FROM e""",
     "v5_knn_topk_agg" -> knnOracle,

@@ -149,8 +149,11 @@ object VectorOps {
     val lo = array_min(v)
     val hi = array_max(v)
     val scale = (hi - lo) / lit(255.0)
+    // constant vector -> scale 0 -> every value dequantizes to lo exactly
+    // (guards the 0/0 NaN a degenerate range would produce)
     val dq = transform(v, x =>
-      lo + floor((x - lo) / scale + lit(0.5)) * scale)
+      when(scale === 0.0, lo)
+        .otherwise(lo + floor((x - lo) / scale + lit(0.5)) * scale))
     val mse = aggregate(
       zip_with(v, dq, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, e) => acc + e) / size(v)

@@ -191,6 +191,23 @@ class NorthStarSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0L, 2L, 4L, 6L)) // doc 2 is video, 8 bytes
   }
 
+  test("quantize stats: tight error bound, constant vector degenerates cleanly") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array.tabulate(16)(i => (i * 0.37 - 3.0).toFloat)), // spread values
+      (1L, Array.fill(16)(2.5f)))                              // constant vector
+    val df = rows.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val out = VectorOps.quantizeStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // per-dim |error| <= scale/2 -> mse <= (range/255)^2 / 4
+    val range = 15 * 0.37
+    val bound = math.pow(range / 255.0, 2) / 4.0 + 1e-15
+    assert(out(0L).getDouble(3) >= 0.0 && out(0L).getDouble(3) <= bound)
+    assert(out(1L).getDouble(3) === 0.0) // constant vector: exact reconstruction
+    assert(out(1L).getDouble(1) === 2.5 && out(1L).getDouble(2) === 2.5)
+  }
+
   test("multimodal: real PNG codec round trip — dims AND pixel survive") {
     val png = Multimodal.synthesizePng(width = 7, height = 3, rgb = 0xABCDEF)
     // PNG magic proves a real container, not a fake byte blob
