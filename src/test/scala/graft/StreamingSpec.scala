@@ -161,6 +161,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful query resumes from its checkpoint after a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // memory sink can't recover from a checkpoint; foreachBatch can — and
+    // it is the engine's real sink bridge anyway
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def start() = EventStreams.sinkEachBatch(
+      EventStreams.runningUserTotals(mem.toDF()).toDF(),
+      (batch, _) => {
+        val rows = batch.collect().map(r => (r.getLong(1), r.getDouble(2)))
+        sunk.synchronized { sunk ++= rows }
+      })
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", v = 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the SAME checkpoint: per-user state must carry over,
+    // so the next batch emits the cumulative total, not a fresh one
+    val q2 = start()
+    try {
+      mem.addData(ev(2, "2024-01-01 10:01:00", v = 3.0))
+      q2.processAllAvailable()
+      val rows = sunk.synchronized(sunk.toList)
+      assert(rows.contains((2L, 5.0)), s"state lost across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
