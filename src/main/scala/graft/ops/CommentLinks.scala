@@ -43,15 +43,30 @@ object CommentLinks {
     i
   }
 
+  /** The per-group retained state: caret depth replaces the content string,
+    * so a video's replay holds a few dozen bytes per comment, not the
+    * comment bodies — the difference between "group size bounded by
+    * comments-per-video" and "bounded by total comment TEXT per video" at
+    * 100 TB.
+    */
+  private case class Marker(
+      id: Long, video_id: Long, created_at: Timestamp,
+      deleted_at: Option[Timestamp], k: Int)
+
+  private def toMarker(r: CommentRow): Marker =
+    Marker(r.id, r.video_id, r.created_at, r.deleted_at, caretCount(r.content))
+
   /** Link one video's comments, already sorted by id ascending. Faithful
     * transliteration of the reference's backward scan (src/index.mjs:64-78).
     */
   def linkGroup(rows: Array[CommentRow]): Iterator[LinkedComment] =
+    linkMarkers(rows.map(toMarker))
+
+  private def linkMarkers(rows: Array[Marker]): Iterator[LinkedComment] =
     rows.iterator.zipWithIndex.map { case (cur, i) =>
-      val k = caretCount(cur.content)
       var found: Option[Long] = None
-      if (k > 0) {
-        var need = k
+      if (cur.k > 0) {
+        var need = cur.k
         var j = i - 1
         while (j >= 0 && need > 0) {
           val prev = rows(j)
@@ -67,12 +82,15 @@ object CommentLinks {
       LinkedComment(cur.id, cur.video_id, found)
     }
 
-  /** Distributed form: shuffle by video, per-group in-memory ordered replay. */
+  /** Distributed form: shuffle by video, per-group in-memory ordered replay.
+    * The iterator is mapped to markers BEFORE materializing, so content
+    * strings are read once for the caret count and never retained.
+    */
   def link(ds: Dataset[CommentRow]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.video_id)
-      .flatMapGroups { (_, it) => linkGroup(it.toArray.sortBy(_.id)) }
+      .flatMapGroups { (_, it) => linkMarkers(it.map(toMarker).toArray.sortBy(_.id)) }
       .toDF()
   }
 
