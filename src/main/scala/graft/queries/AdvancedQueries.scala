@@ -354,6 +354,20 @@ object AdvancedQueries {
         first(col("o_orderkey")).over(w).as("top_order"))
     }),
 
+    // RANGE-framed window: per event, how many of the same user's events
+    // fall in the trailing 30 minutes — a VALUE-based frame (rangeBetween
+    // on event-time micros), not a row-count frame; the per-row face of
+    // the sliding aggregations st2 does per-window.
+    "w4_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-1800000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_30m"))
+    }),
+
     // Statistical aggregates: correlation, sample covariance/stddev.
     // Both engines stream co-moments; magnitudes here leave >= 6 orders of
     // headroom between FP noise and the rounding decimals.
@@ -559,6 +573,11 @@ object AdvancedQueries {
            first_value(o_orderkey) OVER w AS top_order
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "w4_range_frame" ->
+      """SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)::BIGINT AS n_last_30m
+         FROM events""",
     "stat1_corr_covar" ->
       """SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
