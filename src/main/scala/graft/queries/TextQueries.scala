@@ -223,6 +223,44 @@ object TextQueries {
         .filter(col("rank") <= 3)
     }),
 
+    // TX10: corpus-statistics quality score — each doc's mean log-likelihood
+    // of its bigrams under the whole-corpus bigram distribution (fluency
+    // scoring with corpus stats, the n-gram-LM flavor of quality filtering).
+    // Shape: per-doc bigrams ⋈ the vocab-sized profile (broadcastable at
+    // scale) ⋈ one scalar total; log/÷ double math is engine-identical and
+    // the per-doc mean is rounded well above FP summation noise.
+    "tx10_bigram_loglik" -> ((s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(Dedup.shingles(col("words"), 2)).as("bigram"))
+      val profile = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      val total = profile.agg(sum(col("n")).as("total"))
+      bigrams.join(broadcast(profile), "bigram")
+        .crossJoin(broadcast(total))
+        .withColumn("ll", log(col("n").cast("double") / col("total").cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 6).as("avg_ll"))
+    }),
+
+    // D10: best-member survivor policy — instead of d7's min-id rule, each
+    // dedup cluster keeps its LONGEST document (quality-aware survivorship),
+    // tie-broken by id. One window over the cluster assignment.
+    "d10_dedup_best_survivor" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      val clusters = Dedup.connectedComponents(pairs)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val labeled = docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+    }),
+
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
     // digest — the schema/partitioning pattern for image/audio blobs.
@@ -289,6 +327,46 @@ object TextQueries {
              CASE WHEN l.sig[i+1] = r.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / 8 AS est_j
          FROM bands l JOIN bands r USING (band_key)
          WHERE l.doc_id < r.doc_id""",
+    "tx10_bigram_loglik" ->
+      s"""WITH bigrams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           WHERE len(w) >= 2),
+         profile AS (SELECT bigram, count(*)::BIGINT AS n FROM bigrams GROUP BY bigram),
+         tot AS (SELECT sum(n)::BIGINT AS total FROM profile)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(n::DOUBLE / total::DOUBLE)), 6) AS avg_ll
+         FROM bigrams JOIN profile USING (bigram) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "d10_dedup_best_survivor" ->
+      s"""WITH RECURSIVE t AS ($shingleCte),
+         sigs AS (
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(n, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         labeled AS (
+           SELECT d.doc_id, d.n_chars, coalesce(l.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         SELECT doc_id, cluster, n_chars FROM (
+           SELECT doc_id, cluster, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id ASC) AS r
+           FROM labeled)
+         WHERE r = 1""",
     "tx9_tfidf_top_terms" ->
       """WITH words AS (
            SELECT doc_id, word

@@ -24,6 +24,7 @@ class RegistryPlanSpec extends SparkSpec {
     "ld1_levenshtein" -> "edit-distance verify stage, doc_id < 40 both sides",
     "rj1_range_join" -> "12 interval rows broadcast against the grid equi-join residual",
     "tx9_tfidf_top_terms" -> "cross join is a single broadcast scalar (corpus doc count)",
+    "tx10_bigram_loglik" -> "cross join is a single broadcast scalar (corpus bigram total)",
     "apx2_approx_quantile" -> "percentile agg plans an exchange-fed single group, no join",
     "mm3_frame_offsets" -> "no join: explode of a 4-element sequence",
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
