@@ -68,7 +68,7 @@ object VectorOps {
   /** Bucket id from hyperplane sign bits. */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -120,7 +120,7 @@ object VectorOps {
         .orderBy(col("csim").desc, col("cell").asc)
       scored.withColumn("r", row_number().over(w))
         .filter(col("r") <= rankLimit)
-        .select(keep :+ col("cell").as(out): _*)
+        .select(keep.toIndexedSeq :+ col("cell").as(out): _*)
     }
     val corpusCells = assign(withN, "n_id", "nv", "nn", 1, "cell")
     val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
