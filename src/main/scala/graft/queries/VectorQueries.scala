@@ -52,6 +52,13 @@ object VectorQueries {
     "v4_knn_ivf" -> ((s, d) =>
       VectorOps.ivfTopK(corpus(s, d), nCells = 16, nProbe = 4, k = 5)),
 
+    // V4b: IVF with a TRAINED quantizer — one deterministic Lloyd refinement
+    // of the first-16 seed (per-cell mean centroids, rounded 6dp so the SQL
+    // replay is exact), then the same 4-probe search. Full closed-form
+    // oracle like v4.
+    "v4b_knn_ivf_refined" -> ((s, d) =>
+      VectorOps.ivfTopKRefined(corpus(s, d), nCells = 16, nProbe = 4, k = 5)),
+
     // V6: int8 scalar-quantization audit — per-vector range + dequantization
     // MSE (shuffle-free per-row math; the go/no-go check before storing
     // embeddings at 1 byte/dim).
@@ -166,6 +173,42 @@ object VectorQueries {
                                 ORDER BY $pairCos DESC, n.vec_id) AS rank,
              round($pairCos, 6) AS cos
            FROM bk q JOIN bk n ON q.bucket = n.bucket AND n.vec_id != q.vec_id)
+         WHERE rank <= 5""",
+    "v4b_knn_ivf_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+         seeds AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
+                   FROM e ORDER BY vec_id LIMIT 16),
+         sscore AS (
+           SELECT e.vec_id, e.v, e.nrm, seeds.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, seeds.cv) / (e.nrm * seeds.cn) DESC,
+                        seeds.cell) AS r
+           FROM e CROSS JOIN seeds),
+         sassign AS (SELECT vec_id, v, nrm, cell FROM sscore WHERE r = 1),
+         dims AS (
+           SELECT cell, i, round(avg(v[i+1]), 6) AS m
+           FROM sassign, unnest(range(64)) u(i)
+           GROUP BY cell, i),
+         refined AS (
+           SELECT cell, list(m ORDER BY i) AS cv,
+             sqrt(list_inner_product(list(m ORDER BY i), list(m ORDER BY i))) AS cn
+           FROM dims GROUP BY cell),
+         cscore AS (
+           SELECT e.vec_id, e.v, e.nrm, refined.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, refined.cv) / (e.nrm * refined.cn) DESC,
+                        refined.cell) AS r
+           FROM e CROSS JOIN refined),
+         ccell AS (SELECT vec_id, v, nrm, cell FROM cscore WHERE r <= 1),
+         qcell AS (SELECT vec_id, v, nrm, cell FROM cscore WHERE r <= 4)
+         SELECT q_id, rank, n_id, cos FROM (
+           SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY $pairCos DESC, n.vec_id) AS rank,
+             round($pairCos, 6) AS cos
+           FROM qcell q JOIN ccell n ON q.cell = n.cell AND n.vec_id != q.vec_id)
          WHERE rank <= 5""",
     "v4_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

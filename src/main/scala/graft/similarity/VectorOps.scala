@@ -137,6 +137,56 @@ object VectorOps {
     // (q, n) pair joins at most once even with nProbe > 1
   }
 
+  /** IVF with a TRAINED coarse quantizer: one deterministic Lloyd iteration
+    * over the first-N seed (assign every vector to its nearest seed, recompute
+    * each cell's centroid as the element-wise mean), then the same
+    * probe-and-search as [[ivfTopK]]. Refined centroids are rounded to 6
+    * decimals — the mean is the only order-sensitive float reduction in the
+    * pipeline, and rounding it makes the whole query engine-exact while
+    * moving centroids by < 1e-6 (irrelevant to cell geometry).
+    *
+    * Scale shape: training adds one corpus ⋈ broadcast(seeds) pass and a
+    * (cell, dim)-keyed aggregation — both the standard distributed-k-means
+    * step; everything downstream stays the bucketed equi-join.
+    */
+  def ivfTopKRefined(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val seeds = withN.orderBy(col("n_id")).limit(nCells)
+      .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
+    def assignTo(cents: DataFrame, df: DataFrame, idCol: String, vec: String,
+        norm: String, rankLimit: Int) = {
+      val keep = df.columns.map(col)
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineWithNorms(col(vec), col("cv"), col(norm), col("cn")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= rankLimit)
+        .select(keep.toIndexedSeq :+ col("cell"): _*)
+    }
+    // train: 1 Lloyd step — per-(cell, dim) mean over the seed assignment
+    val seedAssigned = assignTo(seeds, withN, "n_id", "nv", "nn", 1)
+    val refined = seedAssigned
+      .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), _.getField("m")).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    // search: same probe shape as ivfTopK, against the trained centroids
+    val corpusCells = assignTo(refined, withN, "n_id", "nv", "nn", 1)
+    val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val queryCells = assignTo(refined, q, "q_id", "qv", "qn", nProbe)
+    val joined = queryCells.join(corpusCells, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Per-vector int8 scalar quantization: x -> floor((x-min)*255/(max-min)
     * + 0.5) (explicit floor+0.5, not round(), so no engine rounding-mode
     * ambiguity), plus the dequantization MSE — the compression audit a

@@ -138,6 +138,12 @@ class NorthStarSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall > 0.9, s"recall=$recall")
+    // the Lloyd-refined quantizer must not lose recall vs the raw seed
+    val refined = VectorOps.ivfTopKRefined(df, nCells = 16, nProbe = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refinedRecall = (bf intersect refined).size.toDouble / bf.size
+    assert(refinedRecall >= recall - 1e-9, s"refined=$refinedRecall vs seed=$recall")
+    assert(refinedRecall > 0.9, s"refinedRecall=$refinedRecall")
   }
 
   test("lsh near-dup pairs: exact precision, high recall on clustered vectors") {

@@ -28,7 +28,9 @@ class RegistryPlanSpec extends SparkSpec {
     "apx2_approx_quantile" -> "percentile agg plans an exchange-fed single group, no join",
     "mm3_frame_offsets" -> "no join: explode of a 4-element sequence",
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
-      "IVF training cost — the SEARCH join is the cell equi-join"))
+      "IVF training cost — the SEARCH join is the cell equi-join"),
+    "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
+      "run per Lloyd pass — search stays the cell equi-join"))
 
   test("no registry query plans an unbounded cartesian or nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
