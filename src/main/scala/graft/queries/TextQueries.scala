@@ -226,17 +226,20 @@ object TextQueries {
     // TX10: corpus-statistics quality score — each doc's mean log-likelihood
     // of its bigrams under the whole-corpus bigram distribution (fluency
     // scoring with corpus stats, the n-gram-LM flavor of quality filtering).
-    // Shape: per-doc bigrams ⋈ the vocab-sized profile (broadcastable at
-    // scale) ⋈ one scalar total; log/÷ double math is engine-identical and
-    // the per-doc mean is rounded well above FP summation noise.
+    // Shape: per-doc bigrams ⋈ the profile on bigram, ⋈ one broadcast
+    // scalar total. The profile join is deliberately UNHINTED: natural
+    // corpora have bounded vocab (AQE broadcasts it), but synthetic/random
+    // text makes the profile corpus-sized — forcing a broadcast there
+    // measured 2x slower than the shuffled join AQE picks.
     "tx10_bigram_loglik" -> ((s, d) => {
       val bigrams = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(Dedup.shingles(col("words"), 2)).as("bigram"))
       val profile = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
       val total = profile.agg(sum(col("n")).as("total"))
-      bigrams.join(broadcast(profile), "bigram")
+      bigrams.join(profile, "bigram")
         .crossJoin(broadcast(total))
         .withColumn("ll", log(col("n").cast("double") / col("total").cast("double")))
         .groupBy("doc_id")
