@@ -112,6 +112,17 @@ object EventQueries {
       EventStreams.purchasesWithRecentSignups(
         e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "signup"))
+    }),
+
+    // SJ2: the LEFT OUTER stream-stream form — purchases with no in-interval
+    // signup survive null-padded (in streaming, emitted once the watermark
+    // proves no match can arrive; StreamingSpec drives that path).
+    "sj2_stream_stream_left" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      EventStreams.purchasesWithRecentSignups(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "signup"),
+        joinType = "left_outer")
     })
   )
 
@@ -203,6 +214,12 @@ object EventQueries {
       """SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id
+          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR""",
+    "sj2_stream_stream_left" ->
+      """SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id, s.value AS rate
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id
           AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR"""
   )

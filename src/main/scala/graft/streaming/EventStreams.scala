@@ -124,7 +124,13 @@ object EventStreams {
     * join shape that needs state on BOTH sides. Works identically on batch
     * DataFrames (watermark is a no-op), which is what the sj1 oracle checks.
     */
-  def purchasesWithRecentSignups(purchases: DataFrame, signups: DataFrame): DataFrame = {
+  /** `joinType` "inner" (sj1) or "left_outer" (sj2): the outer form emits a
+    * null-padded purchase once the watermark proves no in-interval signup
+    * can still arrive — streaming-correct "no match" detection.
+    */
+  def purchasesWithRecentSignups(
+      purchases: DataFrame, signups: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
       col("ts").as("p_ts")).withWatermark("p_ts", "30 minutes")
     val s = signups.select(col("event_id").as("s_id"),
@@ -133,7 +139,8 @@ object EventStreams {
     p.join(s,
       col("user_id") === col("s_user_id") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_id"), col("user_id"), col("s_id"), col("rate"))
   }
 

@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits the null-padded row only after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = EventStreams.purchasesWithRecentSignups(
+        purchases.toDF(), signups.toDF(), joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out").start()
+    try {
+      // a purchase with NO matching signup
+      purchases.addData(ev(1, "2024-01-01 10:30:00", "purchase"))
+      signups.addData(Ev(10, ts("2024-01-01 09:00:00"), 99L, "signup", 0.1, "{}"))
+      q.processAllAvailable()
+      // not emitted yet: a matching signup could still arrive
+      assert(spark.table("ssj_outer_out").isEmpty)
+
+      // advance BOTH watermarks far past purchase-time + interval
+      purchases.addData(ev(2, "2024-01-01 14:00:00", "purchase"))
+      signups.addData(Ev(11, ts("2024-01-01 14:00:00"), 99L, "signup", 0.2, "{}"))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more batch so the state-eviction pass runs
+      val rows = spark.table("ssj_outer_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)))).toSet
+      assert(rows.contains((1L, None)), s"unmatched purchase not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("stateful query resumes from its checkpoint after a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
