@@ -11,9 +11,13 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.foreach { name =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
-      println(f"BENCHONE $name ${(System.nanoTime() - t0) / 1e9}%.2f")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = run(); System.gc(); val warm = run()
+      println(f"BENCHONE $name cold=$cold%.2f warm=$warm%.2f")
     }
     spark.stop()
   }

@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Timing honesty:
   *   - a warmup action first, so the first measured query doesn't absorb
   *     JVM/codegen/session init;
+  *   - each query runs TWICE: the first (cold) run is reported separately
+  *     and absorbs first-touch table I/O, codegen, and broadcast build; the
+  *     measured number is the second (warm) run after a System.gc(), so
+  *     round-over-round deltas in `queries` reflect plan changes, not which
+  *     query alphabetically sorts first onto an untouched table (the round-2
+  *     numbers swung 4x on exactly that);
   *   - queries are materialized via the physical plan's RDD (count of
   *     UnsafeRows) — `df.count()` would let Catalyst elide per-row
   *     projections entirely and report fake-fast numbers for map-only
@@ -35,7 +41,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -44,14 +50,23 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (cold, okCold) = timed(name, fn)
+      if (okCold) System.gc()
+      val (warm, ok) = if (okCold) timed(name, fn) else (cold, false)
+      (name, warm, cold, ok)
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val colds = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,19 +106,27 @@ object AdvancedQueries {
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
     // TPC-H Q7 shape: bilateral shipping volume between two nations by year
-    // (supplier nation -> customer nation, either direction).
+    // (supplier nation -> customer nation, either direction). Join order is
+    // the q5 treatment: supplier and customer each meet their NATION-FILTERED
+    // dimension first (2/|nations| survive), so only bilateral-eligible rows
+    // enter the lineitem⋈orders fact chain; the cross-pair disjunction stays
+    // as a residual to drop same-nation pairs.
     "q7_nation_volume" -> ((s, d) => {
-      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val nations = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val n1 = nations.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nations.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       val su = Tables.supplier(s, d)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
       val c = Tables.customer(s, d)
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
       val o = Tables.orders(s, d)
-      val l = Tables.lineitem(s, d)
-      l.join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(n1, col("s_nationkey") === col("s_nk"))
-        .join(n2, col("c_nationkey") === col("c_nk"))
+      Tables.lineitem(s, d)
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === col("c_custkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
