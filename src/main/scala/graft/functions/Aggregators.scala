@@ -58,63 +58,74 @@ object Aggregators {
     * implementation-defined and semantically irrelevant — the string is
     * immediately re-split, src/index.mjs:43).
     *
-    * Buffer = a SORTED, DISTINCT Seq[String] under the product/array
-    * encoder: partials cross the shuffle as a plain Catalyst string array
-    * (earlier revisions used a TreeSet, which kryo cannot decode in Spark
-    * 4.1 and Java serialization ships with ObjectOutputStream overhead per
-    * partial). Dedup happens map-side on every insert, so a partial never
-    * exceeds the group's distinct-value count.
+    * Buffer = Seq[String] under the product/array encoder: partials cross
+    * the shuffle as a plain Catalyst string array (earlier revisions used a
+    * TreeSet, which kryo cannot decode in Spark 4.1 and Java serialization
+    * ships with ObjectOutputStream overhead per partial). In memory the
+    * buffer is a mutable ArrayBuffer appended in O(1) per row (round 2's
+    * per-insert sorted-Vector rebuild was O(n) copying — ADVICE r2) and
+    * periodically COMPACTED: sort + dedup + cap at the `maxLen + 2` smallest
+    * distinct elements. The cap is lossless: output is the first `maxLen`
+    * CHARS of the ascending-sorted distinct concat, every element past the
+    * first contributes at least one char (dedup leaves at most one ""), so
+    * elements beyond the maxLen+2 smallest can never reach the output — and
+    * any globally-smallest element is also locally smallest in every partial
+    * that holds it, so per-partial capping loses nothing. Buffers and
+    * shuffled partials are therefore O(maxLen), independent of group size
+    * AND of distinct-value cardinality.
     */
   class GroupConcatDistinct(sep: String, maxLen: Int)
-      extends Aggregator[String, Seq[String], String] {
+      extends Aggregator[String, collection.Seq[String], String] {
 
-    override def zero: Seq[String] = Vector.empty
+    private val keep = maxLen + 2
+    // Post-compaction size (<= keep) sits well under the threshold, so
+    // appends between compactions stay amortized O(1).
+    private val compactAt = 2 * keep + 1024
 
-    /** Binary-search insertion index of `a` in sorted `b` (lower bound). */
-    private def lowerBound(b: Seq[String], a: String): Int = {
-      var lo = 0
-      var hi = b.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (b(mid).compareTo(a) < 0) lo = mid + 1 else hi = mid
+    override def zero: collection.Seq[String] = mutable.ArrayBuffer.empty[String]
+
+    /** Sort + dedup + cap at `keep`: the canonical partial form. Inputs may
+      * be unsorted with duplicates (appended since the last compaction, or a
+      * concatenation of two partials in merge).
+      */
+    private def compact(b: collection.Seq[String]): mutable.ArrayBuffer[String] = {
+      val arr = b.toArray
+      java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+      val out = new mutable.ArrayBuffer[String](math.min(arr.length, keep))
+      var i = 0
+      while (i < arr.length && out.length < keep) {
+        if (out.isEmpty || out(out.length - 1) != arr(i)) out += arr(i)
+        i += 1
       }
-      lo
+      out
     }
 
-    override def reduce(b: Seq[String], a: String): Seq[String] =
+    override def reduce(b: collection.Seq[String], a: String): collection.Seq[String] =
       if (a == null) b
       else {
-        val i = lowerBound(b, a)
-        if (i < b.length && b(i) == a) b
-        else (b.take(i) :+ a) ++ b.drop(i)
+        val buf = b match {
+          case ab: mutable.ArrayBuffer[String @unchecked] => ab
+          case other => mutable.ArrayBuffer.from(other) // post-shuffle decode
+        }
+        buf += a
+        if (buf.length >= compactAt) compact(buf) else buf
       }
 
-    /** Classic sorted-distinct two-pointer merge. */
-    override def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+    /** Partials may arrive uncompacted (the encoder ships whatever state the
+      * map side last held), so merge re-canonicalizes the concatenation.
+      */
+    override def merge(x: collection.Seq[String], y: collection.Seq[String]): collection.Seq[String] =
       if (x.isEmpty) y
       else if (y.isEmpty) x
-      else {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        var j = 0
-        while (i < x.length && j < y.length) {
-          val c = x(i).compareTo(y(j))
-          if (c < 0) { out += x(i); i += 1 }
-          else if (c > 0) { out += y(j); j += 1 }
-          else { out += x(i); i += 1; j += 1 }
-        }
-        while (i < x.length) { out += x(i); i += 1 }
-        while (j < y.length) { out += y(j); j += 1 }
-        out.result()
-      }
+      else compact(x ++ y)
 
-    override def finish(b: Seq[String]): String = {
-      val full = b.mkString(sep)
+    override def finish(b: collection.Seq[String]): String = {
+      val full = compact(b).mkString(sep)
       if (full.length <= maxLen) full else full.substring(0, maxLen)
     }
 
-    override def bufferEncoder: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    override def bufferEncoder: Encoder[collection.Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[collection.Seq[String]]()
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 }

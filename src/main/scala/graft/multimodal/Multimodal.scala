@@ -70,9 +70,12 @@ object Multimodal {
     def apply(m: MediaRecord): MediaFeatures =
       if (m.kind != "image") StubDecoder(m)
       else {
+        // NonFatal, not just IOException: corrupt headers can surface as
+        // IndexOutOfBounds/NegativeArraySize from the format readers, and a
+        // bad blob must degrade to the stub, not kill the task.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) StubDecoder(m)
         else StubDecoder(m).copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
       }

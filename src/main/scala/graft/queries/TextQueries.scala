@@ -326,8 +326,8 @@ object TextQueries {
            SELECT doc_id, sig, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
            FROM sigs, unnest(range(0, 4)) u(i))
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-           list_sum(list_transform(range(8), i ->
-             CASE WHEN l.sig[i+1] = r.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / 8 AS est_j
+           list_sum(list_transform(range(${sigEntriesSql.length}), i ->
+             CASE WHEN l.sig[i+1] = r.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / ${sigEntriesSql.length} AS est_j
          FROM bands l JOIN bands r USING (band_key)
          WHERE l.doc_id < r.doc_id""",
     "tx10_bigram_loglik" ->

@@ -189,7 +189,7 @@ object VectorQueries {
          sassign AS (SELECT vec_id, v, nrm, cell FROM sscore WHERE r = 1),
          dims AS (
            SELECT cell, i, round(avg(v[i+1]), 6) AS m
-           FROM sassign, unnest(range(64)) u(i)
+           FROM sassign, unnest(range(len(v))) u(i)
            GROUP BY cell, i),
          refined AS (
            SELECT cell, list(m ORDER BY i) AS cv,

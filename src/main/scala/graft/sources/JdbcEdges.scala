@@ -90,14 +90,38 @@ object JdbcEdges {
     s"INSERT INTO $table ($cols) VALUES ($params) ON CONFLICT ($conflictKey) DO NOTHING"
   }
 
+  /** Normalize a raw COLUMN_DEF into the literal it wraps: drops a trailing
+    * Postgres cast suffix (`'1970-01-01 00:00:00'::timestamp without time
+    * zone` — the pg JDBC driver reports the cast as part of the default),
+    * then one layer of surrounding quotes (Derby/Postgres report string
+    * defaults quoted). Function-style defaults (`CURRENT_TIMESTAMP`,
+    * `nextval('users_id_seq'::regclass)`) pass through unchanged — their
+    * casts are inside the call, not trailing — so callers can detect
+    * non-literals by parse failure.
+    */
+  private[graft] def defaultLiteral(raw: String): String = {
+    val noCast = raw.trim.replaceFirst("::[A-Za-z_][A-Za-z_ ]*(\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\))?$", "")
+    if (noCast.length >= 2 && noCast.startsWith("'") && noCast.endsWith("'"))
+      noCast.substring(1, noCast.length - 1)
+    else noCast
+  }
+
+  /** True iff `s` is a timestamp/date literal the sentinel cast can inject
+    * losslessly (`yyyy-[m]m-[d]d[ hh:mm:ss[.f...]]`).
+    */
+  private[graft] def isTimestampLiteral(s: String): Boolean =
+    try { java.sql.Timestamp.valueOf(s); true }
+    catch { case _: IllegalArgumentException =>
+      try { java.sql.Date.valueOf(s); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+
   /** The sink column's declared DEFAULT, from JDBC metadata. The reference
     * maps unparseable timestamps to a raw `DEFAULT` token so the COLUMN
     * default applies (src/column_sets.mjs:5-8); multi-row JDBC batches
     * can't emit per-row DEFAULT tokens, so the engine fetches the actual
     * column default and injects it as the sentinel value — same semantics
     * (the sink's own default lands in the row), decided engine-side.
-    * Returns the raw COLUMN_DEF with one layer of surrounding quotes
-    * stripped (Derby/Postgres report string defaults quoted).
     */
   def columnDefault(conn: Conn, table: String, column: String): Option[String] = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
@@ -110,11 +134,25 @@ object JdbcEdges {
       // identifier case-folding differs per engine (Derby upper, Postgres lower)
       lookup(table, column).orElse(lookup(table.toUpperCase, column.toUpperCase))
         .orElse(lookup(table.toLowerCase, column.toLowerCase))
-        .map(_.trim)
-        .map(d => if (d.length >= 2 && d.startsWith("'") && d.endsWith("'"))
-          d.substring(1, d.length - 1) else d)
+        .map(defaultLiteral)
     } finally c.close()
   }
+
+  /** [[columnDefault]] validated for the T3 sentinel: the fetched default
+    * must be a timestamp LITERAL (a non-literal like CURRENT_TIMESTAMP can't
+    * be injected as a constant without diverging from the reference's
+    * DEFAULT-token semantics). Falls back to `fallback` when the column
+    * declares no default or a non-literal one; with no fallback, fails fast
+    * instead of letting `cast("timestamp")` silently NULL every sentinel row.
+    */
+  def timestampColumnDefault(
+      conn: Conn, table: String, column: String,
+      fallback: Option[String] = None): String =
+    columnDefault(conn, table, column).filter(isTimestampLiteral)
+      .orElse(fallback)
+      .getOrElse(throw new IllegalStateException(
+        s"$table.$column declares no timestamp-literal DEFAULT " +
+          s"(got ${columnDefault(conn, table, column)}) and no fallback was configured"))
 
   /** Execute epilogue statements over one connection (driver-side, tiny). */
   def runStatements(conn: Conn, statements: Seq[String]): Unit = {

@@ -149,8 +149,7 @@ class JdbcMigrationSpec extends SparkSpec {
     // the sink column's default applies (column_sets.mjs:5-8). The engine
     // honors the same contract by fetching the COLUMN'S OWN declared
     // default from sink metadata and injecting it as the sentinel.
-    val sinkDefault = JdbcEdges.columnDefault(conn, "users", "banned")
-      .getOrElse(fail("users.banned declares a DEFAULT the metadata must expose"))
+    val sinkDefault = JdbcEdges.timestampColumnDefault(conn, "users", "banned")
     val cfg = Migration.Config(defaultTimestamp = sinkDefault)
     val out = Migration.migrate(src, cfg)
     out.foreach { case (table, df) =>

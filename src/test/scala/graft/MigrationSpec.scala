@@ -170,4 +170,24 @@ class MigrationSpec extends SparkSpec {
     assert(JdbcEdges.insertOnConflictSql("tags", Seq("normalized", "tag"), "tag") ===
       "INSERT INTO tags (normalized, tag) VALUES (?, ?) ON CONFLICT (tag) DO NOTHING")
   }
+
+  test("column-default literal parsing handles per-engine COLUMN_DEF shapes") {
+    // Derby: quoted literal, no cast.
+    assert(JdbcEdges.defaultLiteral("'1970-01-01 00:00:00'") === "1970-01-01 00:00:00")
+    // Postgres: the JDBC driver reports the cast as part of the default.
+    assert(JdbcEdges.defaultLiteral("'1970-01-01 00:00:00'::timestamp without time zone") ===
+      "1970-01-01 00:00:00")
+    assert(JdbcEdges.defaultLiteral("'x'::character varying(255)") === "x")
+    // Function defaults pass through un-stripped (their casts are inside the
+    // call) so the literal check below rejects them.
+    assert(JdbcEdges.defaultLiteral("nextval('users_id_seq'::regclass)") ===
+      "nextval('users_id_seq'::regclass)")
+    assert(JdbcEdges.defaultLiteral("CURRENT_TIMESTAMP") === "CURRENT_TIMESTAMP")
+
+    assert(JdbcEdges.isTimestampLiteral("1970-01-01 00:00:00"))
+    assert(JdbcEdges.isTimestampLiteral("2021-05-01 12:00:00.123"))
+    assert(JdbcEdges.isTimestampLiteral("1970-01-01"))
+    assert(!JdbcEdges.isTimestampLiteral("CURRENT_TIMESTAMP"))
+    assert(!JdbcEdges.isTimestampLiteral("nextval('users_id_seq'::regclass)"))
+  }
 }

@@ -22,11 +22,8 @@ class RegistryPlanSpec extends SparkSpec {
     "v2_cosine_dup_pairs" -> "exact oracle face, id < 300 both sides (constant at any sf)",
     "d4_ngram_jaccard" -> "Jaccard verify stage, doc_id < 60 both sides",
     "ld1_levenshtein" -> "edit-distance verify stage, doc_id < 40 both sides",
-    "rj1_range_join" -> "12 interval rows broadcast against the grid equi-join residual",
     "tx9_tfidf_top_terms" -> "cross join is a single broadcast scalar (corpus doc count)",
     "tx10_bigram_loglik" -> "cross join is a single broadcast scalar (corpus bigram total)",
-    "apx2_approx_quantile" -> "percentile agg plans an exchange-fed single group, no join",
-    "mm3_frame_offsets" -> "no join: explode of a 4-element sequence",
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
@@ -50,6 +47,15 @@ class RegistryPlanSpec extends SparkSpec {
     boundedBruteForce.keys.foreach { name =>
       assert(SparkEntry.queries.contains(name), s"$name left the registry; prune the allowlist")
     }
+    // A dead entry would silently exempt its query from the guard above:
+    // every allowlisted plan must actually contain the documented
+    // bounded-quadratic shape (ADVICE r2 — apx2/mm3/rj1 were quadratic-free).
+    val dead = boundedBruteForce.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+    }
+    assert(dead.isEmpty,
+      s"no longer plan a quadratic shape; prune from boundedBruteForce: ${dead.mkString(", ")}")
     // the scale-path pair generators must be equi-joins, never quadratic
     // (v4's candidate SEARCH is also a cell equi-join; its allowlisted BNLJ
     // is only the O(n*k) centroid assignment)
