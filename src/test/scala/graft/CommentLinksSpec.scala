@@ -95,4 +95,35 @@ class CommentLinksSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](2)).map(_.toLong)).toMap
     assert(viaWindow === out.map(l => l.id -> l.response_to).toMap)
   }
+
+  test("pathological skew: one video holding 100k comments with 2KB bodies") {
+    // SCALE.md documents X1's skew assumption as "group memory bounded by
+    // comment COUNT, not text": the Marker projection drops content before
+    // the group materializes. This group carries ~200MB of content through
+    // one flatMapGroups group — retained markers are ~5MB. If a regression
+    // ever re-materializes CommentRow (content included) per group, this
+    // test is the one that degrades; the documented fallback is chunked
+    // replay (split the group at caret-free comments, whose links cannot
+    // cross the cut, and carry only the running visible count between
+    // chunks).
+    import spark.implicits._
+    val n = 100000
+    val base = ts("2024-01-01 00:00:00").getTime
+    val comments = spark.range(1, n + 1).map { i =>
+      // content generated executor-side: k = i%4 carets + a 2KB body; every
+      // 10th comment is deleted in the FAR future (visible to all repliers),
+      // so the expected link has a closed form: id - k.
+      val del = if (i % 10 == 0)
+        Some(new java.sql.Timestamp(base + 10000000000L)) else None
+      CommentRow(i, 1L, "^" * (i % 4).toInt + ("x" * 2048),
+        new java.sql.Timestamp(base + i * 1000L), del)
+    }
+    val out = CommentLinks.link(comments).as[LinkedComment].collect()
+    assert(out.length === n)
+    out.foreach { l =>
+      val k = (l.id % 4).toInt
+      val expected = if (k > 0 && l.id - k >= 1) Some(l.id - k) else None
+      assert(l.response_to === expected, s"closed-form mismatch at id ${l.id}")
+    }
+  }
 }

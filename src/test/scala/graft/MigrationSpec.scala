@@ -152,9 +152,14 @@ class MigrationSpec extends SparkSpec {
     // must agree EXACTLY — and the zip must hold across partitions.
     val tags = (1 to 40).map(i => s"TaG$i")
     import spark.implicits._
-    val df = spark.sparkContext.parallelize(tags, 4).toDF("tag")
+    // Accumulator counts source evaluations: round 2's zip(in, in.pipe)
+    // evaluated the lineage twice per task (VERDICT r2 #3) and would read 80.
+    val scans = spark.sparkContext.longAccumulator("tag-scans")
+    val df = spark.sparkContext.parallelize(tags, 4)
+      .map { t => scans.add(1); t }.toDF("tag")
     val piped = TagNormalize.normalizeViaPipe(spark, df, Seq("tr", "A-Z", "a-z"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scans.value === 40, "pipe route must scan its input exactly once")
     val viaUdf = df.select(col("tag"), TagNormalize.normalizeTag(col("tag")).as("n"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(piped.size === 40)
