@@ -49,6 +49,41 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Element-wise mean of equal-dimension vectors — the k-means centroid
+    * update. Buffer = (running element sums, count): ONE dim-length buffer
+    * per (cell, partition) crosses the shuffle, vs the dim× row inflation of
+    * the round-2 posexplode+avg form (VERDICT r2 nit #4). Mean = sum/count
+    * per element, identical semantics to avg on the exploded rows.
+    */
+  class VectorMean extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+
+    override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
+      val s = if (b._1.length == 0) new Array[Double](a.length) else b._1
+      var i = 0
+      while (i < s.length) { s(i) += a(i); i += 1 }
+      (s, b._2 + 1)
+    }
+
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._2 == 0) y
+      else if (y._2 == 0) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      b._1.map(_ / b._2).toIndexedSeq
+
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** MySQL GROUP_CONCAT(DISTINCT ... SEPARATOR sep) with
     * group_concat_max_len-style truncation (SURVEY §2.6 A1). Documented
     * deviation: MySQL's budget is BYTES; this truncates at `maxLen`

@@ -137,19 +137,25 @@ object VectorOps {
     // (q, n) pair joins at most once even with nProbe > 1
   }
 
-  /** IVF with a TRAINED coarse quantizer: one deterministic Lloyd iteration
-    * over the first-N seed (assign every vector to its nearest seed, recompute
-    * each cell's centroid as the element-wise mean), then the same
-    * probe-and-search as [[ivfTopK]]. Refined centroids are rounded to 6
-    * decimals — the mean is the only order-sensitive float reduction in the
-    * pipeline, and rounding it makes the whole query engine-exact while
-    * moving centroids by < 1e-6 (irrelevant to cell geometry).
+  /** IVF with a TRAINED coarse quantizer: `iters` deterministic Lloyd
+    * iterations over the first-N seed (assign every vector to its nearest
+    * centroid, recompute each cell's centroid as the element-wise mean),
+    * then the same probe-and-search as [[ivfTopK]]. Refined centroids are
+    * rounded to 6 decimals per iteration — the mean is the only
+    * order-sensitive float reduction in the pipeline, and rounding it makes
+    * the whole query engine-exact while moving centroids by < 1e-6
+    * (irrelevant to cell geometry). A cell that loses all members simply
+    * drops out (standard Lloyd on a groupBy).
     *
-    * Scale shape: training adds one corpus ⋈ broadcast(seeds) pass and a
-    * (cell, dim)-keyed aggregation — both the standard distributed-k-means
-    * step; everything downstream stays the bucketed equi-join.
+    * Scale shape: each iteration adds one corpus ⋈ broadcast(centroids)
+    * pass and a cell-keyed aggregation whose partials are (sum-vector,
+    * count) pairs via [[graft.functions.Aggregators.VectorMean]] — one
+    * dim-length buffer per (cell, partition) crosses the shuffle, not the
+    * dim× row explosion of a posexplode mean. Everything downstream stays
+    * the bucketed equi-join.
     */
-  def ivfTopKRefined(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+  def ivfTopKRefined(
+      vectors: DataFrame, nCells: Int, nProbe: Int, k: Int, iters: Int = 1): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val seeds = withN.orderBy(col("n_id")).limit(nCells)
@@ -164,15 +170,16 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell"): _*)
     }
-    // train: 1 Lloyd step — per-(cell, dim) mean over the seed assignment
-    val seedAssigned = assignTo(seeds, withN, "n_id", "nv", "nn", 1)
-    val refined = seedAssigned
-      .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), _.getField("m")).as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
+    // train: per iteration, assign to the previous centroids and take the
+    // per-cell vector mean
+    val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
+    val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      assignTo(cents, withN, "n_id", "nv", "nn", 1)
+        .groupBy("cell")
+        .agg(vecMean(col("nv")).as("mv"))
+        .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+    }
     // search: same probe shape as ivfTopK, against the trained centroids
     val corpusCells = assignTo(refined, withN, "n_id", "nv", "nn", 1)
     val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))

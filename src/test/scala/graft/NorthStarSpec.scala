@@ -144,6 +144,11 @@ class NorthStarSpec extends SparkSpec {
     val refinedRecall = (bf intersect refined).size.toDouble / bf.size
     assert(refinedRecall >= recall - 1e-9, s"refined=$refinedRecall vs seed=$recall")
     assert(refinedRecall > 0.9, s"refinedRecall=$refinedRecall")
+    // and the training loop composes: a second Lloyd pass holds recall
+    val refined2 = VectorOps.ivfTopKRefined(df, nCells = 16, nProbe = 2, k = 5, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall2 = (bf intersect refined2).size.toDouble / bf.size
+    assert(recall2 >= refinedRecall - 1e-9, s"iters=2 recall=$recall2 vs iters=1=$refinedRecall")
   }
 
   test("lsh near-dup pairs: exact precision, high recall on clustered vectors") {
