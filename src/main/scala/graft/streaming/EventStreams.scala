@@ -38,11 +38,16 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Sliding 30-minute windows every 10 minutes: each event lands in 3. */
-  def slidingStats(events: DataFrame): DataFrame =
+  /** Sliding windows (default 30-minute windows every 10 minutes: each event
+    * lands in 3). `windowDur`/`slideDur`/`lateness` are parameters so the
+    * same builder serves the st2 oracle face and lateness-policy tests at
+    * other granularities.
+    */
+  def slidingStats(events: DataFrame, windowDur: String = "30 minutes",
+      slideDur: String = "10 minutes", lateness: String = "20 minutes"): DataFrame =
     events
-      .withWatermark("ts", "20 minutes")
-      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 

@@ -224,6 +224,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("late event INSIDE the watermark counts; OUTSIDE it is dropped") {
+    // The one lateness-policy edge the other tests don't pin: an event that
+    // arrives out of order but with event time still ABOVE the watermark
+    // must land in its (still-open) windows, while one below the watermark
+    // is discarded. 10-minute windows sliding every 5, 15-minute lateness.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.slidingStats(mem.toDF(),
+        windowDur = "10 minutes", slideDur = "5 minutes", lateness = "15 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:07:00"))
+      q.processAllAvailable()
+      // watermark -> 10:26 - 15m = 10:11; window [10:00,10:10) finalizes
+      mem.addData(ev(2, "2024-01-01 10:26:00"))
+      q.processAllAvailable()
+      // late arrival, event time 10:13 > watermark 10:11 -> must count in
+      // the still-open [10:05,10:15) and [10:10,10:20) windows
+      mem.addData(ev(3, "2024-01-01 10:13:00"))
+      q.processAllAvailable()
+      // advance watermark to 10:45: those windows finalize and emit
+      mem.addData(ev(4, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val emitted = spark.table("late_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(emitted.contains(("2024-01-01 10:00:00.0", 1L)), s"got $emitted")
+      assert(emitted.contains(("2024-01-01 10:05:00.0", 2L)),
+        s"inside-watermark late event missing from [10:05,10:15): $emitted")
+      assert(emitted.contains(("2024-01-01 10:10:00.0", 1L)), s"got $emitted")
+
+      // event time 10:08 < watermark 10:45: dropped, finalized windows stay
+      mem.addData(ev(5, "2024-01-01 10:08:00"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val after = spark.table("late_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(after === emitted, s"outside-watermark event must be discarded: $after")
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
