@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * as opaque binary columns with typed metadata, batch feature extraction
   * via mapPartitions.
   *
-  * The decode step is STUBBED (no image/audio codecs in this environment):
-  * [[StubDecoder]] produces deterministic fake features from the bytes. The
+  * Decoders: images decode for real ([[ImageIoDecoder]], javax.imageio) and
+  * so does WAV audio ([[WavDecoder]], javax.sound.sampled) — both pure-JVM
+  * parsers. Video decode is STUBBED ([[StubDecoder]], deterministic fake
+  * features from the bytes): no video codecs exist in this environment. The
   * Spark-side plumbing — schema, batched per-partition processing, feature
-  * struct shape — is real and tested; swapping in a real decoder changes one
-  * function.
+  * struct shape — is identical for all three; swapping in a real video
+  * decoder changes one function.
   *
   * Scale posture: payloads stay opaque binary end-to-end (no driver
   * collect); extraction is per-partition with an explicit batch size so a
@@ -79,6 +81,57 @@ object Multimodal {
         if (img == null) StubDecoder(m)
         else StubDecoder(m).copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
       }
+  }
+
+  /** REAL audio decoder — pure-JVM `javax.sound.sampled` (the WAV/AIFF/AU
+    * file parsers ship with the JDK, no native codecs needed). For audio
+    * payloads AudioSystem can parse, the feature fields carry the decoded
+    * container facts: width = sample rate (Hz), height = channel count,
+    * n_frames = PCM frame count. Images delegate to [[ImageIoDecoder]];
+    * video (whose codecs genuinely aren't in this container) and
+    * unparseable audio keep the documented stub semantics.
+    */
+  object WavDecoder extends Decoder {
+    def apply(m: MediaRecord): MediaFeatures =
+      if (m.kind == "image") ImageIoDecoder(m)
+      else if (m.kind != "audio") StubDecoder(m)
+      else {
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            try Some((ais.getFormat.getSampleRate.toInt, ais.getFormat.getChannels,
+              ais.getFrameLength.toInt))
+            finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((rate, channels, frames)) =>
+            StubDecoder(m).copy(width = rate, height = channels, n_frames = frames)
+          case None => StubDecoder(m)
+        }
+      }
+  }
+
+  /** A real 16-bit mono PCM WAV payload with the given sample rate and frame
+    * count (deterministic ramp samples). Runs executor-side per row — the
+    * write half of the codec round trip the mm5 oracle pins.
+    */
+  def synthesizeWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (i * 257 % 65536 - 32768).toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** A real PNG payload with the given dimensions; pixel (0,0) carries

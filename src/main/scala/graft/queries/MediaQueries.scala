@@ -54,6 +54,29 @@ object MediaQueries {
           col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"),
           col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
+    // MM5: REAL audio codec round trip, the WAV analog of mm4 — synthesize a
+    // 16-bit mono PCM WAV with closed-form sample rate / frame count per doc
+    // (executor-side AudioSystem.write), decode it back through the Decoder
+    // seam (AudioSystem.getAudioInputStream), emit the decoded container
+    // facts. The oracle knows only the arithmetic, so hashes match ONLY if a
+    // real WAV encoder and parser both ran.
+    "mm5_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "audio", Multimodal.synthesizeWav(
+            sampleRate = (8000 + (id % 8) * 1000).toInt,
+            nFrames = (id % 500 + 1).toInt))
+        }
+      Multimodal.extractFeatures(media, Multimodal.WavDecoder)
+        .toDF()
+        .select(col("id"),
+          col("width").cast("bigint").as("sample_rate"),
+          col("height").cast("bigint").as("n_channels"),
+          col("n_frames").cast("bigint").as("n_frames"))
     })
   )
 
@@ -78,6 +101,12 @@ object MediaQueries {
            (doc_id % 64 + 1)::BIGINT AS width,
            (doc_id % 48 + 1)::BIGINT AS height,
            1::BIGINT AS n_frames
+         FROM documents WHERE doc_id < 200""",
+    "mm5_wav_decode" ->
+      """SELECT doc_id AS id,
+           (8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate,
+           1::BIGINT AS n_channels,
+           (doc_id % 500 + 1)::BIGINT AS n_frames
          FROM documents WHERE doc_id < 200"""
   )
 }

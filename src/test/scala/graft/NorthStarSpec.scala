@@ -231,4 +231,19 @@ class NorthStarSpec extends SparkSpec {
     val junk = Multimodal.MediaRecord(2L, "image", "not a png".getBytes)
     assert(Multimodal.ImageIoDecoder(junk) === Multimodal.StubDecoder(junk))
   }
+
+  test("multimodal: real WAV codec round trip — rate, channels, frames survive") {
+    val wav = Multimodal.synthesizeWav(sampleRate = 11000, nFrames = 321)
+    // RIFF/WAVE magic proves a real container, not a fake byte blob
+    assert(wav.take(4).map(_.toChar).mkString === "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    val feats = Multimodal.WavDecoder(Multimodal.MediaRecord(1L, "audio", wav))
+    assert(feats.width === 11000 && feats.height === 1 && feats.n_frames === 321)
+    // unparseable audio falls back to stub; images route to the PNG decoder
+    val junk = Multimodal.MediaRecord(2L, "audio", "not a wav".getBytes)
+    assert(Multimodal.WavDecoder(junk) === Multimodal.StubDecoder(junk))
+    val png = Multimodal.MediaRecord(3L, "image",
+      Multimodal.synthesizePng(width = 5, height = 4, rgb = 0x123456))
+    assert(Multimodal.WavDecoder(png) === Multimodal.ImageIoDecoder(png))
+  }
 }
