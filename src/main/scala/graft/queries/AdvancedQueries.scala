@@ -134,6 +134,85 @@ object AdvancedQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // TPC-H Q4 shape: order-priority counts for orders with at least one
+    // long-latency lineitem — EXISTS as a left-semi join with a mixed
+    // equi + range condition (the fixture lacks commit/receipt dates, so
+    // "late" = shipped >60 days after ordering).
+    "q4_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q13 shape: distribution of order counts per customer — a LEFT
+    // join so zero-order customers survive, then a second aggregation over
+    // the first's result (two chained exchanges, the histogram-of-groups
+    // pattern).
+    "q13_customer_distribution" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING-filtered aggregate
+    // feeds the join chain FIRST (few surviving orderkeys), so orders and
+    // customer meet an already-tiny build side.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      big.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    // clauses as the JOIN condition — Catalyst extracts the common
+    // l_partkey equi-key and pushes the per-side IN/range residuals into
+    // the scans.
+    "q19_brand_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(p, l("l_partkey") === p("p_partkey") && (
+          (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(1, 20)) ||
+          (p("p_brand") === "Brand#2" && p("p_size").between(10, 30) &&
+            l("l_quantity").between(10, 30))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q22 shape: above-average balances with NO large order — a
+    // broadcast scalar (the positive-balance average) gates the probe, then
+    // a left ANTI join drops customers with any >250k order. (The classic
+    // "no orders at all" form is empty on these fixtures — every
+    // above-average customer has ~10 orders — which would make the check
+    // vacuous.)
+    "q22_idle_balances" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one ship-month.
     "q14_promo_share" -> ((s, d) => {
       val l = Tables.lineitem(s, d).filter(
@@ -474,6 +553,42 @@ object AdvancedQueries {
            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          GROUP BY supp_nation, cust_nation, l_year""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o.o_orderkey
+                         AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty FROM (
+           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) big
+         JOIN orders ON big.l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "q19_brand_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)""",
+    "q22_idle_balances" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c.c_custkey AND o_totalprice > 250000)
+         GROUP BY c_nationkey""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)

@@ -264,6 +264,48 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("n_chars"))
     }),
 
+    // TX11: repetition ratio — the most frequent bigram's share of all
+    // bigram occurrences per doc (a Gopher-style repetitiousness signal;
+    // boilerplate and degenerate generations spike it). Two keyed shuffles:
+    // (doc, bigram) counts, then a per-doc max/sum.
+    "tx11_repetition_ratio" -> ((s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(Dedup.shingles(col("words"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(max(col("n")).cast("double") / sum(col("n")), 6)
+          .as("top_bigram_share"))),
+
+    // TX12: composite quality gate — word count, mean word length, and
+    // symbol ratio against fixed acceptance bands (the Gopher-rule shape:
+    // each signal is cheap per-row Column math, the gate is their AND).
+    "tx12_quality_gate" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
+        round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(TextAnalysis.symbolRatio(col("text")), 6).as("symbol_ratio"))
+        .withColumn("keep",
+          col("n_words").between(40, 100000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("symbol_ratio") < 0.1)),
+
+    // TX13: PII redaction — emails and URLs replaced with typed placeholder
+    // tokens. The fixture text carries no PII, so each doc deterministically
+    // injects one of each and the oracle replays the same construction: the
+    // hashes match only if both engines' global regex replacement agrees.
+    "tx13_redact_pii" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(
+            substring(col("text"), 1, 80),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or https://example.org/doc/"),
+            col("doc_id").cast("string"), lit("?ref=x next"))).as("clean"))),
+
     // ----- multimodal plumbing (binary columns) -----
     // MM1: opaque binary payload + typed metadata: byte length and a content
     // digest — the schema/partitioning pattern for image/audio blobs.
@@ -517,6 +559,37 @@ object TextQueries {
       """SELECT (floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10)::BIGINT AS bucket_lo,
            count(*)::BIGINT AS n_docs
          FROM documents GROUP BY 1""",
+    "tx11_repetition_ratio" ->
+      """SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_share
+         FROM (
+           SELECT doc_id, bg, count(*) AS n FROM (
+             SELECT doc_id, unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bg
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             WHERE len(w) >= 2)
+           GROUP BY doc_id, bg)
+         GROUP BY doc_id""",
+    "tx12_quality_gate" ->
+      """SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           (n_words BETWEEN 40 AND 100000
+             AND mean_word_len BETWEEN 2.0 AND 12.0
+             AND symbol_ratio < 0.1) AS keep
+         FROM (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+               len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_word_len,
+             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
+               length(text), 6) AS symbol_ratio
+           FROM documents)""",
+    "tx13_redact_pii" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               substr(text, 1, 80) || ' contact user' || doc_id ||
+                 '@mail.example.com or https://example.org/doc/' || doc_id || '?ref=x next',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g') AS clean
+         FROM documents WHERE doc_id < 500""",
     "tx7_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 <

@@ -68,4 +68,27 @@ object TextAnalysis {
     */
   def fingerprintBow(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ").cast("binary"))
+
+  /** Mean word length: non-space chars over whitespace tokens. */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      tokenCountWs(text).cast("double")
+
+  /** Symbol-to-char ratio: fraction of chars that are neither alphanumeric
+    * nor whitespace (Gopher-rule C4-style gibberish signal).
+    */
+  def symbolRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** PII scrubbing: emails then URLs replaced with typed placeholder tokens
+    * — the redaction pass a training-data pipeline runs before anything
+    * else sees the text. Spark's regexp_replace is global by default
+    * (DuckDB needs the explicit 'g' flag).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
 }
