@@ -213,6 +213,33 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
     }),
 
+    // CDC snapshot diff — the incremental-corpus-update shape: full outer
+    // join of two snapshots on the PK, classify each key as insert / delete
+    // / update, drop the unchanged majority. One co-partitioned shuffle;
+    // at 100 TB both snapshots bucket by the PK so the join is
+    // exchange-free. (Snapshots are carved deterministically from orders:
+    // old drops every 10th key, new drops every 3rd and bumps every 7th's
+    // price — exercising all three change classes.)
+    "cdc1_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+      val next = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          // exact binary addition, not a rounded multiply: round(x*1.1, 2)
+          // hits float-tie cases where the engines' rounding diverges
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("v_new"))
+      prev.join(next, Seq("k"), "full")
+        .select(col("k"),
+          when(col("v_old").isNull, "insert")
+            .when(col("v_new").isNull, "delete")
+            .when(col("v_old") =!= col("v_new"), "update")
+            .otherwise("unchanged").as("op"),
+          col("v_old"), col("v_new"))
+        .filter(col("op") =!= "unchanged")
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one ship-month.
     "q14_promo_share" -> ((s, d) => {
       val l = Tables.lineitem(s, d).filter(
@@ -589,6 +616,26 @@ object AdvancedQueries {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c.c_custkey AND o_totalprice > 250000)
          GROUP BY c_nationkey""",
+    "cdc1_snapshot_diff" ->
+      """WITH prev AS (
+           SELECT o_orderkey AS k, o_totalprice AS v_old
+           FROM orders WHERE o_orderkey % 10 != 0),
+         next AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS v_new
+           FROM orders WHERE o_orderkey % 3 != 0)
+         SELECT coalesce(prev.k, next.k) AS k,
+           CASE WHEN v_old IS NULL THEN 'insert'
+                WHEN v_new IS NULL THEN 'delete'
+                WHEN v_old != v_new THEN 'update'
+                ELSE 'unchanged' END AS op,
+           v_old, v_new
+         FROM prev FULL JOIN next ON prev.k = next.k
+         WHERE (CASE WHEN v_old IS NULL THEN 'insert'
+                     WHEN v_new IS NULL THEN 'delete'
+                     WHEN v_old != v_new THEN 'update'
+                     ELSE 'unchanged' END) != 'unchanged'""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
