@@ -264,6 +264,46 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("n_chars"))
     }),
 
+    // D11: benchmark decontamination — the pre-training hygiene op: a
+    // training doc is contaminated if it shares any content n-gram with the
+    // held-out set (docs < 20 stand in for the benchmark). Shape: explode
+    // shingles once, the distinct benchmark grams are the (small) join
+    // side, per-doc overlap counts come from one keyed aggregation.
+    "d11_decontaminate" -> ((s, d) => {
+      val grams = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      val bench = grams.filter(col("doc_id") < 20).select("g").distinct()
+      grams.filter(col("doc_id") >= 20)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+    }),
+
+    // CH2: content-defined chunking — boundaries where the rolling 3-gram
+    // hash lands in bucket 0 of 8 (Rabin-style CDC, word granularity): edits
+    // shift fixed windows but leave most content-defined chunks intact,
+    // which is what makes chunk-level dedup robust. Flags are built
+    // array-side (shuffle-free), the chunk index is one prefix-sum window.
+    "ch2_content_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // boundary AFTER word i (0-based) when md5 of words (i-2, i-1, i)
+      // falls in bucket 0 (same portable 60-bit md5 bucket as tx7)
+      val flags = transform(sequence(lit(0), size(col("w")) - 1), i =>
+        when(i >= 2,
+          (conv(substring(md5(concat_ws(" ", slice(col("w"), i - 1, lit(3)))
+            .cast("binary")), 1, 15), 16, 10).cast("bigint") % 8 === 0).cast("int"))
+          .otherwise(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), posexplode(flags).as(Seq("pos", "f")))
+        .withColumn("chunk_idx", coalesce(sum(col("f")).over(w), lit(0)).cast("bigint"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(count(lit(1)).as("n_words"))
+    }),
+
     // TX11: repetition ratio — the most frequent bigram's share of all
     // bigram occurrences per doc (a Gopher-style repetitiousness signal;
     // boilerplate and degenerate generations spike it). Two keyed shuffles:
@@ -559,6 +599,28 @@ object TextQueries {
       """SELECT (floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10)::BIGINT AS bucket_lo,
            count(*)::BIGINT AS n_docs
          FROM documents GROUP BY 1""",
+    "d11_decontaminate" ->
+      s"""WITH t AS ($shingleCte),
+         grams AS (SELECT doc_id, unnest(sh) AS g FROM t),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+         SELECT doc_id, count(DISTINCT g)::BIGINT AS n_shared
+         FROM grams JOIN bench USING (g)
+         WHERE doc_id >= 20
+         GROUP BY doc_id""",
+    "ch2_content_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         flags AS (
+           SELECT doc_id, i AS pos,
+             CASE WHEN i >= 2 AND ('0x' || substr(md5(w[i-1] || ' ' || w[i] || ' ' || w[i+1]), 1, 15))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS f
+           FROM t, unnest(range(len(w))) u(i)),
+         chunked AS (
+           SELECT doc_id, pos,
+             coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_idx
+           FROM flags)
+         SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_words
+         FROM chunked GROUP BY doc_id, chunk_idx""",
     "tx11_repetition_ratio" ->
       """SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_share
          FROM (
