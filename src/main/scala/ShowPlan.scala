@@ -1,0 +1,13 @@
+object ShowPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString)
+    spark.stop()
+  }
+}

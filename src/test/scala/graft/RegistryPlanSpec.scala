@@ -67,4 +67,40 @@ class RegistryPlanSpec extends SparkSpec {
           s"$name (a scale path) planned a quadratic join")
       }
   }
+
+  test("headline scans keep predicate pushdown and column pruning") {
+    // SCALE.md claims "filters + column pruning reach the parquet reader";
+    // these assertions make the claim a regression gate instead of a
+    // snapshot. FileScan lines carry PushedFilters/ReadSchema.
+    val sfDir = "/root/testdata/sf0.001"
+    // formatted explain: scan details print the FULL PushedFilters list
+    // (sparkPlan.toString truncates it at maxToStringFields)
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+    // t8: the equality predicate must reach the customer scan
+    val t8 = plan("t8_filter")
+    assert(t8.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"t8 lost its pushed filter:\n$t8")
+
+    // s4: a 3-column projection must read a 3-column schema
+    val s4 = plan("s4_projected_scan")
+    assert(s4.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate:timestamp"),
+      s"s4 reads more than its projection:\n$s4")
+
+    // q6: every range predicate belongs in the lineitem scan
+    val q6 = plan("q6_forecast_revenue")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.03)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(q6.contains(f), s"q6 scan lost pushed filter $f:\n$q6")
+    }
+
+    // q7: the 2-nation IN filter must reach the nation scans (the round-3
+    // reorder depends on it filtering before the fact chain)
+    val q7 = plan("q7_nation_volume")
+    assert(q7.contains("In(n_name, [NATION_1,NATION_2])"),
+      s"q7 lost the nation IN pushdown:\n$q7")
+  }
 }

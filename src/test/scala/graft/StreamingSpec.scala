@@ -267,6 +267,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: a parquet directory drives the same graph as batch") {
+    // readEventStream is the production entry (file micro-batching); the
+    // result of streaming the whole directory with AvailableNow must equal
+    // the batch run of the SAME builder over the same rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventStreams.tumblingStats(EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow stream did not drain in time")
+      val streamed = spark.table("file_stream_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.tumblingStats(events).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
