@@ -240,6 +240,46 @@ object AdvancedQueries {
         .filter(col("op") =!= "unchanged")
     }),
 
+    // CDC incremental aggregate maintenance — the 100 TB answer to "the
+    // snapshot changed, don't re-aggregate the world": merge the OLD
+    // grouped aggregate with signed delta rows (-1 old version, +1 new
+    // version) instead of recomputing over the new snapshot. The ORACLE is
+    // the full recompute, so the hash match proves base ⊕ delta ≡ direct.
+    // Money is integer cents end-to-end: the merged sum must be EXACTLY the
+    // recomputed sum, not float-close.
+    "cdc2_incremental_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      val bumped = round(
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")) * 100).cast("bigint")
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("g"), cents.as("v"))
+      val next = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("g"), bumped.as("v"))
+      // the materialized aggregate over the old snapshot
+      val base = prev.groupBy("g").agg(count(lit(1)).as("n0"), sum(col("v")).as("s0"))
+      // signed delta rows from the key-level diff
+      val pj = prev.select(col("k"), col("g").as("g_old"), col("v").as("v_old"))
+      val nj = next.select(col("k"), col("g").as("g_new"), col("v").as("v_new"))
+      val changed = col("v_old") =!= col("v_new") || col("g_old") =!= col("g_new")
+      val delta = pj.join(nj, Seq("k"), "full")
+        .select(explode(array(
+          when(col("g_old").isNotNull && (col("g_new").isNull || changed),
+            struct(col("g_old").as("g"), lit(-1L).as("w"), (-col("v_old")).as("wv"))),
+          when(col("g_new").isNotNull && (col("g_old").isNull || changed),
+            struct(col("g_new").as("g"), lit(1L).as("w"), col("v_new").as("wv")))))
+          .as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.g").as("g"), col("e.w").as("w"), col("e.wv").as("wv"))
+      val deltaAgg = delta.groupBy("g").agg(sum(col("w")).as("dn"), sum(col("wv")).as("ds"))
+      base.join(deltaAgg, Seq("g"), "full")
+        .select(col("g"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("total_cents"))
+        .filter(col("n") > 0)
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one ship-month.
     "q14_promo_share" -> ((s, d) => {
       val l = Tables.lineitem(s, d).filter(
@@ -636,6 +676,14 @@ object AdvancedQueries {
                      WHEN v_new IS NULL THEN 'delete'
                      WHEN v_old != v_new THEN 'update'
                      ELSE 'unchanged' END) != 'unchanged'""",
+    "cdc2_incremental_agg" ->
+      """WITH next AS (
+           SELECT o_orderstatus AS g,
+             round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END) * 100)::BIGINT AS v
+           FROM orders WHERE o_orderkey % 3 != 0)
+         SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents
+         FROM next GROUP BY g""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
