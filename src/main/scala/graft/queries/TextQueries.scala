@@ -270,13 +270,24 @@ object TextQueries {
     // shingles once, the distinct benchmark grams are the (small) join
     // side, per-doc overlap counts come from one keyed aggregation.
     "d11_decontaminate" -> ((s, d) => {
+      // per-doc DISTINCT grams first: repeated shingles inside a doc would
+      // otherwise fan the join out by occurrence count, and the final agg
+      // becomes a plain count instead of a count-distinct expand.
+      // explode_OUTER deliberately: plain explode lets Catalyst infer a
+      // pre-Generate `size(sh)>0 AND isnotnull(sh)` filter that inlines the
+      // whole (interpreted, codegen-fallback) shingle lambda a second and
+      // third time per row — measured 5s vs 2s at sf0.1. The outer form
+      // blocks that inference; the cheap null filter lands on the exploded
+      // column instead.
       val grams = shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .filter(col("g").isNotNull)
+        .distinct()
       val bench = grams.filter(col("doc_id") < 20).select("g").distinct()
       grams.filter(col("doc_id") >= 20)
         .join(bench, "g")
         .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
     }),
 
     // CH2: content-defined chunking — boundaries where the rolling 3-gram
