@@ -102,8 +102,30 @@ object GroupConcatProps extends Properties("groupConcatDistinct") {
     agg.finish(fwd) == agg.finish(rev)
   }
 
-  property("buffer stays sorted and distinct") = forAll(inputGen) { parts =>
-    val b = parts.flatten.foldLeft(agg.zero)(agg.reduce)
-    b == b.distinct.sorted
+  // The round-3 buffer appends between compactions (the old "always sorted
+  // distinct" invariant moved to compaction time), so the buffer-level
+  // properties are now: finish canonicalizes ANY buffer state, and the
+  // smallest-(maxLen+2) cap loses nothing even when it binds hard.
+  property("tiny maxLen: cap binds, output still matches brute force") =
+    forAll(Gen.choose(0, 12), Gen.oneOf("", ",", ",,,"),
+      Gen.listOf(Gen.oneOf(Gen.const(""), Gen.const(null: String),
+        Gen.alphaLowerStr.map(_.take(3))))) { (maxLen, sep, xs) =>
+      val a = new GroupConcatDistinct(sep, maxLen)
+      val got = a.finish(xs.foldLeft(a.zero)(a.reduce))
+      val full = xs.filter(_ != null).distinct.sorted.mkString(sep)
+      got == (if (full.length <= maxLen) full else full.substring(0, maxLen))
+    }
+
+  property("compaction path: buffers stay bounded over adversarial volume") = {
+    // enough rows to force several compactions of a small-maxLen aggregator;
+    // high-cardinality values so the pre-round-3 sorted-insert would be the
+    // O(n^2) case, and the cap (maxLen+2 smallest) must still be lossless
+    val a = new GroupConcatDistinct(",", 10)
+    val xs = (0 until 5000).map(i => f"v${(i * 7919) % 4000}%04d").toList
+    val partials = xs.grouped(1700).map(_.foldLeft(a.zero)(a.reduce)).toList
+    val buf = partials.foldLeft(a.zero)(a.merge)
+    val full = xs.distinct.sorted.mkString(",")
+    Prop(partials.forall(_.length <= 2 * 12 + 1024) &&
+      a.finish(buf) == full.substring(0, 10))
   }
 }
