@@ -213,6 +213,83 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
     }),
 
+    // TPC-H Q8 shape: one nation's market share of a part-type's revenue
+    // among one region's customers, per year. Every dimension is filtered
+    // BEFORE meeting the fact chain (the q5/q7 ordering), and the share is
+    // a conditional-sum ratio inside one aggregation.
+    "q8_market_share" -> ((s, d) => {
+      val americaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(americaCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", vol).otherwise(0.0)) / sum(vol), 6)
+          .as("mkt_share"))
+    }),
+
+    // TPC-H Q15 shape: the top supplier(s) by quarterly revenue. The max is
+    // attached by an EQUI-join on the (rounded) revenue value against a
+    // 1-row aggregate — a BroadcastHashJoin, not a nested-loop theta join.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q21 shape: suppliers from one nation who were the ONLY late
+    // supplier in a multi-supplier order — the double-correlated
+    // EXISTS / NOT EXISTS pair as a left-semi then left-anti join ("late"
+    // adapted to shipped >90 days after ordering; the fixture carries no
+    // commit/receipt dates). The nation filter lands on l1 BEFORE the
+    // semi/anti probes so only 1/|nations| of late lines drive them.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val otherLate = late.select(col("k1").as("k3"), col("sk1").as("sk3"))
+      late.join(su, col("sk1") === col("s_suppkey"))
+        .join(others, col("k1") === col("k2") && col("sk2") =!= col("sk1"), "left_semi")
+        .join(otherLate, col("k1") === col("k3") && col("sk3") =!= col("sk1"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // CDC snapshot diff — the incremental-corpus-update shape: full outer
     // join of two snapshots on the PK, classify each key as insert / delete
     // / update, drop the unchanged majority. One co-partitioned shuffle;
@@ -656,6 +733,50 @@ object AdvancedQueries {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c.c_custkey AND o_totalprice > 250000)
          GROUP BY c_nationkey""",
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_year""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+         FROM lineitem l1
+         JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+           AND l1.l_shipdate > o1.o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey != l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey != l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name""",
     "cdc1_snapshot_diff" ->
       """WITH prev AS (
            SELECT o_orderkey AS k, o_totalprice AS v_old
