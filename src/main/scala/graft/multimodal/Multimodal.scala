@@ -112,6 +112,65 @@ object Multimodal {
       }
   }
 
+  /** REAL video-container decoder — animated GIF through the JDK's own
+    * imageio GIF plugin (moving pictures in a multi-frame container; no
+    * native codecs needed). For payloads the GIF reader can parse, width/
+    * height are frame 0's pixel dimensions and n_frames is the container's
+    * actual frame count (`getNumImages(true)` walks every frame). Audio
+    * delegates to [[WavDecoder]], images to [[ImageIoDecoder]]; anything
+    * unparseable (including real-world mp4/webm, whose codecs aren't in
+    * this container) degrades to the documented stub.
+    */
+  object GifVideoDecoder extends Decoder {
+    def apply(m: MediaRecord): MediaFeatures =
+      if (m.kind != "video") WavDecoder(m)
+      else {
+        val parsed =
+          try {
+            val ios = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(ios)
+            if (!readers.hasNext) { ios.close(); None }
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(ios)
+                Some((r.getWidth(0), r.getHeight(0), r.getNumImages(true)))
+              } finally { r.dispose(); ios.close() }
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((w, h, frames)) =>
+            StubDecoder(m).copy(width = w, height = h, n_frames = frames)
+          case None => StubDecoder(m)
+        }
+      }
+  }
+
+  /** A real animated-GIF payload: `nFrames` frames of the given dimensions
+    * (frame f carries f in pixel (0,0)). Runs executor-side per row — the
+    * write half of the codec round trip the mm6 oracle pins.
+    */
+  def synthesizeGif(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, f)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** A real 16-bit mono PCM WAV payload with the given sample rate and frame
     * count (deterministic ramp samples). Runs executor-side per row — the
     * write half of the codec round trip the mm5 oracle pins.

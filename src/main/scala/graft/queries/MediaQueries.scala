@@ -77,6 +77,29 @@ object MediaQueries {
           col("width").cast("bigint").as("sample_rate"),
           col("height").cast("bigint").as("n_channels"),
           col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
+    // MM6: REAL video-container round trip — synthesize an animated GIF
+    // with a closed-form frame count per doc (executor-side multi-frame
+    // imageio write), decode dimensions AND the container's actual frame
+    // count back through the Decoder seam. The oracle knows only the
+    // arithmetic: hashes match ONLY if a real multi-frame container was
+    // written and walked.
+    "mm6_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "video", Multimodal.synthesizeGif(
+            width = (id % 32 + 1).toInt, height = (id % 24 + 1).toInt,
+            nFrames = (id % 5 + 1).toInt))
+        }
+      Multimodal.extractFeatures(media, Multimodal.GifVideoDecoder)
+        .toDF()
+        .select(col("id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
     })
   )
 
@@ -107,6 +130,12 @@ object MediaQueries {
            (8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate,
            1::BIGINT AS n_channels,
            (doc_id % 500 + 1)::BIGINT AS n_frames
+         FROM documents WHERE doc_id < 200""",
+    "mm6_gif_decode" ->
+      """SELECT doc_id AS id,
+           (doc_id % 32 + 1)::BIGINT AS width,
+           (doc_id % 24 + 1)::BIGINT AS height,
+           (doc_id % 5 + 1)::BIGINT AS n_frames
          FROM documents WHERE doc_id < 200"""
   )
 }

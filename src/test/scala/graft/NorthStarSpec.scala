@@ -246,4 +246,18 @@ class NorthStarSpec extends SparkSpec {
       Multimodal.synthesizePng(width = 5, height = 4, rgb = 0x123456))
     assert(Multimodal.WavDecoder(png) === Multimodal.ImageIoDecoder(png))
   }
+
+  test("multimodal: real GIF container round trip — frame count survives") {
+    val gif = Multimodal.synthesizeGif(width = 9, height = 6, nFrames = 4)
+    // GIF magic proves a real container
+    assert(gif.take(6).map(_.toChar).mkString.startsWith("GIF8"))
+    val feats = Multimodal.GifVideoDecoder(Multimodal.MediaRecord(1L, "video", gif))
+    assert(feats.width === 9 && feats.height === 6 && feats.n_frames === 4)
+    // unparseable video falls back to stub; audio routes to the WAV decoder
+    val junk = Multimodal.MediaRecord(2L, "video", "not a gif".getBytes)
+    assert(Multimodal.GifVideoDecoder(junk) === Multimodal.StubDecoder(junk))
+    val wav = Multimodal.MediaRecord(3L, "audio",
+      Multimodal.synthesizeWav(sampleRate = 9000, nFrames = 17))
+    assert(Multimodal.GifVideoDecoder(wav) === Multimodal.WavDecoder(wav))
+  }
 }
