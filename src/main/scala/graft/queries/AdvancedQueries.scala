@@ -290,6 +290,22 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // B1: the bucketed-layout join as an oracle face — both sides are
+    // WRITTEN bucketed+sorted on the join key (Storage.writeBucketed), then
+    // joined back from the catalog. The oracle only knows the plain join,
+    // so the hash match proves layout doesn't change results; the
+    // no-exchange PLAN property is asserted separately in StorageSpec.
+    "b1_bucketed_join" -> ((s, d) => {
+      graft.sources.Storage.writeBucketed(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "b1_docs", "doc_id", 8)
+      graft.sources.Storage.writeBucketed(
+        Tables.embeddings(s, d).select(col("vec_id"), size(col("embedding")).as("dim")),
+        "b1_embs", "vec_id", 8)
+      s.table("b1_docs").join(s.table("b1_embs"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("dim").cast("bigint").as("dim"))
+    }),
+
     // CDC snapshot diff — the incremental-corpus-update shape: full outer
     // join of two snapshots on the PK, classify each key as insert / delete
     // / update, drop the unchanged majority. One co-partitioned shuffle;
@@ -777,6 +793,9 @@ object AdvancedQueries {
                              AND l3.l_suppkey != l1.l_suppkey
                              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
          GROUP BY s_name""",
+    "b1_bucketed_join" ->
+      """SELECT doc_id, lang, len(embedding)::BIGINT AS dim
+         FROM documents JOIN embeddings ON doc_id = vec_id""",
     "cdc1_snapshot_diff" ->
       """WITH prev AS (
            SELECT o_orderkey AS k, o_totalprice AS v_old
