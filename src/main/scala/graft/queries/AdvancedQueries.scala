@@ -296,10 +296,13 @@ object AdvancedQueries {
     // so the hash match proves layout doesn't change results; the
     // no-exchange PLAN property is asserted separately in StorageSpec.
     "b1_bucketed_join" -> ((s, d) => {
-      graft.sources.Storage.writeBucketed(
+      // replaceBucketed, not writeBucketed: a fresh session's catalog does
+      // not know the previous session's table, so plain overwrite would
+      // trip LOCATION_ALREADY_EXISTS on the persisted warehouse directory
+      graft.sources.Storage.replaceBucketed(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "b1_docs", "doc_id", 8)
-      graft.sources.Storage.writeBucketed(
+      graft.sources.Storage.replaceBucketed(
         Tables.embeddings(s, d).select(col("vec_id"), size(col("embedding")).as("dim")),
         "b1_embs", "vec_id", 8)
       s.table("b1_docs").join(s.table("b1_embs"), col("doc_id") === col("vec_id"))

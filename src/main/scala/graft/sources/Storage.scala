@@ -27,6 +27,22 @@ object Storage {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] with REPLACE semantics across sessions: `overwrite`
+    * only replaces a table the CURRENT catalog knows about, so a fresh
+    * in-memory-catalog session whose warehouse directory still holds the
+    * previous session's files fails with LOCATION_ALREADY_EXISTS. Drop the
+    * catalog entry AND clear the orphaned location first.
+    */
+  def replaceBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(df, table, bucketCol, buckets)
+  }
+
   /** Hive-style directory partitioning: one directory per `partCol` value. */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
