@@ -290,6 +290,37 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // W5: a HOLISTIC aggregate (interpolated median) over a moving 10-row
+    // frame — unlike sum/count it can't be incrementally maintained, so
+    // this exercises the full-frame re-evaluation path. ORDER-KEY CAUTION:
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    // (11.8k duplicate pairs at sf0.01), and an ambiguous frame order makes
+    // every moving-frame result engine-nondeterministic. The sort therefore
+    // ends in l_quantity — the aggregated value itself — so rows still tied
+    // are full duplicates OF THAT VALUE and any tie order yields the same
+    // frame multiset, hence the same median, in both engines.
+    "w5_median_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(-9, 0)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(expr("percentile(l_quantity, 0.5)").over(w), 6).as("med10"))
+    }),
+
+    // U2: schema-evolution union — the old snapshot lacks a column the new
+    // one carries; allowMissingColumns pads it with nulls (the
+    // reader-side half of additive schema evolution).
+    "u2_union_evolution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val neu = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      old.unionByName(neu, allowMissingColumns = true)
+    }),
+
     // B1: the bucketed-layout join as an oracle face — both sides are
     // WRITTEN bucketed+sorted on the join key (Storage.writeBucketed), then
     // joined back from the catalog. The oracle only knows the plain join,
@@ -799,6 +830,18 @@ object AdvancedQueries {
     "b1_bucketed_join" ->
       """SELECT doc_id, lang, len(embedding)::BIGINT AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id""",
+    "w5_median_window" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(quantile_cont(l_quantity, 0.5) OVER (
+             PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+         FROM lineitem""",
+    "u2_union_evolution" ->
+      """SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1""",
     "cdc1_snapshot_diff" ->
       """WITH prev AS (
            SELECT o_orderkey AS k, o_totalprice AS v_old
