@@ -217,7 +217,10 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("lang"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 2)
-        .select(col("lang"), explode(Dedup.shingles(col("words"), 2)).as("bigram"))
+        // explode_outer + null filter: see d11 — plain explode re-inlines
+        // the shingle lambda into an inferred pre-Generate filter
+        .select(col("lang"), explode_outer(Dedup.shingles(col("words"), 2)).as("bigram"))
+        .filter(col("bigram").isNotNull)
         .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 3)
@@ -236,7 +239,9 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), explode(Dedup.shingles(col("words"), 2)).as("bigram"))
+        // explode_outer + null filter: see d11
+        .select(col("doc_id"), explode_outer(Dedup.shingles(col("words"), 2)).as("bigram"))
+        .filter(col("bigram").isNotNull)
       val profile = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
       val total = profile.agg(sum(col("n")).as("total"))
       bigrams.join(profile, "bigram")
@@ -324,7 +329,9 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), explode(Dedup.shingles(col("words"), 2)).as("bg"))
+        // explode_outer + null filter: see d11
+        .select(col("doc_id"), explode_outer(Dedup.shingles(col("words"), 2)).as("bg"))
+        .filter(col("bg").isNotNull)
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(round(max(col("n")).cast("double") / sum(col("n")), 6)
