@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ MediaQueries.queries ++ AdvancedQueries.queries
+      VectorQueries.queries ++ MediaQueries.queries ++ AdvancedQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ MediaQueries.oracles ++ AdvancedQueries.oracles
+      VectorQueries.oracles ++ MediaQueries.oracles ++ AdvancedQueries.oracles ++
+      GraphQueries.oracles
 }

@@ -50,6 +50,28 @@ object EventQueries {
     "st4_window_dedup" -> ((s, d) =>
       EventStreams.dedupWithinWindow(Tables.events(s, d))),
 
+    // EV2: batch gap-sessionization via windows — new session when the
+    // same user's gap exceeds 30 minutes; session id = running count of
+    // session starts (lag + conditional + prefix sum, the manual form of
+    // what session_window/st3 does natively). Order key (user_id, ts) is
+    // verified unique in the fixtures, so frames are deterministic.
+    "ev2_gap_sessions" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val runFrame = byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d).select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(runFrame))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    }),
+
     // AS1: as-of join — each purchase picks up the latest signup "rate"
     // at-or-before its timestamp per user. Oracle is DuckDB's native
     // ASOF LEFT JOIN; our implementation is the union+carry-forward
@@ -179,6 +201,21 @@ object EventQueries {
       """SELECT DISTINCT user_id, event_type,
            make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start
          FROM events""",
+    "ev2_gap_sessions" ->
+      """WITH y AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         z AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM y)
+         SELECT user_id, sess_idx::BIGINT AS sess_idx, count(*)::BIGINT AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts
+         FROM z GROUP BY user_id, sess_idx""",
     "st5_stateful_user_totals" ->
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
          FROM events GROUP BY user_id""",
