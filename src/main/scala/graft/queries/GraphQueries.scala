@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-
 /** Iterative graph computation over relational edge lists — the operator
   * family beyond connected components (Dedup.connectedComponents): rank
   * propagation by repeated join+aggregate, the distributed-graph shape that
@@ -23,42 +21,113 @@ object GraphQueries {
   private val damping = 0.85
   private val iters = 3
 
+  /** Power-iteration PageRank over an (src, dst) edge frame.
+    *
+    * Setup materializes ONE iteration-invariant frame — the edges with
+    * their source's out-degree attached (the standard edge-weight
+    * preprocessing; +8 bytes/edge at any scale) — so each iteration is a
+    * single keyed join (weighted edges ⋈ ranks on src) plus one
+    * per-destination partial aggregation. No explicit repartition: the
+    * checkpointed RDD reports UnknownPartitioning downstream regardless
+    * (measured: a pre-checkpoint repartition is a pure extra shuffle),
+    * and the iteration joins size themselves via AQE — broadcast of the
+    * rank frame at small sf, shuffle join at cluster scale.
+    *
+    * @param edges           directed (src, dst) edge frame
+    * @param iters           maximum power iterations
+    * @param damping         PageRank damping factor
+    * @param tol             optional convergence stop: terminate once the
+    *                        max |pr − prev_pr| over all nodes falls below
+    *                        it. Each check is one scalar-only driver
+    *                        action per iteration, so leave it None (fixed
+    *                        iteration count, fully lazy chain) when the
+    *                        count is small and known.
+    * @param checkpointEvery bound the lazy plan depth: every this-many
+    *                        iterations the rank frame is checkpointed (the
+    *                        connectedComponents recipe, Dedup.scala) so a
+    *                        50-iteration run does not analyze a 150-join
+    *                        plan. Between checkpoints the chain stays lazy
+    *                        — at 3 iterations one pipelined job beats
+    *                        three serial checkpoint jobs (measured 4.2s
+    *                        vs 5.7s in round 3).
+    * @param hasDanglingNodes when false (e.g. a symmetrized graph, where
+    *                        every node necessarily receives edges), the
+    *                        per-iteration left join that re-attaches
+    *                        zero-in-degree nodes is skipped — the
+    *                        aggregation output already covers every node.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = GraphQueries.damping,
+               tol: Option[Double] = None, checkpointEvery: Int = 5,
+               hasDanglingNodes: Boolean = true): DataFrame = {
+    val both = edges.localCheckpoint()
+    val deg = both.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // outdeg rides each edge so iterations never re-join the degree frame;
+    // the contribution stays pr/outdeg (NOT a premultiplied 1/outdeg —
+    // that would change the float rounding vs the oracle's division).
+    // Materialize the weighted edges only for deep runs: at few iterations
+    // re-deriving the (broadcast) degree join lazily beats paying a third
+    // checkpoint job (measured 2.3s vs 2.9s warm at sf0.1, iters=3).
+    val weighted0 = both.join(deg, "src")
+    val weighted = if (iters > 4) weighted0.localCheckpoint() else weighted0
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val contrib = weighted
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      val newPr =
+        round(lit(1 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6)
+      val next =
+        if (hasDanglingNodes)
+          nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"), newPr.as("pr"))
+        else
+          contrib.select(col("dst").as("node"), newPr.as("pr"))
+      // A convergence check materializes the frame anyway, so checkpoint
+      // on every checked iteration; otherwise only at the depth bound.
+      val bounded =
+        if (tol.isDefined || i % checkpointEvery == 0) next.localCheckpoint()
+        else next
+      tol.foreach { t =>
+        val delta = bounded
+          .join(ranks.withColumnRenamed("pr", "prev"), "node")
+          .agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
+        if (delta < t) converged = true
+      }
+      ranks = bounded
+    }
+    ranks
+  }
+
   val queries: Map[String, Q] = Map(
     // PR1: PageRank over the bipartite order↔supplier graph (edges from
     // lineitem, both directions so no node dangles), `iters` power
     // iterations from rank 1.0, supplier ranks out. The graph analog of
-    // "which suppliers sit at the center of the order flow".
+    // "which suppliers sit at the center of the order flow". tol stays
+    // None here so the unrolled-CTE oracle replays the exact iteration
+    // count; GraphSpec pins the tol/deep-iteration faces.
+    //
+    // Node ids are LONG-encoded (even = order, odd = supplier) through
+    // every iteration — the joins and aggregations hash 8-byte keys, not
+    // strings — and only the final supplier rows format the 's<k>' label
+    // the oracle emits.
     "pr1_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.Tables.lineitem(s, d)
       val edges = li.select(
-        concat(lit("o"), col("l_orderkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
-      // localCheckpoint the ITERATION-INVARIANT frames only (edges +
-      // degrees): every iteration re-joins them, so they materialize once.
-      // The rank chain itself stays LAZY — at 3 iterations one pipelined
-      // job beats three serial checkpoint jobs (measured 4.2s vs 5.7s);
-      // a many-iteration caller would re-add periodic rank checkpoints,
-      // the connectedComponents recipe, to bound plan depth.
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       val both = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(8, col("src"))
-        .localCheckpoint()
-      val deg = both.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .localCheckpoint()
-      val nodes = deg.select(col("src").as("node"))
-      val ranks = (1 to iters).foldLeft(nodes.withColumn("pr", lit(1.0))) {
-        (r, _) =>
-          val contrib = both
-            .join(r, col("src") === col("node"))
-            .join(deg, "src")
-            .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-            .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-          nodes.join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"),
-              round(lit(1 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6)
-                .as("pr"))
-      }
-      ranks.filter(col("node").startsWith("s"))
+      pageRank(both, iters, hasDanglingNodes = false)
+        .filter(col("node") % 2 === 1)
+        .select(
+          concat(lit("s"), ((col("node") - 1) / 2).cast("bigint")).as("node"),
+          col("pr"))
     })
   )
 
