@@ -407,6 +407,48 @@ object AdvancedQueries {
         .filter(col("n") > 0)
     }),
 
+    // CDC incremental maintenance for NON-invertible aggregates — max
+    // doesn't survive deletes the way sum/count do (cdc2's signed-delta
+    // merge can't "subtract" a max), so the standard production answer:
+    // recompute ONLY the groups the delta touches (semi-join the new
+    // snapshot against the touched-group keys) and carry every untouched
+    // base row over verbatim. Groups are per-customer (thousands of them)
+    // and the change carves are rare (~3% of keys), so at any scale the
+    // recompute side is a small fraction of the table — the ORACLE is the
+    // full recompute, proving touched-only ∪ untouched ≡ direct.
+    "cdc3_noninvertible_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      val bumped = round(
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")) * 100).cast("bigint")
+      val prev = o.filter(col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("g"), cents.as("v"))
+      val next = o.filter(col("o_orderkey") % 103 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("g"), bumped.as("v"))
+      // the materialized aggregate over the old snapshot
+      val base = prev.groupBy("g").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("total_cents"),
+        max(col("v")).as("max_cents"))
+      // key-level diff → the distinct groups touched on EITHER side of a
+      // change (a moved row dirties both its old and its new group)
+      val pj = prev.select(col("k"), col("g").as("g_old"), col("v").as("v_old"))
+      val nj = next.select(col("k"), col("g").as("g_new"), col("v").as("v_new"))
+      val touched = pj.join(nj, Seq("k"), "full")
+        .filter(col("g_old").isNull || col("g_new").isNull ||
+          col("v_old") =!= col("v_new") || col("g_old") =!= col("g_new"))
+        .select(explode(array(col("g_old"), col("g_new"))).as("g"))
+        .filter(col("g").isNotNull).distinct()
+      // recompute only the touched groups from the new snapshot; a touched
+      // group with zero surviving rows correctly vanishes here
+      val recomputed = next.join(touched, Seq("g"), "left_semi")
+        .groupBy("g").agg(
+          count(lit(1)).as("n"), sum(col("v")).as("total_cents"),
+          max(col("v")).as("max_cents"))
+      val untouched = base.join(touched, Seq("g"), "left_anti")
+      untouched.unionByName(recomputed)
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one ship-month.
     "q14_promo_share" -> ((s, d) => {
       val l = Tables.lineitem(s, d).filter(
@@ -869,6 +911,15 @@ object AdvancedQueries {
                          ELSE o_totalprice END) * 100)::BIGINT AS v
            FROM orders WHERE o_orderkey % 3 != 0)
          SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents
+         FROM next GROUP BY g""",
+    "cdc3_noninvertible_agg" ->
+      """WITH next AS (
+           SELECT o_custkey AS g,
+             round((CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END) * 100)::BIGINT AS v
+           FROM orders WHERE o_orderkey % 103 != 0)
+         SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents,
+           max(v) AS max_cents
          FROM next GROUP BY g""",
     "q14_promo_share" ->
       """SELECT round(

@@ -96,6 +96,21 @@ object TextQueries {
       Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
     }),
 
+    // D3b: the SAME candidate generation, but from PERSISTED signatures —
+    // the SCALE.md claim ("signatures would be persisted columns at
+    // 100 TB") made executable: the band keys are written as a bucketed
+    // catalog table keyed on band_key (Storage.replaceBucketed), so the
+    // candidate bucket-aggregation reads the bucket layout with NO
+    // exchange (plan-asserted in StorageSpec) and a re-run never repeats
+    // the md5 signature pass. Oracle = d3's: layout must not change
+    // results.
+    "d3b_lsh_candidates_persisted" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      graft.sources.Storage.replaceBucketed(
+        Dedup.lshBandKeys(sigs, "doc_id", "sig"), "d3b_band_keys", "band_key", 8)
+      Dedup.candidatePairs(s.table("d3b_band_keys"), "doc_id")
+    }),
+
     // D4: true n-gram Jaccard on a bounded id range (verification stage of
     // the MinHash pipeline; exact set semantics).
     "d4_ngram_jaccard" -> ((s, d) => {
@@ -385,6 +400,21 @@ object TextQueries {
   }
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
 
+  // Shared by d3 and d3b: identical candidate semantics, different storage.
+  private lazy val lshPairsOracle =
+    s"""WITH t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       pairs AS (
+         SELECT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id)
+       SELECT DISTINCT a, b FROM pairs"""
+
   // Oracle mirror of the d5 simhash, as a reusable CTE body.
   private val simhashCte =
     """SELECT doc_id,
@@ -525,19 +555,9 @@ object TextQueries {
     "d2_minhash_signature" ->
       s"""WITH t AS ($shingleCte)
          SELECT doc_id, $minhashSigExpr AS sig FROM t""",
-    "d3_lsh_candidate_pairs" ->
-      s"""WITH t AS ($shingleCte),
-         sigs AS (
-           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-           FROM t),
-         bands AS (
-           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
-           FROM sigs, unnest(range(0, 4)) u(i)),
-         pairs AS (
-           SELECT l.doc_id AS a, r.doc_id AS b
-           FROM bands l JOIN bands r USING (band_key)
-           WHERE l.doc_id < r.doc_id)
-         SELECT DISTINCT a, b FROM pairs""",
+    "d3_lsh_candidate_pairs" -> lshPairsOracle,
+    // same SQL: the bucketed layout must be invisible to results
+    "d3b_lsh_candidates_persisted" -> lshPairsOracle,
     "d7_dedup_survivors" ->
       s"""WITH RECURSIVE t AS ($shingleCte),
          sigs AS (

@@ -35,9 +35,15 @@ object Storage {
     */
   def replaceBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    // DROP deletes a managed table's own files; what it can't clear is an
+    // ORPHAN directory from a previous session's catalog. Resolve where a
+    // new managed table will land via the catalog itself (handles db
+    // qualifiers and the current database — a hand-built
+    // <warehouse>/<name> path would miss both) and clear that.
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     writeBucketed(df, table, bucketCol, buckets)

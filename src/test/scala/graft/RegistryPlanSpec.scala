@@ -68,6 +68,16 @@ class RegistryPlanSpec extends SparkSpec {
       }
   }
 
+  test("cdc3 scopes its recompute with a semi-join, never a full re-aggregation") {
+    val plan = SparkEntry.queries("cdc3_noninvertible_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // the touched-group scoping must survive optimization as LeftSemi /
+    // LeftAnti joins — losing either silently degrades to recomputing (or
+    // double-counting) the world
+    assert(plan.contains("LeftSemi"), s"cdc3 lost the touched-group semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"cdc3 lost the untouched-base anti-join:\n$plan")
+  }
+
   test("headline scans keep predicate pushdown and column pruning") {
     // SCALE.md claims "filters + column pruning reach the parquet reader";
     // these assertions make the claim a regression gate instead of a

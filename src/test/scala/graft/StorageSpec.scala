@@ -28,6 +28,47 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("persisted band-key table feeds the candidate aggregation without an exchange (d3b)") {
+    import spark.implicits._
+    val bandKeys = Seq(
+      (1L, "0:aa"), (2L, "0:aa"), (3L, "0:bb"), (1L, "1:cc"), (4L, "1:cc"))
+      .toDF("doc_id", "band_key")
+    Storage.replaceBucketed(bandKeys, "t_bands", "band_key", 4)
+    // the d3b candidate shape: bucket-aggregate on the bucketed key — the
+    // scan's bucket layout must satisfy the aggregation's distribution, so
+    // NO shuffle sits between read and groupBy
+    val agg = spark.table("t_bands")
+      .groupBy("band_key").agg(collect_set(col("doc_id")).as("ids"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed band-key aggregation must not shuffle:\n$plan")
+    // and the full candidate expansion still produces the right pairs
+    val pairs = graft.dedup.Dedup.candidatePairs(spark.table("t_bands"), "doc_id")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L), (1L, 4L)))
+  }
+
+  test("replaceBucketed clears a same-named orphan in a database-qualified location") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS altdb")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    // simulate a previous session's leftovers: files sitting at the
+    // db-qualified managed location with NO catalog entry — the case a
+    // <warehouse>/<name> path reconstruction misses (the real dir is
+    // <warehouse>/altdb.db/t_orphan), failing with LOCATION_ALREADY_EXISTS
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("altdb.t_orphan")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "junk")).close()
+    Storage.replaceBucketed(df, "altdb.t_orphan", "k", 2)
+    assert(spark.table("altdb.t_orphan").count() == 1)
+    // and replace-over-existing still works with the qualified name
+    Storage.replaceBucketed(df, "altdb.t_orphan", "k", 2)
+    assert(spark.table("altdb.t_orphan").count() == 1)
+  }
+
   test("z-order layout skips more files than a single-column sort on the off-axis predicate") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.01")
       .select(col("o_orderkey"), col("o_totalprice"),
