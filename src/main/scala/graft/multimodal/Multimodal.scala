@@ -224,6 +224,47 @@ object Multimodal {
     }
   }
 
+  /** Per-frame features from a frame walk. */
+  case class FrameFeatures(
+      id: Long, frame_idx: Int, width: Int, height: Int, rgb00: Int)
+
+  /** Walk EVERY frame of each video payload and emit one row per frame —
+    * the per-frame feature-extraction shape (thumbnail hashing, shot
+    * detection, frame-level captioning input) through the same imageio
+    * seam as [[GifVideoDecoder]]: frame index, decoded dimensions, and the
+    * (0,0) pixel's 24-bit RGB as the stand-in "feature". Non-video and
+    * unparseable payloads contribute no rows (the per-frame analog of the
+    * stub fallback: a corrupt blob must not kill the task). The row
+    * explosion happens executor-side inside flatMap — payload bytes never
+    * move, only the metadata-sized frame rows do.
+    */
+  def walkFrames(media: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      if (m.kind != "video") Iterator.empty
+      else
+        try {
+          val ios = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(ios)
+          if (!readers.hasNext) { ios.close(); Iterator.empty }
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(ios)
+              // strict materialization: frames must be read before dispose
+              (0 until r.getNumImages(true)).map { f =>
+                val img = r.read(f)
+                FrameFeatures(m.id, f, img.getWidth, img.getHeight,
+                  img.getRGB(0, 0) & 0xFFFFFF)
+              }
+            } finally { r.dispose(); ios.close() }
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    }
+  }
+
   /** Fixture stand-in: wrap the documents table's text as binary payloads
     * (kind round-robins over media types by id).
     */

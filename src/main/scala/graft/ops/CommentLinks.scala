@@ -49,7 +49,7 @@ object CommentLinks {
     * comments-per-video" and "bounded by total comment TEXT per video" at
     * 100 TB.
     */
-  private case class Marker(
+  private[ops] case class Marker(
       id: Long, video_id: Long, created_at: Timestamp,
       deleted_at: Option[Timestamp], k: Int)
 
@@ -93,6 +93,90 @@ object CommentLinks {
       .flatMapGroups { (_, it) => linkMarkers(it.map(toMarker).toArray.sortBy(_.id)) }
       .toDF()
   }
+
+  /** The PATHOLOGICAL-group escape hatch SCALE.md documents: a fully
+    * streaming replay whose retained history is bounded by caret
+    * visibility instead of group size. [[link]] materializes one marker
+    * array per video — fine to ~millions of comments; a single video at
+    * 100 TB could hold more than a task's memory.
+    *
+    * Truncation rule (the "caret-free cut point", made precise): a marker
+    * may be dropped from the front of the history once at least
+    * `maxCaretDepth` NEVER-deleted markers follow it. A never-deleted
+    * comment is visible to every later reply, so any future backward scan
+    * with k ≤ maxCaretDepth finds its k-th visible predecessor among those
+    * and never crosses the cut — dropped history is unreachable, equality
+    * with the monolithic replay is exact (CommentLinksSpec + property).
+    * Runs of never-deleted comments therefore let the history collapse to
+    * ~maxCaretDepth markers; only a long run of EARLY-deleted comments
+    * (which genuinely remain skippable) forces retention, because a reply
+    * after such a run really can link arbitrarily far back.
+    *
+    * A comment whose caret run exceeds `maxCaretDepth` fails fast with the
+    * offending id — with truncated history its link would be silently
+    * wrong, and a bound on caret depth is the contract that makes
+    * streaming replay possible at all (pick it ≥ the corpus max; carets
+    * are typed by hand, the reference has no cap but real depth is tiny).
+    */
+  def linkStreaming(ds: Dataset[CommentRow], maxCaretDepth: Int = 64): DataFrame = {
+    val spark = ds.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // secondary sort: one exchange on video_id, per-partition sort by
+    // (video_id, id) — groups arrive as consecutive sorted runs, so the
+    // stream never holds anything but the bounded history
+    ds.repartition(col("video_id"))
+      .sortWithinPartitions("video_id", "id")
+      .mapPartitions(it => linkMarkerStream(it.map(toMarker), maxCaretDepth))
+      .toDF()
+  }
+
+  /** Per-partition streaming core of [[linkStreaming]]: input is
+    * consecutive video runs, each sorted by id.
+    */
+  private[ops] def linkMarkerStream(rows: Iterator[Marker],
+      maxCaretDepth: Int): Iterator[LinkedComment] = {
+    val history = new scala.collection.mutable.ArrayDeque[Marker]()
+    var live = 0 // never-deleted markers currently in history
+    var curVideo = Long.MinValue
+    var first = true
+    rows.map { m =>
+      if (first || m.video_id != curVideo) {
+        curVideo = m.video_id; history.clear(); live = 0; first = false
+      }
+      require(m.k <= maxCaretDepth,
+        s"comment ${m.id}: caret depth ${m.k} exceeds maxCaretDepth=$maxCaretDepth — " +
+          "raise the bound or use the monolithic link()")
+      var found: Option[Long] = None
+      if (m.k > 0) {
+        var need = m.k
+        var j = history.length - 1
+        while (j >= 0 && need > 0) {
+          val prev = history(j)
+          if (!prev.deleted_at.exists(_.before(m.created_at))) {
+            need -= 1
+            if (need == 0) found = Some(prev.id)
+          }
+          j -= 1
+        }
+      }
+      history.append(m)
+      if (m.deleted_at.isEmpty) live += 1
+      // drop the unreachable prefix: everything before the point where
+      // maxCaretDepth never-deleted markers still follow
+      while (live - (if (history.head.deleted_at.isEmpty) 1 else 0) >= maxCaretDepth) {
+        if (history.removeHead().deleted_at.isEmpty) live -= 1
+      }
+      LinkedComment(m.id, m.video_id, found)
+    }
+  }
+
+  /** [[linkMarkerStream]] over one in-memory group — the testable face the
+    * equality property drives against [[linkGroup]].
+    */
+  def linkGroupStreaming(rows: Array[CommentRow],
+      maxCaretDepth: Int = 64): Iterator[LinkedComment] =
+    linkMarkerStream(rows.iterator.map(toMarker), maxCaretDepth)
 
   /** SURVEY §2.7's option (b): the same semantics as a window expression —
     * collect each comment's predecessors, filter to the ones visible at

@@ -38,6 +38,22 @@ object EventQueries {
       CommentLinks.link(synthComments(s, d).as[CommentLinks.CommentRow])
     }),
 
+    // X1b — SURVEY §2.7's option (b) under the driver's gate: the same
+    // deletion-aware variable-lag semantics as a window expression
+    // (collect visible predecessors, k-th from the end). Same oracle as
+    // x1: both faithful routes stay pinned.
+    "x1b_response_linking_window" -> ((s, d) =>
+      CommentLinks.linkViaWindow(synthComments(s, d))),
+
+    // X1c — the pathological-group streaming form: secondary sort on
+    // (video_id, id) + bounded-history replay (history truncates behind
+    // maxCaretDepth never-deleted markers, which no future backward scan
+    // can cross). Same oracle again: all three routes must agree.
+    "x1c_response_linking_streaming" -> ((s, d) => {
+      import s.implicits._
+      CommentLinks.linkStreaming(synthComments(s, d).as[CommentLinks.CommentRow])
+    }),
+
     "st1_tumbling_window" -> ((s, d) =>
       EventStreams.tumblingStats(Tables.events(s, d))),
 
@@ -157,23 +173,30 @@ object EventQueries {
               ELSE NULL END AS deleted_at
        FROM events"""
 
+  // The backward skip-scan replayed relationally: collect all previous
+  // (id, deleted_at) per video, filter to the ones visible at reply time,
+  // take the k-th from the end. Negative list index past the start -> NULL.
+  // Shared by x1/x1b/x1c: three physical routes, one semantics.
+  private lazy val x1Oracle =
+    s"""WITH c AS ($commentsCte),
+       w AS (
+         SELECT id, video_id, created_at, k,
+           list(struct_pack(pid := id, pdel := deleted_at))
+             OVER (PARTITION BY video_id ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         FROM c)
+       SELECT id, video_id,
+         CASE WHEN k > 0 THEN
+           list_filter(prev, x -> x.pdel IS NULL OR x.pdel >= created_at)[-k].pid
+         ELSE NULL END AS response_to
+       FROM w"""
+
   val oracles: Map[String, String] = Map(
-    // The backward skip-scan replayed relationally: collect all previous
-    // (id, deleted_at) per video, filter to the ones visible at reply time,
-    // take the k-th from the end. Negative list index past the start -> NULL.
-    "x1_response_linking" ->
-      s"""WITH c AS ($commentsCte),
-         w AS (
-           SELECT id, video_id, created_at, k,
-             list(struct_pack(pid := id, pdel := deleted_at))
-               OVER (PARTITION BY video_id ORDER BY id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-           FROM c)
-         SELECT id, video_id,
-           CASE WHEN k > 0 THEN
-             list_filter(prev, x -> x.pdel IS NULL OR x.pdel >= created_at)[-k].pid
-           ELSE NULL END AS response_to
-         FROM w""",
+    "x1_response_linking" -> x1Oracle,
+    // identical semantics through the window route (option b)
+    "x1b_response_linking_window" -> x1Oracle,
+    // and through the bounded-history streaming route
+    "x1c_response_linking_streaming" -> x1Oracle,
     "st1_tumbling_window" ->
       """SELECT make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start,
            event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS total_value

@@ -100,6 +100,31 @@ object MediaQueries {
           col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"),
           col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
+    // MM7: per-frame walk of the same synthesized GIFs — one row per
+    // contained frame with its decoded dims and the (0,0) pixel payload
+    // (synthesizeGif stores the frame index there). The oracle knows only
+    // the closed-form arithmetic, so the hash can match ONLY if every
+    // frame of a real multi-frame container was decoded and its pixels
+    // read — mm6 proves the container walk, mm7 proves per-frame pixel
+    // access through the same seam.
+    "mm7_frame_walk" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "video", Multimodal.synthesizeGif(
+            width = (id % 32 + 1).toInt, height = (id % 24 + 1).toInt,
+            nFrames = (id % 5 + 1).toInt))
+        }
+      Multimodal.walkFrames(media)
+        .toDF()
+        .select(col("id"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("rgb00").cast("bigint").as("rgb00"))
     })
   )
 
@@ -136,6 +161,13 @@ object MediaQueries {
            (doc_id % 32 + 1)::BIGINT AS width,
            (doc_id % 24 + 1)::BIGINT AS height,
            (doc_id % 5 + 1)::BIGINT AS n_frames
-         FROM documents WHERE doc_id < 200"""
+         FROM documents WHERE doc_id < 200""",
+    "mm7_frame_walk" ->
+      """SELECT doc_id AS id, i::BIGINT AS frame_idx,
+           (doc_id % 32 + 1)::BIGINT AS width,
+           (doc_id % 24 + 1)::BIGINT AS height,
+           i::BIGINT AS rgb00
+         FROM documents, unnest(range(doc_id % 5 + 1)) u(i)
+         WHERE doc_id < 200"""
   )
 }

@@ -310,6 +310,52 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // PIPELINE: the end-to-end LLM-corpus face — quality gate (tx12's
+    // bands) → near-dup survivorship (d7's MinHash/LSH/CC) → benchmark
+    // decontamination (d11's gram join), composed the way a production
+    // corpus build chains them. Documents parquet is scanned ONCE: a
+    // single projection computes the gate signals AND the shingles, is
+    // materialized, and every stage (gate, signatures, benchmark grams,
+    // survivor/contamination joins) reads that frame — at 100 TB this is
+    // the persisted staging table between pipeline phases (the d3b
+    // pattern), not a rescan of raw text per stage.
+    "pipeline_corpus" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_words"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mwl"),
+          round(TextAnalysis.symbolRatio(col("text")), 6).as("sr"),
+          split(col("text"), " ").as("w"))
+        .withColumn("sh", when(size(col("w")) >= 3, Dedup.shingles(col("w"))))
+        .drop("w")
+        .localCheckpoint()
+      // stage 1: quality gate (docs < 20 are the held-out benchmark, never
+      // part of the training corpus)
+      val corpus = base.filter(col("doc_id") >= 20 &&
+          col("n_words").between(40, 100000) &&
+          col("mwl").between(2.0, 12.0) && col("sr") < 0.1)
+        .select(col("doc_id"), col("n_words"), col("sh"))
+      // stage 2: near-dup survivorship among the gated corpus
+      val sigs = Dedup.withMinhashSig(
+        corpus.filter(col("sh").isNotNull), "sh", "sig").select("doc_id", "sig")
+      val dropped = Dedup.connectedComponents(
+          Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id"))
+        .filter(col("cluster") =!= col("doc_id")).select("doc_id")
+      val survivors = corpus.join(dropped, Seq("doc_id"), "left_anti")
+      // stage 3: decontamination — drop survivors sharing any 3-gram with
+      // the benchmark docs
+      val benchGrams = base.filter(col("doc_id") < 20)
+        .select(explode_outer(col("sh")).as("g"))
+        .filter(col("g").isNotNull).distinct()
+      val contaminated = survivors
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .filter(col("g").isNotNull).distinct()
+        .join(benchGrams, "g").select("doc_id").distinct()
+      survivors.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_words"))
+    }),
+
     // CH2: content-defined chunking — boundaries where the rolling 3-gram
     // hash lands in bucket 0 of 8 (Rabin-style CDC, word granularity): edits
     // shift fixed windows but leave most content-defined chunks intact,
@@ -580,6 +626,55 @@ object TextQueries {
            SELECT n FROM reach GROUP BY n HAVING min(m) != n)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT n FROM dropped)""",
+    "pipeline_corpus" ->
+      s"""WITH RECURSIVE sig0 AS (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+             round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE /
+               len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mwl,
+             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE /
+               length(text), 6) AS sr,
+             string_split(text, ' ') AS w
+           FROM documents),
+         base AS (
+           SELECT doc_id, n_words, mwl, sr,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+             END AS sh
+           FROM sig0),
+         corpus AS (
+           SELECT doc_id, n_words, sh FROM base
+           WHERE doc_id >= 20 AND n_words BETWEEN 40 AND 100000
+             AND mwl BETWEEN 2.0 AND 12.0 AND sr < 0.1),
+         sigs AS (
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+           FROM corpus WHERE sh IS NOT NULL),
+         bands AS (
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(n, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         dropped AS (
+           SELECT n FROM reach GROUP BY n HAVING min(m) != n),
+         survivors AS (
+           SELECT doc_id, n_words, sh FROM corpus
+           WHERE doc_id NOT IN (SELECT n FROM dropped)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS g FROM base WHERE doc_id < 20),
+         contaminated AS (
+           SELECT DISTINCT s.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS g FROM survivors) s
+           JOIN bench USING (g))
+         SELECT doc_id, n_words FROM survivors
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE t AS ($shingleCte),
          sigs AS (

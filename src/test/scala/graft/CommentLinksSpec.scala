@@ -125,5 +125,31 @@ class CommentLinksSpec extends SparkSpec {
       val expected = if (k > 0 && l.id - k >= 1) Some(l.id - k) else None
       assert(l.response_to === expected, s"closed-form mismatch at id ${l.id}")
     }
+
+    // the chunked/streaming fallback must agree row-for-row on the same
+    // pathological group — and with a TIGHT bound (maxCaretDepth=4, max
+    // observed k=3) its history stays a few dozen markers deep while the
+    // monolithic replay holds all 100k
+    val streamed = CommentLinks.linkStreaming(comments, maxCaretDepth = 4)
+      .as[LinkedComment].collect()
+    assert(streamed.map(l => l.id -> l.response_to).toMap ===
+      out.map(l => l.id -> l.response_to).toMap)
+  }
+
+  test("streaming replay agrees with the monolithic scan on the edge-case fixture") {
+    import spark.implicits._
+    val streamed = CommentLinks.linkStreaming(spark.createDataset(fixture))
+      .as[LinkedComment].collect().map(l => l.id -> l.response_to).toMap
+    assert(streamed === linked)
+  }
+
+  test("streaming replay fails fast when a caret run exceeds the bound") {
+    val rows = Array(
+      row(1, 1, "a", "2024-01-01 10:00:00"),
+      row(2, 1, "^^^^^x", "2024-01-01 10:01:00"))
+    val e = intercept[IllegalArgumentException] {
+      CommentLinks.linkGroupStreaming(rows, maxCaretDepth = 3).toList
+    }
+    assert(e.getMessage.contains("caret depth 5"))
   }
 }

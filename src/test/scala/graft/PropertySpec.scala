@@ -65,6 +65,15 @@ object CommentLinkProps extends Properties("commentLinks") {
         out.filter(l => CommentLinks.caretCount(m(l.id).content) == 0)
           .forall(_.response_to.isEmpty)
     }
+
+  // the bounded-history streaming replay must be INDISTINGUISHABLE from the
+  // monolithic scan on any group, including at the tightest legal bound
+  // (generator carets max out at 5) where truncation actually fires
+  property("streaming replay equals monolithic replay at the tightest bound") =
+    forAll(groupGen) { rows =>
+      CommentLinks.linkGroupStreaming(rows, maxCaretDepth = 5).toList ==
+        CommentLinks.linkGroup(rows).toList
+    }
 }
 
 /** The a5 GroupConcatDistinct buffer is a hand-merged sorted-distinct Seq —
