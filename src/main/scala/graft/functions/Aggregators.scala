@@ -61,6 +61,10 @@ object Aggregators {
 
     override def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
       val s = if (b._1.length == 0) new Array[Double](a.length) else b._1
+      // ragged embeddings must fail with a diagnosable message, not an
+      // AIOOBE (shorter row) or a silently truncated tail (longer row)
+      require(a.length == s.length,
+        s"VectorMean: vector of dim ${a.length} in a group of dim ${s.length}")
       var i = 0
       while (i < s.length) { s(i) += a(i); i += 1 }
       (s, b._2 + 1)
@@ -70,6 +74,8 @@ object Aggregators {
       if (x._2 == 0) y
       else if (y._2 == 0) x
       else {
+        require(x._1.length == y._1.length,
+          s"VectorMean: merging partials of dims ${x._1.length} and ${y._1.length}")
         var i = 0
         while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
         (x._1, x._2 + y._2)

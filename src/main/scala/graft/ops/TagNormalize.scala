@@ -83,34 +83,100 @@ object TagNormalize {
         // Bounded: the writer can run at most `capacity` lines ahead of the
         // reader, so retained input is O(1) regardless of partition size.
         val pending = new java.util.concurrent.LinkedBlockingQueue[String](1024)
+        // stderr drainer: a chatty child must never block on a full stderr
+        // pipe; keep a bounded tail for the failure message.
+        val errTail = new StringBuilder
+        val errDrainer = new Thread(() => {
+          val er = new java.io.BufferedReader(new java.io.InputStreamReader(
+            proc.getErrorStream, java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var l = er.readLine()
+            while (l != null) {
+              errTail.synchronized {
+                if (errTail.length < 8192) errTail.append(l).append('\n')
+              }
+              l = er.readLine()
+            }
+          } catch { case _: java.io.IOException => () }
+        }, "graft-pipe-stderr")
+        errDrainer.setDaemon(true)
+        errDrainer.start()
+        // writerOk only flips after the WHOLE partition was consumed and
+        // written: a child that stops reading early (broken pipe) or an
+        // interrupt leaves it false, which end-of-stream validation turns
+        // into an error instead of a silently short result.
+        @volatile var writerOk = false
         val writer = new Thread(() => {
           val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
             proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-          try it.foreach { t => pending.put(t); w.write(t); w.newLine() }
-          finally w.close()
+          try {
+            try it.foreach { t =>
+              // NEVER park on a full queue with unflushed bytes: the child
+              // may not have received the lines the reader is waiting on —
+              // writer (queue full) / reader (no output) / child (no input)
+              // would starve three ways. Flush first, then block.
+              if (!pending.offer(t)) { w.flush(); pending.put(t) }
+              w.write(t); w.newLine()
+            }
+            finally w.close()
+            writerOk = true
+          } catch { case _: java.io.IOException => () }
         }, "graft-pipe-writer")
         writer.setDaemon(true)
         writer.start()
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
         new Iterator[(String, String)] {
-          private var line: String = r.readLine()
-          def hasNext: Boolean = line != null
-          def next(): (String, String) = {
-            val out = line
-            // poll (not take): an extra stdout line with an empty queue means
-            // the command broke the line-per-line contract — fail, don't hang.
-            val tag = pending.poll(600, java.util.concurrent.TimeUnit.SECONDS)
-            require(tag != null,
-              s"pipe command $cmd emitted more lines than inputs (zip desync)")
-            line = r.readLine()
-            if (line == null) {
-              writer.join()
-              val code = proc.waitFor()
-              require(code == 0, s"pipe command $cmd exited with $code")
-              require(pending.isEmpty,
-                s"pipe command $cmd emitted fewer lines than inputs (zip desync)")
+          private var nextLine: String = null
+          private var primed = false
+          private var validated = false
+
+          // End-of-stream validation lives on the hasNext path so a command
+          // that fails BEFORE emitting any output still errors instead of
+          // yielding an empty partition. By stdout-EOF the writer is either
+          // already finished (normal path: it closed stdin first) or doomed
+          // (child gone; it is parked in pending.put or a dead pipe write) —
+          // a short join then interrupt, never an unbounded join that would
+          // deadlock the task on an under-producing child.
+          private def validate(): Unit = if (!validated) {
+            validated = true
+            writer.join(2000)
+            if (writer.isAlive) { writer.interrupt(); writer.join(10000) }
+            val code = proc.waitFor()
+            val err = errTail.synchronized(errTail.toString)
+            require(code == 0, s"pipe command $cmd exited with $code" +
+              (if (err.nonEmpty) s"; stderr: $err" else ""))
+            require(writerOk && pending.isEmpty,
+              s"pipe command $cmd emitted fewer lines than inputs (zip desync)")
+          }
+
+          private def prime(): Unit = if (!primed) {
+            nextLine = r.readLine()
+            if (nextLine == null) validate()
+            primed = true
+          }
+
+          // An extra stdout line with nothing left to pair against means the
+          // command broke the line-per-line contract — fail, don't hang: the
+          // short poll rechecks whether the writer can still produce a tag.
+          private def takeTag(): String = {
+            var tag: String = null
+            while (tag == null) {
+              tag = pending.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+              if (tag == null && !writer.isAlive && pending.isEmpty)
+                throw new IllegalArgumentException(
+                  s"pipe command $cmd emitted more lines than inputs (zip desync)")
             }
+            tag
+          }
+
+          def hasNext: Boolean = { prime(); nextLine != null }
+          def next(): (String, String) = {
+            prime()
+            if (nextLine == null) throw new NoSuchElementException("end of pipe output")
+            val out = nextLine
+            val tag = takeTag()
+            primed = false
             (tag, out)
           }
         }

@@ -168,6 +168,41 @@ class MigrationSpec extends SparkSpec {
     tags.foreach(t => assert(piped(t) === t.toLowerCase))
   }
 
+  test("e1 pipe: a command that fails before emitting ANY output errors, not an empty result") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => s"t$i").toDF("tag")
+    // exits 1 without producing a single stdout line — the zero-output
+    // failure the pre-round-4 iterator silently turned into 0 rows
+    val e = intercept[org.apache.spark.SparkException] {
+      TagNormalize.normalizeViaPipe(spark, df,
+        Seq("sh", "-c", "echo boom >&2; exit 1")).count()
+    }
+    assert(e.getMessage.contains("exited with 1"))
+    assert(e.getMessage.contains("boom"), "stderr tail must reach the error message")
+  }
+
+  test("e1 pipe: an under-producing command fails instead of deadlocking the writer") {
+    import spark.implicits._
+    // >1024 rows in ONE partition: the writer outruns `head -n 3` by more
+    // than the queue bound, so before round 4 it parked forever in
+    // pending.put and writer.join() hung the task
+    val df = spark.sparkContext.parallelize((1 to 3000).map(i => s"t$i"), 1).toDF("tag")
+    val e = intercept[org.apache.spark.SparkException] {
+      TagNormalize.normalizeViaPipe(spark, df, Seq("head", "-n", "3")).count()
+    }
+    assert(e.getMessage.contains("fewer lines than inputs"))
+  }
+
+  test("e1 pipe: an over-producing command fails on the extra line") {
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(Seq("a", "b"), 1).toDF("tag")
+    val e = intercept[org.apache.spark.SparkException] {
+      TagNormalize.normalizeViaPipe(spark, df,
+        Seq("sh", "-c", "cat; echo extra")).count()
+    }
+    assert(e.getMessage.contains("more lines than inputs"))
+  }
+
   test("jdbc epilogue SQL builders (K2/K3/K4)") {
     assert(JdbcEdges.alterSequenceSql("users", 42L) ===
       "ALTER SEQUENCE users_id_seq RESTART WITH 42")

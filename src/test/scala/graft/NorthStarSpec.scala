@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.dedup.Dedup
+import graft.functions.Aggregators
 import graft.multimodal.Multimodal
 import graft.similarity.VectorOps
 
@@ -259,5 +260,33 @@ class NorthStarSpec extends SparkSpec {
     val wav = Multimodal.MediaRecord(3L, "audio",
       Multimodal.synthesizeWav(sampleRate = 9000, nFrames = 17))
     assert(Multimodal.GifVideoDecoder(wav) === Multimodal.WavDecoder(wav))
+  }
+
+  test("multimodal: per-frame walk reads every frame's pixels") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "video", Multimodal.synthesizeGif(5, 4, 3)),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthesizePng(8, 8, 7)),
+      Multimodal.MediaRecord(3L, "video", "junk".getBytes)))
+    val rows = Multimodal.walkFrames(media).collect().sortBy(f => (f.id, f.frame_idx))
+    // video 1: one row per frame, pixel (0,0) carries the frame index;
+    // non-video and unparseable payloads contribute nothing
+    assert(rows.map(_.id).toSeq === Seq(1L, 1L, 1L))
+    assert(rows.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(rows.forall(f => f.width === 5 && f.height === 4))
+    assert(rows.map(_.rgb00).toSeq === Seq(0, 1, 2))
+  }
+
+  test("vector mean: ragged embeddings fail fast with the dimension message") {
+    import spark.implicits._
+    val vm = org.apache.spark.sql.functions.udaf(new Aggregators.VectorMean)
+    val ok = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0))).toDF("k", "v")
+      .groupBy("k").agg(vm(org.apache.spark.sql.functions.col("v")).as("m"))
+      .collect().head.getSeq[Double](1)
+    assert(ok === Seq(2.0, 3.0))
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0))).toDF("k", "v")
+      .groupBy("k").agg(vm(org.apache.spark.sql.functions.col("v")).as("m"))
+    val e = intercept[org.apache.spark.SparkException] { ragged.collect() }
+    assert(e.getMessage.contains("VectorMean"), s"unexpected: ${e.getMessage}")
   }
 }
