@@ -247,6 +247,117 @@ object AdvancedQueries {
           .as("mkt_share"))
     }),
 
+    // TPC-H Q2 shape (adapted: the fixture has no partsupp, so "min supply
+    // cost" becomes "max account balance" over the suppliers that actually
+    // ship the part — same correlated groupwise-extreme subquery, replayed
+    // as an equi-join back against the per-part aggregate, q15's pattern).
+    // Dimension order: region-filtered suppliers and the size-filtered
+    // parts both reduce BEFORE meeting the distinct part-supplier pairs.
+    "q2_best_supplier" -> ((s, d) => {
+      val euro = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val cand = Tables.part(s, d).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+        .join(pairs, col("p_partkey") === col("l_partkey"))
+        .join(euro, col("l_suppkey") === col("s_suppkey"))
+      val best = cand.groupBy(col("p_partkey").as("bp"))
+        .agg(max(col("s_acctbal")).as("best_bal"))
+      cand.join(best, col("p_partkey") === col("bp") && col("s_acctbal") === col("best_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+    }),
+
+    // TPC-H Q9 shape: profit per (supplier nation, order year) for one part
+    // family — the widest join in TPC-H (lineitem meets part, supplier,
+    // nation, orders). Cost side adapted to p_retailprice (no partsupp);
+    // the filtered part family broadcasts, the supplier→nation dimension
+    // broadcasts, orders join on the fact key.
+    "q9_product_profit" -> ((s, d) => {
+      val gearParts = Tables.part(s, d).filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * 0.1), 2).as("sum_profit"))
+    }),
+
+    // TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of the
+    // global aggregate — one keyed agg, one 1-row global scalar broadcast,
+    // a HAVING-style filter. Value adapted to nation-restricted lineitem
+    // revenue per part (no partsupp).
+    "q11_important_parts" -> ((s, d) => {
+      val n2supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(n2supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      val threshold = vals.agg((sum(col("v")) * 0.001).as("thr"))
+      vals.crossJoin(broadcast(threshold))
+        .filter(col("v") > col("thr"))
+        .select(col("l_partkey"), round(col("v"), 2).as("value"))
+    }),
+
+    // TPC-H Q16 shape: count DISTINCT suppliers per part group, excluding a
+    // blacklist via anti-join ("complaints" adapted to negative account
+    // balance). The distinct pair projection feeds a count-distinct
+    // aggregation; the tiny exclusion set broadcasts.
+    "q16_supplier_counts" -> ((s, d) => {
+      val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#2" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .join(pairs, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("bigint").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape: the nested semi-join chain — suppliers (from one
+    // nation) qualified by an aggregate threshold over their shipments of
+    // one part family in one year ("availqty > half of shipped" adapted to
+    // a shipped-quantity floor; no partsupp). The qualifying set is built
+    // innermost-out and probes the supplier dimension as a left-semi join.
+    "q20_promotable_suppliers" -> ((s, d) => {
+      val redParts = Tables.part(s, d).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val qualified = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 50)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+    }),
+
     // TPC-H Q15 shape: the top supplier(s) by quarterly revenue. The max is
     // attached by an EQUI-join on the (rounded) revenue value against a
     // 1-row aggregate — a BroadcastHashJoin, not a nested-loop theta join.
@@ -852,6 +963,60 @@ object AdvancedQueries {
          SELECT s_suppkey, s_name, total_revenue
          FROM supplier JOIN rev ON s_suppkey = l_suppkey
          WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "q2_best_supplier" ->
+      """WITH euro AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         cand AS (
+           SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+           FROM part JOIN pairs ON p_partkey = l_partkey
+           JOIN euro ON l_suppkey = s_suppkey
+           WHERE p_size = 15),
+         best AS (SELECT p_partkey AS bp, max(s_acctbal) AS best_bal
+                  FROM cand GROUP BY p_partkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM cand JOIN best ON p_partkey = bp AND s_acctbal = best_bal""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2""",
+    "q11_important_parts" ->
+      """WITH vals AS (
+           SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_2'
+           GROUP BY l_partkey)
+         SELECT l_partkey, round(v, 2) AS value FROM vals
+         WHERE v > (SELECT sum(v) * 0.001 FROM vals)""",
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+         FROM part
+         JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ON p_partkey = l_partkey
+         WHERE p_brand != 'Brand#2' AND p_type != 'PROMO'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "q20_promotable_suppliers" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1' AND s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+             AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+           GROUP BY l_suppkey HAVING sum(l_quantity) > 50)""",
     "q21_waiting_supplier" ->
       """SELECT s_name, count(*)::BIGINT AS numwait
          FROM lineitem l1
