@@ -310,6 +310,44 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // BPE1: byte-pair-encoding merge training — THE tokenizer-training
+    // primitive: k rounds of (count adjacent symbol pairs across the
+    // corpus, weighted by word frequency; merge the globally most frequent
+    // pair everywhere). Each round is one keyed aggregation + a 1-row
+    // driver collect (the scalar-only pattern of connectedComponents /
+    // pageRank-tol); the merge itself is a per-row regex pass. MERGE
+    // SEMANTICS, pinned: leftmost non-overlapping replacement of the
+    // space-delimited pair — java.util.regex and RE2 replace identically,
+    // so the DuckDB replay (per-iteration generated CTEs computing the
+    // same argmax pair) is exact. Corpus bounded to the top-2000 alpha
+    // words by (freq, word) — deterministic, and vocab training never
+    // needs the tail. Output: the symbol vocabulary after k merges.
+    "bpe1_merge_vocab" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(bpeWords)
+      var seqs = words.withColumn("seq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+        .localCheckpoint()
+      (1 to bpeIters).foreach { _ =>
+        val top = seqs
+          .select(col("n"), split(trim(col("seq")), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("n"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("pair"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .collect().head.getString(0)
+        seqs = seqs.withColumn("seq",
+          regexp_replace(col("seq"), " " + top + " ", " " + top.replace(" ", "") + " "))
+      }
+      seqs.select(col("n"), explode(split(trim(col("seq")), " ")).as("symbol"))
+        .groupBy("symbol").agg(sum(col("n")).as("total_n"))
+    }),
+
     // PIPELINE: the end-to-end LLM-corpus face — quality gate (tx12's
     // bands) → near-dup survivorship (d7's MinHash/LSH/CC) → benchmark
     // decontamination (d11's gram join), composed the way a production
@@ -445,6 +483,48 @@ object TextQueries {
     s"list_min(list_transform(sh, s -> substr(md5('${j / 2}|' || s), ${1 + 16 * (j % 2)}, 15)))"
   }
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
+
+  /** BPE constants: ONE pair of constants drives both the Spark loop and
+    * the generated per-iteration oracle CTEs (the pr1/v4b pattern).
+    */
+  private val bpeIters = 3
+  private val bpeWords = 2000
+
+  /** bpe1 oracle: it{j} applies the argmax pair of p{j} (computed by the
+    * same weighted adjacent-pair count and (cnt DESC, pair) tie-break as
+    * the Spark side) to it{j-1}; the final vocab aggregates it{iters}.
+    */
+  private def bpeOracle(iters: Int): String = {
+    val head =
+      s"""WITH words AS (
+           SELECT word, count(*)::BIGINT AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE regexp_full_match(word, '[a-z]+')
+           GROUP BY word ORDER BY n DESC, word LIMIT $bpeWords),
+         it0 AS (
+           SELECT word, n, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM words)"""
+    val iterations = (1 to iters).map { j =>
+      s""",
+         p$j AS (
+           SELECT pair FROM (
+             SELECT t[i+1] || ' ' || t[i+2] AS pair, sum(n) AS cnt
+             FROM (SELECT n, string_split(trim(seq), ' ') AS t FROM it${j - 1}),
+                  unnest(range(len(t) - 1)) u(i)
+             GROUP BY 1)
+           ORDER BY cnt DESC, pair LIMIT 1),
+         it$j AS (
+           SELECT word, n, regexp_replace(seq,
+             ' ' || (SELECT pair FROM p$j) || ' ',
+             ' ' || replace((SELECT pair FROM p$j), ' ', '') || ' ', 'g') AS seq
+           FROM it${j - 1})"""
+    }.mkString
+    head + iterations +
+      s"""
+         SELECT symbol, sum(n)::BIGINT AS total_n FROM (
+           SELECT n, unnest(string_split(trim(seq), ' ')) AS symbol FROM it$iters)
+         GROUP BY symbol"""
+  }
 
   // Shared by d3 and d3b: identical candidate semantics, different storage.
   private lazy val lshPairsOracle =
@@ -601,6 +681,7 @@ object TextQueries {
     "d2_minhash_signature" ->
       s"""WITH t AS ($shingleCte)
          SELECT doc_id, $minhashSigExpr AS sig FROM t""",
+    "bpe1_merge_vocab" -> bpeOracle(bpeIters),
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,
