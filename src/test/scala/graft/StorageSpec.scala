@@ -102,6 +102,39 @@ class StorageSpec extends SparkSpec {
     assert(zTouched < sTouched, s"z=$zTouched sorted=$sTouched")
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // The third scan-reduction lever besides static pushdown and partition
+    // pruning: Catalyst injects a bloom filter built from the FILTERED dim
+    // side into the fact scan, so fact rows failing the join key test die
+    // at the scan. Local fixtures are below the size thresholds that gate
+    // the optimization on a cluster — zero them to plan what a 100 TB scan
+    // would plan.
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_quantity").write.mode("overwrite").parquet(s"$dir/fact")
+    Tables.orders(spark, "/root/testdata/sf0.01")
+      .select("o_orderkey", "o_orderpriority").write.mode("overwrite").parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("schema evolution: mergeSchema unions batch schemas, old rows get nulls") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
