@@ -310,6 +310,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // TX14: vocabulary coverage cutoff — the minimal frequency-ranked
+    // vocabulary covering 95% of corpus token occurrences (the classic
+    // vocab-size/coverage tradeoff curve behind every tokenizer decision).
+    // One corpus-keyed aggregation; the cumulative share is a global-order
+    // window over the VOCAB (distinct words), which is vocab-sized, not
+    // corpus-sized — fine on one partition even when the corpus is 100 TB.
+    "tx14_vocab_coverage" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val freqs = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val total = freqs.agg(sum(col("n")).as("tot"))
+      freqs.crossJoin(broadcast(total))
+        .withColumn("cum", sum(col("n")).over(w))
+        .filter((col("cum") - col("n")).cast("double") / col("tot") < 0.95)
+        .select(col("word"), col("n"),
+          round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+    }),
+
     // BPE1: byte-pair-encoding merge training — THE tokenizer-training
     // primitive: k rounds of (count adjacent symbol pairs across the
     // corpus, weighted by word frequency; merge the globally most frequent
@@ -681,6 +703,20 @@ object TextQueries {
     "d2_minhash_signature" ->
       s"""WITH t AS ($shingleCte)
          SELECT doc_id, $minhashSigExpr AS sig FROM t""",
+    "tx14_vocab_coverage" ->
+      """WITH freqs AS (
+           SELECT word, count(*)::BIGINT AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word != '' GROUP BY word),
+         tot AS (SELECT sum(n) AS t FROM freqs),
+         ranked AS (
+           SELECT word, n,
+             sum(n) OVER (ORDER BY n DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM freqs)
+         SELECT word, n, round(cum::DOUBLE / t, 6) AS cum_share
+         FROM ranked, tot
+         WHERE (cum - n)::DOUBLE / t < 0.95""",
     "bpe1_merge_vocab" -> bpeOracle(bpeIters),
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results

@@ -26,6 +26,7 @@ class RegistryPlanSpec extends SparkSpec {
     "tx10_bigram_loglik" -> "cross join is a single broadcast scalar (corpus bigram total)",
     "q22_idle_balances" -> "cross join is a single broadcast scalar (positive-balance average)",
     "q11_important_parts" -> "cross join is a single broadcast scalar (global value threshold)",
+    "tx14_vocab_coverage" -> "cross join is a single broadcast scalar (corpus token total)",
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
