@@ -1,6 +1,7 @@
 object ShowPlan {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -62,22 +62,23 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   val name = "graft_dot"
 
+  /** Shared by [[register]] and [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+    // Coerce numeric arrays so SQL callers get analysis-time errors
+    // instead of runtime ClassCastExceptions.
+    val arrD = org.apache.spark.sql.types.ArrayType(DoubleType)
+    DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), arrD),
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), arrD))
+  }
+
   /** Register in the session's function registry (also exposes the function
     * to SQL: `SELECT graft_dot(a, b)`). Idempotent.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => {
-        require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
-        // Coerce numeric arrays so SQL callers get analysis-time errors
-        // instead of runtime ClassCastExceptions.
-        val arrD = org.apache.spark.sql.types.ArrayType(DoubleType)
-        DotProduct(
-          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), arrD),
-          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), arrD))
-      },
-      "built-in")
+      name, builder, "built-in")
 
   /** Column API (requires [[register]] on the session first — the vector
     * query entry points do this).

@@ -67,14 +67,15 @@ case class SimHash(child: Expression)
 object SimHash {
   val name = "graft_simhash"
 
+  /** Shared by [[register]] and [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+    SimHash(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => {
-        require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
-        SimHash(exprs.head)
-      },
-      "built-in")
+      name, builder, "built-in")
 
   /** Column API (requires [[register]] on the session first). */
   def simhash(words: Column): Column = call_function(name, words)

@@ -79,23 +79,24 @@ case class Winnow(child: Expression, shingleN: Int, window: Int)
 object Winnow {
   val name = "graft_winnow"
 
+  /** Shared by [[register]] and [[graft.GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3,
+      s"$name expects (words, shingleN, window), got ${exprs.length} args")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name $what must be an integer literal, got $other")
+    }
+    val sn = intLit(exprs(1), "shingleN")
+    val w = intLit(exprs(2), "window")
+    require(sn >= 1 && w >= 1, s"$name shingleN/window must be >= 1, got $sn/$w")
+    Winnow(exprs.head, sn, w)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => {
-        require(exprs.length == 3,
-          s"$name expects (words, shingleN, window), got ${exprs.length} args")
-        def intLit(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"$name $what must be an integer literal, got $other")
-        }
-        val sn = intLit(exprs(1), "shingleN")
-        val w = intLit(exprs(2), "window")
-        require(sn >= 1 && w >= 1, s"$name shingleN/window must be >= 1, got $sn/$w")
-        Winnow(exprs.head, sn, w)
-      },
-      "built-in")
+      name, builder, "built-in")
 
   def winnow(words: Column, shingleN: Int, window: Int): Column =
     call_function(name, words, lit(shingleN), lit(window))

@@ -9,6 +9,9 @@ trait SparkSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the library's deployment path — injected functions are exercised
+      // by every suite that reaches them via SQL
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
