@@ -518,6 +518,67 @@ object AdvancedQueries {
         .filter(col("n") > 0)
     }),
 
+    // CDC → SCD2: collapse a series of snapshots into type-2 validity
+    // intervals — per key, consecutive equal values merge into one
+    // (value, ver_from, ver_to) row. Change points via lag, runs via
+    // prefix sum, one interval row per run: the standard warehouse
+    // dimension-history build, all window + agg (no iteration). Three
+    // deterministic snapshot versions are carved from orders (bumps at
+    // %7 from v2 and %11 from v3, integer cents).
+    "cdc4_scd2_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      val snaps = (1 to 3).map { ver =>
+        o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
+          (cents +
+            when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
+            when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
+            .as("val"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("k").orderBy("ver")
+      val runs = snaps
+        .withColumn("chg",
+          when(lag(col("val"), 1).over(w).isNull ||
+            lag(col("val"), 1).over(w) =!= col("val"), 1).otherwise(0))
+        .withColumn("run",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      runs.groupBy("k", "run")
+        .agg(min(col("val")).as("v"),
+          min(col("ver")).cast("bigint").as("ver_from"),
+          max(col("ver")).cast("bigint").as("ver_to"))
+        .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
+    }),
+
+    // CDC apply (MERGE INTO semantics): the change set cdc1 detects,
+    // applied back onto the previous snapshot in ONE full-outer merge —
+    // deletes drop, inserts/updates take the new value, untouched rows
+    // carry over. The ORACLE is the target snapshot itself, so the hash
+    // match proves apply(prev, changes) ≡ next exactly.
+    "cdc5_merge_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+      val next = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("v_new"))
+      // the change set (what cdc1 emits, minus unchanged rows)
+      val changes = prev.join(next, Seq("k"), "full")
+        .select(col("k"),
+          when(col("v_old").isNull, "insert")
+            .when(col("v_new").isNull, "delete")
+            .when(col("v_old") =!= col("v_new"), "update")
+            .otherwise("unchanged").as("op"),
+          col("v_new"))
+        .filter(col("op") =!= "unchanged")
+      // MERGE: full-outer of base with changes; semantics per op
+      prev.join(changes, Seq("k"), "full")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("k"),
+          when(col("op").isNotNull, col("v_new")).otherwise(col("v_old")).as("v"))
+    }),
+
     // CDC incremental maintenance for NON-invertible aggregates — max
     // doesn't survive deletes the way sum/count do (cdc2's signed-delta
     // merge can't "subtract" a max), so the standard production answer:
@@ -1077,6 +1138,30 @@ object AdvancedQueries {
            FROM orders WHERE o_orderkey % 3 != 0)
          SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents
          FROM next GROUP BY g""",
+    "cdc4_scd2_intervals" ->
+      """WITH snaps AS (
+           SELECT o_orderkey AS k, v.ver,
+             (round(o_totalprice * 100)::BIGINT
+               + CASE WHEN v.ver >= 2 AND o_orderkey % 7 = 0 THEN 100000 ELSE 0 END
+               + CASE WHEN v.ver >= 3 AND o_orderkey % 11 = 0 THEN 50000 ELSE 0 END)::BIGINT AS val
+           FROM orders, (VALUES (1), (2), (3)) v(ver)),
+         marked AS (
+           SELECT k, ver, val,
+             CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w != val
+                  THEN 1 ELSE 0 END AS chg
+           FROM snaps WINDOW w AS (PARTITION BY k ORDER BY ver)),
+         runs AS (
+           SELECT k, ver, val,
+             sum(chg) OVER (PARTITION BY k ORDER BY ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM marked)
+         SELECT k, min(val) AS v, min(ver)::BIGINT AS ver_from, max(ver)::BIGINT AS ver_to
+         FROM runs GROUP BY k, run""",
+    "cdc5_merge_apply" ->
+      """SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS v
+         FROM orders WHERE o_orderkey % 3 != 0""",
     "cdc3_noninvertible_agg" ->
       """WITH next AS (
            SELECT o_custkey AS g,
