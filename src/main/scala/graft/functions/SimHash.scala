@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -20,14 +20,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions (transform/aggregate) evaluate their lambdas interpreted, and
   * the declarative form is a 60-pass nested fold per row; this is one pass
   * with primitive arrays (~5x at sf0.1).
+  *
+  * Codegen emits a static call to [[SimHash.compute]] (the md5 loop
+  * dominates; what matters is keeping the enclosing Project inside
+  * whole-stage codegen — a CodegenFallback expression would force the
+  * whole operator onto the interpreted row-at-a-time path, CodegenSpec).
   */
-case class SimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  val name = "graft_simhash"
+
+  /** The per-row kernel, static so generated code can call it directly. */
+  def compute(words: ArrayData): Long = {
     val votes = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")
     var w = 0
@@ -57,15 +74,8 @@ case class SimHash(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash =
-    copy(child = newChild)
-}
-
-object SimHash {
-  val name = "graft_simhash"
 
   /** Shared by [[register]] and [[graft.GraftExtensions]]. */
   val builder: Seq[Expression] => Expression = exprs => {

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -23,12 +23,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * the window scan itself.
   */
 case class Winnow(child: Expression, shingleN: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[ArrayData], shingleN, window)
+
+  // Static-call codegen: the md5 + deque kernel dominates; what matters is
+  // keeping the enclosing Project inside whole-stage codegen (CodegenSpec —
+  // a CodegenFallback expression forces the whole operator onto the
+  // interpreted row-at-a-time path).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Winnow.compute($c, $shingleN, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  val name = "graft_winnow"
+
+  /** The per-row kernel, static so generated code can call it directly. */
+  def compute(words: ArrayData, shingleN: Int, window: Int): UTF8String = {
     val nWords = words.numElements()
     val n = nWords - shingleN + 1 // shingle count
     if (n < window) return UTF8String.fromString("")
@@ -71,13 +89,6 @@ case class Winnow(child: Expression, shingleN: Int, window: Int)
     }
     UTF8String.fromString(String.join("|", mins))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Winnow =
-    copy(child = newChild)
-}
-
-object Winnow {
-  val name = "graft_winnow"
 
   /** Shared by [[register]] and [[graft.GraftExtensions]]. */
   val builder: Seq[Expression] => Expression = exprs => {
