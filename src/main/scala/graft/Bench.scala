@@ -67,7 +67,17 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's capture keeps only an output TAIL, which truncates the
+    // per-query map (~60/142 queries visible in BENCH_r0*.json) — so ALSO
+    // write the complete record to a repo file, making each round's numbers
+    // self-contained for round-over-round comparison.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

@@ -550,6 +550,53 @@ object AdvancedQueries {
         .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
     }),
 
+    // CDC → SCD2 MAINTENANCE: apply a NEW snapshot to an EXISTING SCD2
+    // table (what a production warehouse runs nightly — cdc4 is the one-off
+    // backfill). The existing table is cdc4's collapse over snapshots 1..2;
+    // snapshot 3 arrives and: closed history rows are NEVER touched (they
+    // bypass every join), current rows whose value is unchanged extend
+    // their ver_to (left-anti of the changed-key set), changed current
+    // rows close at ver 2 (left-semi) and their keys insert a fresh
+    // current row at ver 3 — the cdc3 touched-key semi-join scope. The
+    // ORACLE is cdc4 rebuilt from ALL THREE snapshots, so the hash match
+    // proves apply(SCD2(v1..v2), v3) ≡ SCD2(v1..v3) exactly.
+    "cdc6_scd2_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      def snap(ver: Int) = o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
+        (cents +
+          when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
+          when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
+          .as("val"))
+      // the EXISTING SCD2 table: cdc4's interval collapse over v1..v2 only
+      val w = Window.partitionBy("k").orderBy("ver")
+      val scd2 = snap(1).unionByName(snap(2))
+        .withColumn("chg",
+          when(lag(col("val"), 1).over(w).isNull ||
+            lag(col("val"), 1).over(w) =!= col("val"), 1).otherwise(0))
+        .withColumn("run",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("k", "run")
+        .agg(min(col("val")).as("v"),
+          min(col("ver")).cast("bigint").as("ver_from"),
+          max(col("ver")).cast("bigint").as("ver_to"))
+        .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
+      // apply snapshot 3
+      val v3 = snap(3).select(col("k"), col("val").as("v3"))
+      val history = scd2.filter(col("ver_to") < 2)
+      val current = scd2.filter(col("ver_to") === 2)
+      val changedKeys = current.join(v3, "k")
+        .filter(col("v") =!= col("v3")).select("k")
+      val extended = current.join(changedKeys, Seq("k"), "left_anti")
+        .select(col("k"), col("v"), col("ver_from"), lit(3L).as("ver_to"))
+      val closed = current.join(changedKeys, Seq("k"), "left_semi")
+      val inserted = v3.join(changedKeys, Seq("k"), "left_semi")
+        .select(col("k"), col("v3").as("v"),
+          lit(3L).as("ver_from"), lit(3L).as("ver_to"))
+      history.unionByName(extended).unionByName(closed).unionByName(inserted)
+    }),
+
     // CDC apply (MERGE INTO semantics): the change set cdc1 detects,
     // applied back onto the previous snapshot in ONE full-outer merge —
     // deletes drop, inserts/updates take the new value, untouched rows
@@ -1139,6 +1186,26 @@ object AdvancedQueries {
          SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents
          FROM next GROUP BY g""",
     "cdc4_scd2_intervals" ->
+      """WITH snaps AS (
+           SELECT o_orderkey AS k, v.ver,
+             (round(o_totalprice * 100)::BIGINT
+               + CASE WHEN v.ver >= 2 AND o_orderkey % 7 = 0 THEN 100000 ELSE 0 END
+               + CASE WHEN v.ver >= 3 AND o_orderkey % 11 = 0 THEN 50000 ELSE 0 END)::BIGINT AS val
+           FROM orders, (VALUES (1), (2), (3)) v(ver)),
+         marked AS (
+           SELECT k, ver, val,
+             CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w != val
+                  THEN 1 ELSE 0 END AS chg
+           FROM snaps WINDOW w AS (PARTITION BY k ORDER BY ver)),
+         runs AS (
+           SELECT k, ver, val,
+             sum(chg) OVER (PARTITION BY k ORDER BY ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM marked)
+         SELECT k, min(val) AS v, min(ver)::BIGINT AS ver_from, max(ver)::BIGINT AS ver_to
+         FROM runs GROUP BY k, run""",
+    // cdc6's oracle IS cdc4's full three-snapshot rebuild: apply ≡ rebuild
+    "cdc6_scd2_apply" ->
       """WITH snaps AS (
            SELECT o_orderkey AS k, v.ver,
              (round(o_totalprice * 100)::BIGINT

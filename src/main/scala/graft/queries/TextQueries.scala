@@ -345,29 +345,37 @@ object TextQueries {
     // words by (freq, word) — deterministic, and vocab training never
     // needs the tail. Output: the symbol vocabulary after k merges.
     "bpe1_merge_vocab" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("word").asc).limit(bpeWords)
-      var seqs = words.withColumn("seq",
-        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-        .localCheckpoint()
-      (1 to bpeIters).foreach { _ =>
-        val top = seqs
-          .select(col("n"), split(trim(col("seq")), " ").as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("n"), explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ",
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("pair"))
-          .groupBy("pair").agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
-          .collect().head.getString(0)
-        seqs = seqs.withColumn("seq",
-          regexp_replace(col("seq"), " " + top + " ", " " + top.replace(" ", "") + " "))
-      }
+      val (_, seqs) = trainBpeMerges(s, d)
       seqs.select(col("n"), explode(split(trim(col("seq")), " ")).as("symbol"))
         .groupBy("symbol").agg(sum(col("n")).as("total_n"))
+    }),
+
+    // BPE2: ENCODE the corpus with the trained vocabulary — the operator a
+    // training-data pipeline actually runs at 100 TB (tokenize-and-count).
+    // Scale shape: the k merges are applied once to the DISTINCT corpus
+    // vocabulary (vocab-sized work, never per-occurrence), producing a
+    // word -> token-count map; per-doc counts are then one equi-join of the
+    // exploded doc words against that map (AQE broadcasts the vocab side)
+    // plus one doc-keyed aggregation. Merges apply in training order via
+    // the same quoted regex step as training (TextAnalysis.mergePair), so
+    // encode(word) is byte-identical to how training segmented it.
+    "bpe2_encode" -> ((s, d) => {
+      val (merges, _) = trainBpeMerges(s, d)
+      val docWords = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val vocab0 = docWords.select("word").distinct()
+        .withColumn("seq",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      val encoded = merges.foldLeft(vocab0) { (df, pair) =>
+          df.withColumn("seq", graft.text.TextAnalysis.mergePair(col("seq"), pair))
+        }
+        .select(col("word"),
+          size(split(trim(col("seq")), " ")).cast("bigint").as("n_tokens"))
+      docWords.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
     // PIPELINE: the end-to-end LLM-corpus face — quality gate (tx12's
@@ -512,11 +520,44 @@ object TextQueries {
   private val bpeIters = 3
   private val bpeWords = 2000
 
-  /** bpe1 oracle: it{j} applies the argmax pair of p{j} (computed by the
-    * same weighted adjacent-pair count and (cnt DESC, pair) tie-break as
-    * the Spark side) to it{j-1}; the final vocab aggregates it{iters}.
+  /** BPE merge training (shared by bpe1/bpe2): `bpeIters` rounds of corpus-
+    * wide weighted adjacent-pair counting over the top-`bpeWords` alpha
+    * words, each round merging the globally most frequent pair everywhere
+    * (1-row driver argmax per round — the scalar-only pattern of
+    * connectedComponents/pageRank-tol). Returns the merges in training
+    * order plus the final merged training frame (word, n, seq).
     */
-  private def bpeOracle(iters: Int): String = {
+  private def trainBpeMerges(s: SparkSession, d: String): (Seq[String], DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(bpeWords)
+    var seqs = words.withColumn("seq",
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[String]
+    (1 to bpeIters).foreach { _ =>
+      val top = seqs
+        .select(col("n"), split(trim(col("seq")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect().head.getString(0)
+      merges += top
+      seqs = seqs.withColumn("seq", graft.text.TextAnalysis.mergePair(col("seq"), top))
+    }
+    (merges.result(), seqs)
+  }
+
+  /** Shared bpe1/bpe2 training CTEs: it{j} applies the argmax pair of p{j}
+    * (computed by the same weighted adjacent-pair count and (cnt DESC,
+    * pair) tie-break as the Spark side) to it{j-1}.
+    */
+  private def bpeTrainCtes(iters: Int): String = {
     val head =
       s"""WITH words AS (
            SELECT word, count(*)::BIGINT AS n FROM (
@@ -541,11 +582,47 @@ object TextQueries {
              ' ' || replace((SELECT pair FROM p$j), ' ', '') || ' ', 'g') AS seq
            FROM it${j - 1})"""
     }.mkString
-    head + iterations +
+    head + iterations
+  }
+
+  /** bpe1 oracle: the final vocab aggregates it{iters}. */
+  private def bpeOracle(iters: Int): String =
+    bpeTrainCtes(iters) +
       s"""
          SELECT symbol, sum(n)::BIGINT AS total_n FROM (
            SELECT n, unnest(string_split(trim(seq), ' ')) AS symbol FROM it$iters)
          GROUP BY symbol"""
+
+  /** bpe2 oracle: the SAME trained pairs p1..p{iters} applied in order to
+    * the full distinct corpus vocabulary, then per-doc token counts via the
+    * word -> n_tokens map (the same vocab-join shape as the Spark side).
+    */
+  private def bpe2Oracle(iters: Int): String = {
+    val encodeCtes = (1 to iters).map { j =>
+      s""",
+         enc$j AS (
+           SELECT word, regexp_replace(seq,
+             ' ' || (SELECT pair FROM p$j) || ' ',
+             ' ' || replace((SELECT pair FROM p$j), ' ', '') || ' ', 'g') AS seq
+           FROM enc${j - 1})"""
+    }.mkString
+    bpeTrainCtes(iters) +
+      s""",
+         docw AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE regexp_full_match(word, '[a-z]+')),
+         enc0 AS (
+           SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM (SELECT DISTINCT word FROM docw))""" +
+      encodeCtes +
+      s""",
+         encn AS (
+           SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS n_tokens
+           FROM enc$iters)
+         SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tokens)::BIGINT AS n_tokens
+         FROM docw JOIN encn USING (word)
+         GROUP BY doc_id"""
   }
 
   // Shared by d3 and d3b: identical candidate semantics, different storage.
@@ -718,6 +795,7 @@ object TextQueries {
          FROM ranked, tot
          WHERE (cum - n)::DOUBLE / t < 0.95""",
     "bpe1_merge_vocab" -> bpeOracle(bpeIters),
+    "bpe2_encode" -> bpe2Oracle(bpeIters),
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,

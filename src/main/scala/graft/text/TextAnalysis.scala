@@ -91,4 +91,30 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       urlPattern, "<URL>")
+
+  /** One BPE merge step: leftmost non-overlapping replacement of the
+    * space-delimited symbol `pair` inside a space-prefixed,
+    * space-separated symbol sequence (" a b c " merging "a b" -> " ab c ").
+    * The pair is a DATA value interpolated into a regex, so it is quoted on
+    * both the pattern side (Pattern.quote) and the replacement side
+    * (Matcher.quoteReplacement). For bpe1/bpe2's corpus the quoting is
+    * currently REDUNDANT — training words are pre-filtered to `^[a-z]+$`,
+    * so no symbol can contain a regex metacharacter, and the DuckDB oracle
+    * replays the same replacement unquoted under that invariant — but the
+    * quoting makes the invariant local to this helper instead of a
+    * distant filter (property-pinned in PropertySpec with metachar
+    * symbols that would break the unquoted form).
+    */
+  def mergePairPattern(pair: String): String =
+    java.util.regex.Pattern.quote(" " + pair + " ")
+  def mergePairReplacement(pair: String): String =
+    java.util.regex.Matcher.quoteReplacement(" " + pair.replace(" ", "") + " ")
+  def mergePair(seq: Column, pair: String): Column =
+    regexp_replace(seq, mergePairPattern(pair), mergePairReplacement(pair))
+
+  /** Pure-JVM face of [[mergePair]] — Spark's regexp_replace IS
+    * java.util.regex, so this is the same computation (property-pinned).
+    */
+  def mergePairStr(seq: String, pair: String): String =
+    seq.replaceAll(mergePairPattern(pair), mergePairReplacement(pair))
 }

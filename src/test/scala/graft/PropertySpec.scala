@@ -76,6 +76,61 @@ object CommentLinkProps extends Properties("commentLinks") {
     }
 }
 
+/** The BPE merge step interpolates a DATA value (the argmax pair) into a
+  * regex — quoting (Pattern.quote / Matcher.quoteReplacement) is what keeps
+  * that safe for ANY symbol alphabet. These properties feed symbols that
+  * WOULD break the unquoted form (".", "+", "$1", "\\") through the merge
+  * and pin it to a literal left-to-right scan reference. bpe1/bpe2's
+  * corpora are `^[a-z]+$`-filtered so the quoting is redundant THERE (the
+  * DuckDB oracle replays unquoted under that invariant); here is where the
+  * general contract lives.
+  */
+object BpeMergeProps extends Properties("bpeMergePair") {
+  import graft.text.TextAnalysis
+
+  private val symGen = Gen.oneOf("a", "b", "ab", ".", "+", "$1", "\\", "x*", "(")
+  private val seqGen: Gen[List[String]] = Gen.listOf(symGen)
+
+  /** Literal leftmost non-overlapping replacement of " a b " with " ab " —
+    * the pinned merge semantics (the match consumes its trailing space, so
+    * an immediately adjacent second occurrence does not merge in the same
+    * pass, exactly like the quoted replaceAll and the oracle's RE2 'g').
+    */
+  private def reference(seq: String, pair: String): String = {
+    val target = " " + pair + " "
+    val repl = " " + pair.replace(" ", "") + " "
+    val sb = new StringBuilder
+    var i = 0
+    while (i < seq.length) {
+      if (seq.startsWith(target, i)) { sb.append(repl); i += target.length }
+      else { sb.append(seq.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  property("quoted merge equals the literal-scan reference on metachar symbols") =
+    forAll(seqGen, symGen, symGen) { (syms, p1, p2) =>
+      val seq = syms.mkString(" ", " ", " ")
+      val pair = p1 + " " + p2
+      TextAnalysis.mergePairStr(seq, pair) == reference(seq, pair)
+    }
+
+  property("unquoted regex misbehaves on the same alphabet (why quoting exists)") = {
+    // pair ". ." as a raw regex matches ANY two single chars: " a b " would
+    // merge to " .. " — the quoted form correctly leaves it untouched
+    val seq = " a b "
+    val unquoted = seq.replaceAll(" . . ", " .. ")
+    Prop(TextAnalysis.mergePairStr(seq, ". .") == seq && unquoted == " .. ")
+  }
+
+  property("merge is a no-op when the pair is absent") =
+    forAll(seqGen) { syms =>
+      val seq = syms.mkString(" ", " ", " ")
+      // "q z" never occurs: q/z are outside the symbol alphabet
+      TextAnalysis.mergePairStr(seq, "q z") == seq
+    }
+}
+
 /** The a5 GroupConcatDistinct buffer is a hand-merged sorted-distinct Seq —
   * merge-order invariance is exactly where a buffer/encoder bug would bite,
   * so it gets algebraic properties: any partitioning of the inputs, reduced
