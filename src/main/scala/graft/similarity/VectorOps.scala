@@ -194,6 +194,94 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-PQ: product-quantized ANN — THE 100 TB memory story. The corpus
+    * side of the search carries only `m` small code ids per vector (m=4
+    * codes ≈ 4 bytes vs 64 float dims ≈ 256 bytes: a 16x cut of what the
+    * candidate scan touches); full vectors appear only in the (one-off)
+    * training/encoding passes and on the bounded query side.
+    *
+    * Pipeline: (1) coarse IVF cells exactly as [[ivfTopK]] (first-`nCells`
+    * centroids, cosine assignment, `nProbe` probes); (2) each UNIT vector
+    * splits into `m` sub-blocks of `dsub` dims, and a per-(block, cell)
+    * codebook of `ksub` centroids is trained with one deterministic Lloyd
+    * pass over the first-`ksub` seed (VectorMean partials, 6dp-rounded —
+    * the v4b recipe); (3) every corpus vector stores its per-block nearest
+    * codeword id (L2); (4) search scores candidates from the coarse cells
+    * by ASYMMETRIC DISTANCE: the query's exact dot product against each
+    * codeword (an |Q|·m·ksub lookup table) summed over the candidate's m
+    * codes. PQ on unit vectors makes the approximated dot product an
+    * approximated cosine directly (no residual encoding — the IVFADC
+    * variant without residuals).
+    *
+    * The block id is a plain key end-to-end, so training/encoding are
+    * single keyed aggregations, never per-block driver loops; the per-pair
+    * block sum folds a block-sorted struct array (deterministic addition
+    * order, replayed exactly by the oracle's `list_sum(list(dp ORDER BY
+    * b))`).
+    */
+  def ivfpqTopK(vectors: DataFrame, nCells: Int, nProbe: Int,
+      m: Int, dsub: Int, ksub: Int, k: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    // ---- coarse IVF (identical machinery to ivfTopK) ----
+    val centroids = withN.orderBy(col("n_id")).limit(nCells)
+      .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
+    def coarseAssign(df: DataFrame, idCol: String, rankLimit: Int) = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosineWithNorms(col("nv"), col("cv"), col("nn"), col("cn")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= rankLimit)
+        .select(col(idCol), col("cell"))
+    }
+    val corpusCells = coarseAssign(withN, "n_id", 1)
+    val queryCells = coarseAssign(withN.withColumnRenamed("n_id", "q_id"), "q_id", nProbe)
+    // ---- PQ codebook over unit-vector sub-blocks ----
+    val subs = withN
+      .select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))
+      .select(col("n_id"), explode(sequence(lit(0), lit(m - 1))).as("b"), col("u"))
+      .select(col("n_id"), col("b"), slice(col("u"), col("b") * dsub + 1, lit(dsub)).as("sv"))
+    // deterministic seed: sub-blocks of the first ksub vectors (dense ids)
+    val seed = subs.filter(col("n_id") < ksub)
+      .select(col("b"), col("n_id").as("cell"), col("sv").as("cv"))
+    def l2sq(a: Column, c: Column): Column =
+      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
+    def pqAssign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("n_id"), col("b"))
+        .orderBy(col("d2").asc, col("cell").asc)
+      subs.join(broadcast(cb), "b")
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("n_id"), col("b"), col("sv"), col("cell"))
+    }
+    val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
+    val trained = pqAssign(seed)
+      .groupBy("b", "cell")
+      .agg(vecMean(col("sv")).as("mv"))
+      .select(col("b"), col("cell"), transform(col("mv"), x => round(x, 6)).as("cv"))
+    // the persisted corpus representation: m code ids per vector
+    val codes = pqAssign(trained).select(col("n_id"), col("b"), col("cell"))
+    // ---- asymmetric-distance search ----
+    val lut = subs.select(col("n_id").as("q_id"), col("b"), col("sv"))
+      .join(broadcast(trained), "b")
+      .withColumn("dp", dot(col("sv"), col("cv")))
+      .select(col("q_id"), col("b"), col("cell"), col("dp"))
+    val cands = queryCells.join(corpusCells, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    val perBlock = cands.join(codes, "n_id")
+      .join(lut, Seq("q_id", "b", "cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
+    perBlock.groupBy("q_id", "n_id")
+      .agg(array_sort(collect_list(struct(col("b"), col("dp")))).as("ds"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("dp")).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Per-vector int8 scalar quantization: x -> floor((x-min)*255/(max-min)
     * + 0.5) (explicit floor+0.5, not round(), so no engine rounding-mode
     * ambiguity), plus the dequantization MSE — the compression audit a

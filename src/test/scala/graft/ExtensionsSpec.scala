@@ -27,6 +27,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(!win.isNullAt(0))
   }
 
+  test("spark-submit path: a session built ONLY from the config resolves the functions") {
+    // The deployment story is `spark-submit --conf
+    // spark.sql.extensions=graft.GraftExtensions` with ZERO code changes.
+    // SparkSpec's shared session also carries the config, but suites (and
+    // registry queries) call register() too — so prove the config path on a
+    // FRESH SparkSession instance (same SparkContext) where no register
+    // call has ever run: the functions must come from the extensions
+    // injection alone.
+    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
+    val sc = spark.sparkContext
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val fresh = org.apache.spark.sql.SparkSession.builder()
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .getOrCreate()
+      assert(fresh ne spark, "builder must construct a NEW session instance")
+      assert(fresh.sparkContext eq sc, "the SparkContext is shared")
+      val dot = fresh.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(dot === 11.0)
+      val row = fresh.sql(
+        """SELECT graft_simhash(array('a', 'b')) AS h,
+                  graft_winnow(array('a','b','c','d','e','f'), 3, 2) AS w""")
+        .collect().head
+      assert(row.getLong(0) != 0L)
+      assert(!row.isNullAt(1))
+    } finally {
+      prior.foreach { p =>
+        org.apache.spark.sql.SparkSession.setDefaultSession(p)
+        org.apache.spark.sql.SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("the injection list covers exactly the native expressions") {
     assert(GraftExtensions.injected.map(_._1).sorted ===
       Seq("graft_dot", "graft_simhash", "graft_winnow"))

@@ -30,7 +30,10 @@ class RegistryPlanSpec extends SparkSpec {
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
-      "run per Lloyd pass — search stays the cell equi-join"))
+      "run per Lloyd pass — search stays the cell equi-join"),
+    "v9_knn_ivfpq" -> ("v4's O(n*k) broadcast-centroid coarse assignment plus the " +
+      "O(n*m*ksub) broadcast-codebook PQ encode — the ADC search itself is the " +
+      "cell equi-join then (b, cell) equi-joins over code ids"))
 
   test("no registry query plans an unbounded cartesian or nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

@@ -290,6 +290,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental LSH dedup over a document stream equals the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // the corpus arrives in 3 micro-batches (id order — a crawl feed)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = docs.grouped(math.max(1, (docs.length + 2) / 3)).toSeq
+    assert(batches.length == 3)
+    val mem = MemoryStream[(Long, String)]
+    // signature + band keys are STATELESS per-row stages — the identical
+    // Dedup expressions run unchanged on the streaming frame
+    val streamBands = {
+      val d = mem.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", graft.dedup.Dedup.shingles(col("w")))
+      graft.dedup.Dedup.lshBandKeys(
+        graft.dedup.Dedup.withMinhashSig(d, "sh", "sig").select("doc_id", "sig"),
+        "doc_id", "sig")
+    }
+    val q = graft.streaming.StreamingDedup.candidatePairsStream(streamBands)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_pairs").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamPairs = spark.table("dedup_pairs").distinct()
+      // 1) accumulated candidate pairs == the batch generator's (d3)
+      val got = streamPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("d3_lsh_candidate_pairs")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, "stream pairs diverge from batch candidate pairs")
+      assert(got.nonEmpty, "fixture should contain near-dups")
+      // 2) survivors via the periodic CC pass over accumulated pairs == d7
+      val dropped = graft.dedup.Dedup.connectedComponents(streamPairs)
+        .filter(col("cluster") =!= col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val survivors = docs.map(_._1).toSet -- dropped
+      val d7 = SparkEntry.queries("d7_dedup_survivors")(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors === d7, "incremental survivors diverge from batch d7")
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
