@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-stress: make SCALE.md's "would survive a 100x scale-up"
+  * claim a MEASURED number instead of an assertion.
+  *
+  * Generates a deterministic ~10x replica of the sf0.1 fixtures by
+  * key-remapped replication (below), runs the 10 most expensive registry
+  * queries at BOTH scales with Bench's warm methodology, captures each
+  * executed plan's join-shape histogram, and writes the t(10x)/t(1x) table
+  * to SCALE_PROOF.md. Near-linear ratios + shape-stable plans are the
+  * evidence; a ratio blowing past `ratioBound` or a quadratic join
+  * appearing only at 10x exits nonzero.
+  *
+  * Replication preserves data CHARACTER, not just row counts — naive
+  * copying would make every row a 10-way duplicate and quadratically
+  * explode the dedup clusters, measuring fixture pathology instead of
+  * engine scaling:
+  *   - every key column shifts by replica * (max_key + 1), so joins fan
+  *     out 10x without cross-replica collisions;
+  *   - document text suffixes each word with "~r" (r > 0), so replicas of
+  *     a doc are NOT near-dups of each other while each replica's
+  *     internal dup structure matches the original exactly;
+  *   - embeddings multiply element-wise by a per-replica random ±1 sign
+  *     pattern: diag(±1) is orthogonal, so ALL within-replica cosines
+  *     (and thus cluster structure) are preserved exactly while
+  *     cross-replica cosines decorrelate;
+  *   - nation/region stay fixed (enum-like dimensions): 10x the suppliers
+  *     per nation is the honest shape of growth.
+  *
+  * Usage: runMain graft.ScaleStress [tenXDir] (default ./scale10; the
+  * fixture is generated only if the directory is missing).
+  */
+object ScaleStress {
+
+  val reps = 10
+
+  /** The 10 most expensive queries by round-4 judge timing. */
+  val headline: Seq[String] = Seq(
+    "bfs1_supply_radius", "pipeline_corpus", "v4b_knn_ivf_refined",
+    "q21_waiting_supplier", "pipeline_videos_tags", "d10_dedup_best_survivor",
+    "sk2_salted_join", "pr1_pagerank", "v8_embedding_dedup",
+    "tx9_tfidf_top_terms")
+
+  val ratioBound = 15.0
+
+  private val joinNodes = Seq(
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct")
+
+  /** Join-node histogram of a physical plan string (shared with
+    * ScaleShapeSpec so the spec asserts the same definition this main
+    * reports).
+    */
+  def shapeOf(planString: String): Map[String, Int] =
+    joinNodes.map(n => n -> n.r.findAllMatchIn(planString).length)
+      .filter(_._2 > 0).toMap
+
+  /** Shift a key column into replica r's id space (0 = identity). */
+  private def shift(c: String, r: Int, offset: Long) =
+    (col(c) + lit(r * offset)).as(c)
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    def maxKey(t: String, k: String): Long =
+      Tables.load(spark, srcDir, t).agg(max(col(k))).head.getLong(0) + 1
+    val (maxCust, maxSupp, maxPart) =
+      (maxKey("customer", "c_custkey"), maxKey("supplier", "s_suppkey"),
+        maxKey("part", "p_partkey"))
+    val (maxOrd, maxDoc, maxVec) =
+      (maxKey("orders", "o_orderkey"), maxKey("documents", "doc_id"),
+        maxKey("embeddings", "vec_id"))
+    val (maxEv, maxUser) = (maxKey("events", "event_id"), maxKey("events", "user_id"))
+
+    def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables.load(spark, srcDir, t)
+      (0 until reps).map(r => f(src, r)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      ()
+    }
+    // fixed enum-like dimensions: copy once
+    Seq("region", "nation").foreach { t =>
+      Tables.load(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    replicate("customer") { (d, r) =>
+      d.select(shift("c_custkey", r, maxCust), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }
+    replicate("supplier") { (d, r) =>
+      d.select(shift("s_suppkey", r, maxSupp), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    }
+    replicate("part") { (d, r) =>
+      d.select(shift("p_partkey", r, maxPart), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+    replicate("orders") { (d, r) =>
+      d.select(shift("o_orderkey", r, maxOrd), shift("o_custkey", r, maxCust),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    replicate("lineitem") { (d, r) =>
+      d.select(shift("l_orderkey", r, maxOrd), shift("l_partkey", r, maxPart),
+        shift("l_suppkey", r, maxSupp), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }
+    replicate("events") { (d, r) =>
+      d.select(shift("event_id", r, maxEv), col("ts"), shift("user_id", r, maxUser),
+        col("event_type"), col("value"), col("props"))
+    }
+    replicate("documents") { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$r"))), " ")
+      d.select(shift("doc_id", r, maxDoc), text.as("text"), col("lang"),
+        col("source"), length(text).cast("long").as("n_chars"))
+    }
+    replicate("embeddings") { (d, r) =>
+      val emb =
+        if (r == 0) col("embedding")
+        else {
+          val rnd = new scala.util.Random(9000 + r)
+          val signs = array(Seq.fill(64)(lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
+          zip_with(col("embedding"), signs, (x, s) => x * s)
+        }
+      d.select(shift("vec_id", r, maxVec), emb.as("embedding"), col("label"))
+    }
+  }
+
+  private def joinShape(df: DataFrame): Map[String, Int] =
+    shapeOf(df.queryExecution.executedPlan.toString)
+
+  /** Bench's warm protocol: cold run, gc, measured warm run; returns the
+    * warm seconds plus the FINAL (AQE-resolved) join histogram.
+    */
+  private def timed(spark: SparkSession, name: String, dir: String): (Double, Map[String, Int]) = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).queryExecution.toRdd.count()
+    System.gc()
+    val t0 = System.nanoTime()
+    val df = fn(spark, dir)
+    df.queryExecution.toRdd.count()
+    ((System.nanoTime() - t0) / 1e9, joinShape(df))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val oneX = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenX = args.headOption.getOrElse("scale10")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_PROOF.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "256k")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$tenX/lineitem.parquet").exists()) {
+      println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
+      generate(spark, oneX, tenX)
+    }
+    val rows1 = Tables.load(spark, oneX, "lineitem").count()
+    val rows10 = Tables.load(spark, tenX, "lineitem").count()
+    println(s"[scale] lineitem rows: 1x=$rows1 10x=$rows10")
+
+    // warmup (scan + shuffle + codegen), as in Bench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, oneX).groupBy("l_returnflag").count().collect()
+
+    case class Row(name: String, t1: Double, t10: Double,
+        s1: Map[String, Int], s10: Map[String, Int]) {
+      def ratio: Double = t10 / t1
+      def quadraticRegression: Boolean =
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin").exists(n =>
+          s10.getOrElse(n, 0) > s1.getOrElse(n, 0))
+    }
+    val results = headline.map { name =>
+      val (t1, s1) = timed(spark, name, oneX)
+      val (t10, s10) = timed(spark, name, tenX)
+      val r = Row(name, t1, t10, s1, s10)
+      println(f"[scale] $name%-28s 1x=${r.t1}%6.2fs 10x=${r.t10}%6.2fs ratio=${r.ratio}%5.2f")
+      r
+    }
+
+    def shapeStr(m: Map[String, Int]) =
+      if (m.isEmpty) "-" else m.toSeq.sorted.map { case (k, v) => s"$k×$v" }.mkString(" ")
+    val md = new StringBuilder
+    md ++= s"""# SCALE_PROOF — measured 10x scale-stress
+              |
+              |`graft.ScaleStress` replicates the sf0.1 fixture ${reps}x by
+              |deterministic key-remapped replication (shifted keys; per-word
+              |`~r` suffixes keep document replicas from being cross-replica
+              |near-dups; per-replica ±1 sign patterns — orthogonal diag
+              |transforms — preserve within-replica embedding geometry while
+              |decorrelating replicas; nation/region stay fixed), then times
+              |the 10 most expensive registry queries at both scales on the
+              |same local[$cpus] session (warm runs, Bench protocol).
+              |
+              |lineitem rows: 1x = $rows1, 10x = $rows10.
+              |
+              || query | t(1x) s | t(10x) s | ratio | joins 1x | joins 10x |
+              ||---|---|---|---|---|---|
+              |""".stripMargin
+    results.foreach { r =>
+      md ++= f"| ${r.name} | ${r.t1}%.2f | ${r.t10}%.2f | ${r.ratio}%.2f | ${shapeStr(r.s1)} | ${shapeStr(r.s10)} |%n"
+    }
+    val worst = results.maxBy(_.ratio)
+    val sum1 = results.map(_.t1).sum
+    val sum10 = results.map(_.t10).sum
+    md ++= f"""|
+               |Total: ${sum1}%.1f s → ${sum10}%.1f s (ratio ${sum10 / sum1}%.2f for 10x the
+               |data). Worst per-query ratio: ${worst.name} at ${worst.ratio}%.2f
+               |(bound $ratioBound%.0f — ratios near 10 are linear scaling; below it,
+               |fixed overhead amortizing away).
+               |
+               |Join-shape stability: a CartesianProduct/BroadcastNestedLoopJoin
+               |appearing ONLY at 10x would mean a broadcast flipped into a
+               |quadratic plan at scale — ${
+                 if (results.exists(_.quadraticRegression)) "REGRESSION DETECTED"
+                 else "none detected; every histogram above is shape-stable"}.
+               |(AQE may legitimately flip a broadcast join to a shuffled join as
+               |sides grow; the histograms record exactly what each scale planned.)
+               |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      md.toString.getBytes("UTF-8"))
+    println(s"[scale] wrote $out")
+
+    val badRatio = results.filter(_.ratio > ratioBound)
+    val badShape = results.filter(_.quadraticRegression)
+    if (badRatio.nonEmpty || badShape.nonEmpty) {
+      System.err.println(s"[scale] FAIL ratios>${ratioBound}: ${badRatio.map(_.name).mkString(",")}" +
+        s" quadratic-at-10x: ${badShape.map(_.name).mkString(",")}")
+      spark.stop(); sys.exit(1)
+    }
+    spark.stop()
+  }
+}

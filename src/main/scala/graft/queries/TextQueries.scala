@@ -141,6 +141,25 @@ object TextQueries {
         .join(dropped, Seq("doc_id"), "left_anti")
     }),
 
+    // D12: the INCREMENTAL dedup operator's registry face — survivors
+    // derived from StreamingDedup.candidatePairsStream (the per-band-key
+    // flatMapGroupsWithState pair generator), run here in batch mode (the
+    // st1–st5 precedent: same graph, batch face for the oracle; true
+    // cross-micro-batch incrementality is proven in StreamingSpec against
+    // d3/d7). Oracle = d7's: the stateful route must be indistinguishable
+    // from the batch pipeline.
+    "d12_survivors_incremental" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      val pairs = graft.streaming.StreamingDedup
+        .candidatePairsStream(Dedup.lshBandKeys(sigs, "doc_id", "sig"))
+        .toDF("a", "b").distinct()
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("cluster") =!= col("doc_id"))
+        .select("doc_id")
+      Tables.documents(s, d).select("doc_id")
+        .join(dropped, Seq("doc_id"), "left_anti")
+    }),
+
     // D5: 60-bit SimHash per document (native expression; the declarative
     // Dedup.simhash is the executable spec, parity-tested in NorthStarSpec).
     "d5_simhash" -> ((s, d) => {
@@ -625,6 +644,31 @@ object TextQueries {
          GROUP BY doc_id"""
   }
 
+  // Shared by d7 and d12: identical survivor semantics, batch vs stateful
+  // physical route.
+  private lazy val survivorsOracle =
+    s"""WITH RECURSIVE t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach(n, m) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+       dropped AS (
+         SELECT n FROM reach GROUP BY n HAVING min(m) != n)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT n FROM dropped)"""
+
   // Shared by d3 and d3b: identical candidate semantics, different storage.
   private lazy val lshPairsOracle =
     s"""WITH t AS ($shingleCte),
@@ -799,28 +843,10 @@ object TextQueries {
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,
-    "d7_dedup_survivors" ->
-      s"""WITH RECURSIVE t AS ($shingleCte),
-         sigs AS (
-           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-           FROM t),
-         bands AS (
-           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
-           FROM sigs, unnest(range(0, 4)) u(i)),
-         pairs AS (
-           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM bands l JOIN bands r USING (band_key)
-           WHERE l.doc_id < r.doc_id),
-         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-         nodes AS (SELECT DISTINCT src AS node FROM edges),
-         reach(n, m) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
-         dropped AS (
-           SELECT n FROM reach GROUP BY n HAVING min(m) != n)
-         SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT n FROM dropped)""",
+    "d7_dedup_survivors" -> survivorsOracle,
+    // the stateful (flatMapGroupsWithState) route must match the batch
+    // pipeline exactly — same SQL
+    "d12_survivors_incremental" -> survivorsOracle,
     "pipeline_corpus" ->
       s"""WITH RECURSIVE sig0 AS (
            SELECT doc_id,
