@@ -73,11 +73,25 @@ object Bench {
     // The driver's capture keeps only an output TAIL, which truncates the
     // per-query map (~60/142 queries visible in BENCH_r0*.json) — so ALSO
     // write the complete record to a repo file, making each round's numbers
-    // self-contained for round-over-round comparison.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }
+    // self-contained for round-over-round comparison. The record is ROUND-
+    // STAMPED (bench_full_r<N>.json; N from SPARK_GRAFT_ROUND or inferred
+    // as max existing BENCH_r*.json + 1) so a later verification run can't
+    // clobber this round's committed numbers; latest is kept as a
+    // convenience pointer.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+      .getOrElse {
+        val pat = """BENCH_r0*(\d+)\.json""".r
+        val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+          .collect { case pat(n) => n.toInt }
+        if (seen.isEmpty) 0 else seen.max + 1
+      }
+    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Seq(_)).getOrElse(
+      Seq(f"bench_full_r$round%02d.json", "bench_full_latest.json"))
+    outs.foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }
+    }
     spark.stop()
   }
 }

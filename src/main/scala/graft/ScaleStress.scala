@@ -111,12 +111,16 @@ object ScaleStress {
         col("event_type"), col("value"), col("props"))
     }
     replicate("documents") { (d, r) =>
-      val text =
-        if (r == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
+      // r = 0 passes text AND n_chars through untouched so replica 0 is
+      // byte-identical to the 1x fixture (a recomputed n_chars could
+      // diverge and shift d10's (n_chars desc) survivor ranking)
+      if (r == 0) d
+      else {
+        val text = array_join(transform(split(col("text"), " "),
           w => concat(w, lit(s"~$r"))), " ")
-      d.select(shift("doc_id", r, maxDoc), text.as("text"), col("lang"),
-        col("source"), length(text).cast("long").as("n_chars"))
+        d.select(shift("doc_id", r, maxDoc), text.as("text"), col("lang"),
+          col("source"), length(text).cast("long").as("n_chars"))
+      }
     }
     replicate("embeddings") { (d, r) =>
       val emb =
@@ -128,6 +132,13 @@ object ScaleStress {
         }
       d.select(shift("vec_id", r, maxVec), emb.as("embedding"), col("label"))
     }
+    // completeness sentinel, written LAST: a crash mid-generate leaves no
+    // _SUCCESS, so the next run regenerates instead of measuring a partial
+    // fixture (embeddings is written after lineitem — gating on any single
+    // table file would accept a half-built directory)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/_SUCCESS"), Array.emptyByteArray)
+    ()
   }
 
   private def joinShape(df: DataFrame): Map[String, Int] =
@@ -163,7 +174,7 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$tenX/lineitem.parquet").exists()) {
+    if (!new java.io.File(s"$tenX/_SUCCESS").exists()) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
       generate(spark, oneX, tenX)
     }

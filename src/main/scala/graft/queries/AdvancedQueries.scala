@@ -554,21 +554,32 @@ object AdvancedQueries {
     // table (what a production warehouse runs nightly — cdc4 is the one-off
     // backfill). The existing table is cdc4's collapse over snapshots 1..2;
     // snapshot 3 arrives and: closed history rows are NEVER touched (they
-    // bypass every join), current rows whose value is unchanged extend
-    // their ver_to (left-anti of the changed-key set), changed current
-    // rows close at ver 2 (left-semi) and their keys insert a fresh
-    // current row at ver 3 — the cdc3 touched-key semi-join scope. The
-    // ORACLE is cdc4 rebuilt from ALL THREE snapshots, so the hash match
-    // proves apply(SCD2(v1..v2), v3) ≡ SCD2(v1..v3) exactly.
+    // bypass every join); current rows whose value is unchanged extend
+    // their ver_to; changed current rows close at ver 2 and their keys
+    // insert a fresh current row at ver 3; keys ABSENT from snapshot 3
+    // (deletes) carry their current row verbatim (the interval stays
+    // closed at 2); keys appearing for the FIRST time at snapshot 3
+    // (births) insert a (3,3) row — every branch is the cdc3 touched-key
+    // semi-join scope, so history is never reshuffled. The fixture
+    // exercises all four branches (%13 keys are deleted at v3, %17 keys
+    // are born at v3), and the ORACLE is cdc4 rebuilt from ALL THREE
+    // snapshots, so the hash match proves apply(SCD2(v1..v2), v3) ≡
+    // SCD2(v1..v3) exactly — including the delete and birth paths.
     "cdc6_scd2_apply" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(s, d)
       val cents = round(col("o_totalprice") * 100).cast("bigint")
-      def snap(ver: Int) = o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
-        (cents +
-          when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
-          when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
-          .as("val"))
+      // %13 keys exist only in v1..v2 (deleted at v3); %17 keys (that are
+      // not also %13) exist only in v3 (born at v3)
+      def snap(ver: Int) = {
+        val base = o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
+          (cents +
+            when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
+            when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
+            .as("val"))
+        if (ver <= 2) base.filter(col("k") % 13 === 0 || col("k") % 17 =!= 0)
+        else base.filter(col("k") % 13 =!= 0)
+      }
       // the EXISTING SCD2 table: cdc4's interval collapse over v1..v2 only
       val w = Window.partitionBy("k").orderBy("ver")
       val scd2 = snap(1).unionByName(snap(2))
@@ -584,17 +595,25 @@ object AdvancedQueries {
         .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
       // apply snapshot 3
       val v3 = snap(3).select(col("k"), col("val").as("v3"))
+      val v3keys = v3.select("k")
       val history = scd2.filter(col("ver_to") < 2)
       val current = scd2.filter(col("ver_to") === 2)
       val changedKeys = current.join(v3, "k")
         .filter(col("v") =!= col("v3")).select("k")
-      val extended = current.join(changedKeys, Seq("k"), "left_anti")
+      // deletes: current keys missing from v3 carry verbatim (stay closed at 2)
+      val deleted = current.join(v3keys, Seq("k"), "left_anti")
+      val extended = current.join(v3keys, Seq("k"), "left_semi")
+        .join(changedKeys, Seq("k"), "left_anti")
         .select(col("k"), col("v"), col("ver_from"), lit(3L).as("ver_to"))
       val closed = current.join(changedKeys, Seq("k"), "left_semi")
-      val inserted = v3.join(changedKeys, Seq("k"), "left_semi")
+      // inserts: changed keys re-open + keys with no current row (births)
+      val openKeys = changedKeys
+        .unionByName(v3keys.join(current.select("k"), Seq("k"), "left_anti"))
+      val inserted = v3.join(openKeys, Seq("k"), "left_semi")
         .select(col("k"), col("v3").as("v"),
           lit(3L).as("ver_from"), lit(3L).as("ver_to"))
-      history.unionByName(extended).unionByName(closed).unionByName(inserted)
+      history.unionByName(deleted).unionByName(extended)
+        .unionByName(closed).unionByName(inserted)
     }),
 
     // CDC apply (MERGE INTO semantics): the change set cdc1 detects,
@@ -1205,13 +1224,18 @@ object AdvancedQueries {
          SELECT k, min(val) AS v, min(ver)::BIGINT AS ver_from, max(ver)::BIGINT AS ver_to
          FROM runs GROUP BY k, run""",
     // cdc6's oracle IS cdc4's full three-snapshot rebuild: apply ≡ rebuild
+    // (%13 keys absent from v3 = deletes; %17 keys present only at v3 =
+    // births — the rebuild covers both, so the hash proves the delete and
+    // birth branches of the apply too)
     "cdc6_scd2_apply" ->
       """WITH snaps AS (
            SELECT o_orderkey AS k, v.ver,
              (round(o_totalprice * 100)::BIGINT
                + CASE WHEN v.ver >= 2 AND o_orderkey % 7 = 0 THEN 100000 ELSE 0 END
                + CASE WHEN v.ver >= 3 AND o_orderkey % 11 = 0 THEN 50000 ELSE 0 END)::BIGINT AS val
-           FROM orders, (VALUES (1), (2), (3)) v(ver)),
+           FROM orders, (VALUES (1), (2), (3)) v(ver)
+           WHERE (v.ver <= 2 AND (o_orderkey % 13 = 0 OR o_orderkey % 17 != 0))
+              OR (v.ver = 3 AND o_orderkey % 13 != 0)),
          marked AS (
            SELECT k, ver, val,
              CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w != val

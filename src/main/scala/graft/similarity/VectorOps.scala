@@ -241,8 +241,11 @@ object VectorOps {
       .select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))
       .select(col("n_id"), explode(sequence(lit(0), lit(m - 1))).as("b"), col("u"))
       .select(col("n_id"), col("b"), slice(col("u"), col("b") * dsub + 1, lit(dsub)).as("sv"))
-    // deterministic seed: sub-blocks of the first ksub vectors (dense ids)
-    val seed = subs.filter(col("n_id") < ksub)
+    // deterministic seed: sub-blocks of the first ksub vectors by id order
+    // (the same orderBy/limit pattern as the coarse centroids, so the seed
+    // is well-defined on non-dense / non-zero-based id spaces too)
+    val seedIds = withN.orderBy(col("n_id")).limit(ksub).select(col("n_id"))
+    val seed = subs.join(broadcast(seedIds), "n_id")
       .select(col("b"), col("n_id").as("cell"), col("sv").as("cv"))
     def l2sq(a: Column, c: Column): Column =
       aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
