@@ -221,65 +221,144 @@ object VectorOps {
     */
   def ivfpqTopK(vectors: DataFrame, nCells: Int, nProbe: Int,
       m: Int, dsub: Int, ksub: Int, k: Int): DataFrame = {
+    val model = ivfpqTrain(vectors, nCells, m, dsub, ksub)
+    ivfpqSearch(vectors, model, nProbe, m, dsub, k)
+  }
+
+  /** A trained IVF-PQ index: `centroids` (cell, cv, cn — the nCells coarse
+    * quantizer), `codebook` (b, cell, cv — ksub codewords per block), and
+    * `index` — the persisted corpus representation, ONE relation holding
+    * both the coarse cell and the m code ids per vector (n_id, cell, b,
+    * code). The index is what a 100 TB deployment writes as a bucketed
+    * table (bucket on `cell`: the search probe is an equi-join on it) and
+    * what [[ivfpqSearch]] answers from without retraining.
+    */
+  case class IvfPqModel(centroids: DataFrame, codebook: DataFrame, index: DataFrame)
+
+  /** Coarse-assign each vector of `df` to its `rankLimit` nearest centroid
+    * cells by cosine; keeps `csim` (= the dot product against the UNIT
+    * centroid) for the residual search's cell term.
+    */
+  private def coarseAssign(df: DataFrame, centroids: DataFrame,
+      idCol: String, rankLimit: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineWithNorms(col("nv"), col("cv"), col("nn"), col("cn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
+    scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= rankLimit)
+      .select(col(idCol), col("cell"), col("csim"))
+  }
+
+  /** Unit-vector sub-blocks: one row per (n_id, b) carrying the dsub-dim
+    * slice of `uCol`.
+    */
+  private def subBlocks(df: DataFrame, uCol: String, m: Int, dsub: Int): DataFrame =
+    df.select(col("n_id"), explode(sequence(lit(0), lit(m - 1))).as("b"), col(uCol).as("u"))
+      .select(col("n_id"), col("b"), slice(col("u"), col("b") * dsub + 1, lit(dsub)).as("sv"))
+
+  private def l2sq(a: Column, c: Column): Column =
+    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
+
+  /** Nearest codeword (L2, tie by codeword id) per (n_id, b) sub-block. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("n_id"), col("b"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    subs.join(broadcast(cb), "b")
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("n_id"), col("b"), col("sv"), col("cell"))
+  }
+
+  /** Train the IVF-PQ index (the one-off build pass; [[ivfpqSearch]] never
+    * retrains). `residual = true` is true IVFADC: codebooks quantize the
+    * residual u − c_unit(cell(v)) instead of the raw unit vector — the
+    * codewords then only have to cover the WITHIN-cell spread, which is
+    * what makes PQ sharp on clustered corpora (recall comparison pinned in
+    * NorthStarSpec).
+    */
+  def ivfpqTrain(vectors: DataFrame, nCells: Int, m: Int, dsub: Int,
+      ksub: Int, residual: Boolean = false): IvfPqModel = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-    // ---- coarse IVF (identical machinery to ivfTopK) ----
+    // coarse IVF quantizer: first-nCells vectors by id (deterministic sample)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    def coarseAssign(df: DataFrame, idCol: String, rankLimit: Int) = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosineWithNorms(col("nv"), col("cv"), col("nn"), col("cn")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
-      scored.withColumn("r", row_number().over(w))
-        .filter(col("r") <= rankLimit)
-        .select(col(idCol), col("cell"))
-    }
-    val corpusCells = coarseAssign(withN, "n_id", 1)
-    val queryCells = coarseAssign(withN.withColumnRenamed("n_id", "q_id"), "q_id", nProbe)
-    // ---- PQ codebook over unit-vector sub-blocks ----
-    val subs = withN
-      .select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))
-      .select(col("n_id"), explode(sequence(lit(0), lit(m - 1))).as("b"), col("u"))
-      .select(col("n_id"), col("b"), slice(col("u"), col("b") * dsub + 1, lit(dsub)).as("sv"))
+    val corpusCells = coarseAssign(withN, centroids, "n_id", 1)
+      .select("n_id", "cell")
+    // ---- PQ codebook over (residual) unit-vector sub-blocks ----
+    val unit = withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))
+    val encBase =
+      if (!residual) unit
+      else {
+        val cu = centroids.select(col("cell"),
+          transform(col("cv"), _ / col("cn")).as("cu"))
+        unit.join(corpusCells, "n_id").join(broadcast(cu), "cell")
+          .select(col("n_id"), zip_with(col("u"), col("cu"), _ - _).as("u"))
+      }
+    val subs = subBlocks(encBase, "u", m, dsub)
     // deterministic seed: sub-blocks of the first ksub vectors by id order
     // (the same orderBy/limit pattern as the coarse centroids, so the seed
     // is well-defined on non-dense / non-zero-based id spaces too)
     val seedIds = withN.orderBy(col("n_id")).limit(ksub).select(col("n_id"))
     val seed = subs.join(broadcast(seedIds), "n_id")
       .select(col("b"), col("n_id").as("cell"), col("sv").as("cv"))
-    def l2sq(a: Column, c: Column): Column =
-      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
-    def pqAssign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("n_id"), col("b"))
-        .orderBy(col("d2").asc, col("cell").asc)
-      subs.join(broadcast(cb), "b")
-        .withColumn("d2", l2sq(col("sv"), col("cv")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("n_id"), col("b"), col("sv"), col("cell"))
-    }
     val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
-    val trained = pqAssign(seed)
+    val trained = pqAssign(subs, seed)
       .groupBy("b", "cell")
       .agg(vecMean(col("sv")).as("mv"))
       .select(col("b"), col("cell"), transform(col("mv"), x => round(x, 6)).as("cv"))
-    // the persisted corpus representation: m code ids per vector
-    val codes = pqAssign(trained).select(col("n_id"), col("b"), col("cell"))
-    // ---- asymmetric-distance search ----
-    val lut = subs.select(col("n_id").as("q_id"), col("b"), col("sv"))
-      .join(broadcast(trained), "b")
+    // the persisted corpus representation: coarse cell + m code ids per vector
+    val codes = pqAssign(subs, trained)
+      .select(col("n_id"), col("b"), col("cell").as("code"))
+    IvfPqModel(centroids, trained, corpusCells.join(codes, "n_id"))
+  }
+
+  /** Asymmetric-distance search against a (possibly persisted) IVF-PQ
+    * index: the query side computes its coarse probes and exact per-block
+    * dot products against each codeword (an |Q|·m·ksub lookup table); the
+    * corpus side is touched ONLY through `model.index` — cell + code ids,
+    * never the original vectors. With `residual = true` the score adds the
+    * query·cell term (q·x ≈ q·c_unit + q·r, and csim from the probe
+    * assignment IS q·c_unit — no extra pass).
+    *
+    * Contains NO training stage: against a persisted index the plan is
+    * scan + equi-joins (asserted in RegistryPlanSpec for v9b).
+    */
+  def ivfpqSearch(queries: DataFrame, model: IvfPqModel, nProbe: Int,
+      m: Int, dsub: Int, k: Int, residual: Boolean = false): DataFrame = {
+    val qN = withNorm(queries, "nv", "nn")
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val queryCells = coarseAssign(qN.withColumnRenamed("n_id", "q_id"),
+      model.centroids, "q_id", nProbe)
+    // query side stays EXACT: plain unit sub-blocks even in residual mode
+    val qsubs = subBlocks(
+      qN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      "u", m, dsub)
+    val lut = qsubs.select(col("n_id").as("q_id"), col("b"), col("sv"))
+      .join(broadcast(model.codebook), "b")
       .withColumn("dp", dot(col("sv"), col("cv")))
-      .select(col("q_id"), col("b"), col("cell"), col("dp"))
-    val cands = queryCells.join(corpusCells, "cell")
+      .select(col("q_id"), col("b"), col("cell").as("code"), col("dp"))
+    // probe: equi-join on cell — the bucketed index side needs no exchange
+    val cands = queryCells.join(model.index, "cell")
       .filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "n_id")
-    val perBlock = cands.join(codes, "n_id")
-      .join(lut, Seq("q_id", "b", "cell"))
+      .select("q_id", "n_id", "b", "code", "csim")
+    val perBlock = cands.join(lut, Seq("q_id", "b", "code"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
-    perBlock.groupBy("q_id", "n_id")
-      .agg(array_sort(collect_list(struct(col("b"), col("dp")))).as("ds"))
-      .select(col("q_id"), col("n_id"),
-        aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("dp")).as("adc"))
+    val base =
+      if (residual)
+        perBlock.groupBy("q_id", "n_id")
+          .agg(array_sort(collect_list(struct(col("b"), col("dp")))).as("ds"),
+            max(col("csim")).as("qc"))
+          .select(col("q_id"), col("n_id"),
+            (col("qc") + aggregate(col("ds"), lit(0.0),
+              (acc, e) => acc + e.getField("dp"))).as("adc"))
+      else
+        perBlock.groupBy("q_id", "n_id")
+          .agg(array_sort(collect_list(struct(col("b"), col("dp")))).as("ds"))
+          .select(col("q_id"), col("n_id"),
+            aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("dp")).as("adc"))
+    base
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))

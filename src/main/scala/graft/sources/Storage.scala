@@ -34,6 +34,22 @@ object Storage {
     * catalog entry AND clear the orphaned location first.
     */
   def replaceBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    dropWithOrphanedLocation(df, table)
+    writeBucketed(df, table, bucketCol, buckets)
+  }
+
+  /** Plain (unbucketed) catalog table with the same REPLACE semantics as
+    * [[replaceBucketed]] — for small sidecar tables that ride along with a
+    * bucketed index (codebooks, centroid sets): broadcast-sized, so bucket
+    * layout buys nothing, but cross-session replacement still needs the
+    * orphan-location cleanup.
+    */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    dropWithOrphanedLocation(df, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
+  private def dropWithOrphanedLocation(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     // DROP deletes a managed table's own files; what it can't clear is an
     // ORPHAN directory from a previous session's catalog. Resolve where a
@@ -46,7 +62,6 @@ object Storage {
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    writeBucketed(df, table, bucketCol, buckets)
   }
 
   /** Hive-style directory partitioning: one directory per `partCol` value. */

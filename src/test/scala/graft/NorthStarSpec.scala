@@ -178,6 +178,35 @@ class NorthStarSpec extends SparkSpec {
     assert(share > 0.95, s"same-cluster share=$share")
   }
 
+  test("ivf-pq residual encoding (ivfadc): recall holds or improves vs no-residual pq") {
+    // Same clustered fixture as the cluster-faithful test: residual
+    // codebooks only have to cover the WITHIN-cell spread, so quantization
+    // error can only shrink — same-cluster share must be >= the raw-vector
+    // PQ's, and still above the 0.95 bar.
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (m <- 0 until 20; c <- 0 until 10) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((m * 10 + c).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    def share(got: Array[(Long, Long)]): Double =
+      got.count { case (q, n) => q % 10 == n % 10 }.toDouble / got.length
+    val plain = share(VectorOps.ivfpqTopK(df, nCells = 16, nProbe = 4,
+      m = 4, dsub = 16, ksub = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    val resid = share(VectorOps.ivfpqSearch(df,
+      VectorOps.ivfpqTrain(df, nCells = 16, m = 4, dsub = 16, ksub = 16,
+        residual = true),
+      nProbe = 4, m = 4, dsub = 16, k = 5, residual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    assert(resid >= plain - 1e-9, s"residual share=$resid < plain share=$plain")
+    assert(resid > 0.95, s"residual same-cluster share=$resid")
+  }
+
   test("ivf-pq ann on the fixture: far above chance, below uncompressed ivf (the trade)") {
     // Random fixture embeddings are PQ's worst case (no cluster structure
     // for the codebooks to exploit) — the pinned floor documents the

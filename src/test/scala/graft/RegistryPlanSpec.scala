@@ -33,7 +33,13 @@ class RegistryPlanSpec extends SparkSpec {
       "run per Lloyd pass — search stays the cell equi-join"),
     "v9_knn_ivfpq" -> ("v4's O(n*k) broadcast-centroid coarse assignment plus the " +
       "O(n*m*ksub) broadcast-codebook PQ encode — the ADC search itself is the " +
-      "cell equi-join then (b, cell) equi-joins over code ids"))
+      "cell equi-join then (b, cell) equi-joins over code ids"),
+    "v9b_knn_ivfpq_indexed" -> ("the QUERY side's O(q*k) broadcast-centroid probe " +
+      "assignment (centroids read from the persisted sidecar table) — the corpus " +
+      "side is only touched through the bucketed index equi-join"),
+    "v10_knn_ivfpq_residual" -> ("same bounded shapes as v9 (broadcast-centroid " +
+      "assignment, broadcast-codebook encode over residuals); search is the cell " +
+      "equi-join plus (b, code) equi-joins"))
 
   test("no registry query plans an unbounded cartesian or nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
@@ -81,6 +87,36 @@ class RegistryPlanSpec extends SparkSpec {
     // double-counting) the world
     assert(plan.contains("LeftSemi"), s"cdc3 lost the touched-group semi-join:\n$plan")
     assert(plan.contains("LeftAnti"), s"cdc3 lost the untouched-base anti-join:\n$plan")
+  }
+
+  test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
+    val sfDir = "/root/testdata/sf0.001"
+    // positive control: the inline v9 face trains in-plan (the VectorMean
+    // Lloyd pass) — without this the negative assertion below could pass
+    // vacuously if the aggregate ever changed its plan rendering
+    val v9 = SparkEntry.queries("v9_knn_ivfpq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(v9.contains("vectormean("), "control: v9 should contain the codebook train")
+    // the registry face persists the index eagerly, then returns the search
+    val df = SparkEntry.queries("v9b_knn_ivfpq_indexed")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("vectormean("),
+      s"training stage leaked into the persisted-index search plan:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"the index scan should read the bucket layout:\n$plan")
+    // isolate the probe join: with broadcast off, the only exchange allowed
+    // is the probe side shuffling INTO the index's bucket layout — a second
+    // exchange would mean the persisted side is being reshuffled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val probes = Seq((900L, 0L), (901L, 3L)).toDF("q_id", "cell")
+      val jp = probes.join(spark.table("v9b_pq_index"), "cell")
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(jp).length == 1,
+        s"expected exactly one exchange (probe side only):\n$jp")
+      assert(jp.contains("SelectedBucketsCount"), s"probe join lost the bucketed scan:\n$jp")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("headline scans keep predicate pushdown and column pruning") {
