@@ -61,11 +61,15 @@ object Dedup {
     * min-shingle; r>=2 requires agreement on r independent minima).
     */
   def lshBandKeys(df: DataFrame, idCol: String, sigCol: String,
-      rowsPerBand: Int = 2, numBands: Int = 4): DataFrame = {
+      rowsPerBand: Int = 2, numBands: Int = 4,
+      carry: Seq[String] = Nil): DataFrame = {
     val bands = transform(sequence(lit(0), lit(numBands - 1)),
       i => concat_ws("|", slice(col(sigCol), i * rowsPerBand + lit(1), lit(rowsPerBand))))
-    df.select(col(idCol), posexplode(bands).as(Seq("band", "h")))
-      .select(col(idCol), concat_ws(":", col("band"), col("h")).as("band_key"))
+    // carry: extra columns to ride along (e.g. the event-time column the
+    // streaming TTL variant keys its watermark on)
+    df.select(col(idCol) +: carry.map(col) :+ posexplode(bands).as(Seq("band", "h")): _*)
+      .select(col(idCol) +: carry.map(col)
+        :+ concat_ws(":", col("band"), col("h")).as("band_key"): _*)
   }
 
   /** Distinct candidate pairs (a < b) from shared band keys.

@@ -160,6 +160,50 @@ object TextQueries {
         .join(dropped, Seq("doc_id"), "left_anti")
     }),
 
+    // D13: INCREMENTAL cluster maintenance — the cdc3/cdc6 touched-key
+    // pattern applied to dedup clusters. A new batch of docs (doc_id % 10
+    // == 0 here) arrives against an EXISTING clustering: new candidate
+    // pairs come from probing the standing band-key buckets (an equi-join,
+    // the d12 state shape — never an old-corpus rescan); the pairs touch a
+    // set of existing components; connected components reruns ONLY over
+    // those components' edges ∪ the new pairs, and every untouched label
+    // is carried verbatim through a left-anti join (plan-asserted in
+    // RegistryPlanSpec). The ORACLE is d6's full-rebuild CC over the whole
+    // corpus, so the hash match proves apply(labels, newDocs) ≡
+    // recompute(allDocs) — including cross-component merges a new doc
+    // causes.
+    "d13_clusters_incremental" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      val bands = Dedup.lshBandKeys(sigs, "doc_id", "sig")
+      val isNew = col("doc_id") % 10 === 0
+      val oldPairs = Dedup.candidatePairs(bands.filter(!isNew), "doc_id")
+      val labelsOld = Dedup.connectedComponents(oldPairs)
+      // incremental candidates: each new doc pairs with every member of the
+      // buckets it lands in (old members AND other new arrivals)
+      val newPairs = bands.filter(isNew)
+        .select(col("band_key"), col("doc_id").as("x"))
+        .join(bands.select(col("band_key"), col("doc_id").as("y")), "band_key")
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val touchedNodes = newPairs.select(col("a").as("doc_id"))
+        .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
+      val touchedComps = labelsOld
+        .join(touchedNodes, Seq("doc_id"), "left_semi")
+        .select("cluster").distinct()
+      val touchedLabels = labelsOld.join(touchedComps, Seq("cluster"), "left_semi")
+      // components are closed under their edges, so one-endpoint membership
+      // is enough to collect every edge of a touched component
+      val touchedEdges = oldPairs
+        .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      val relabeled = Dedup.connectedComponents(
+        touchedEdges.unionByName(newPairs))
+      labelsOld.join(touchedComps, Seq("cluster"), "left_anti")
+        .select("doc_id", "cluster")
+        .unionByName(relabeled)
+    }),
+
     // D5: 60-bit SimHash per document (native expression; the declarative
     // Dedup.simhash is the executable spec, parity-tested in NorthStarSpec).
     "d5_simhash" -> ((s, d) => {
@@ -696,6 +740,30 @@ object TextQueries {
                  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
              FROM documents)"""
 
+  /** Full connected-components rebuild over every LSH candidate pair —
+    * shared by d6 (which computes exactly this) and d13 (whose incremental
+    * apply must reproduce it bit-for-bit).
+    */
+  private def ccRebuildOracle: String =
+    s"""WITH RECURSIVE t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach(n, m) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+       SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n"""
+
   val oracles: Map[String, String] = Map(
     "ch1_doc_chunks" ->
       """SELECT doc_id, i AS chunk_idx,
@@ -896,25 +964,11 @@ object TextQueries {
            JOIN bench USING (g))
          SELECT doc_id, n_words FROM survivors
          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
-    "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS ($shingleCte),
-         sigs AS (
-           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-           FROM t),
-         bands AS (
-           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
-           FROM sigs, unnest(range(0, 4)) u(i)),
-         pairs AS (
-           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM bands l JOIN bands r USING (band_key)
-           WHERE l.doc_id < r.doc_id),
-         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-         nodes AS (SELECT DISTINCT src AS node FROM edges),
-         reach(n, m) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m)
-         SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n""",
+    "d6_dedup_clusters" -> ccRebuildOracle,
+    // d13's oracle IS d6's full CC rebuild over the whole corpus: the
+    // incremental touched-component apply must be indistinguishable from
+    // recomputing every cluster from scratch
+    "d13_clusters_incremental" -> ccRebuildOracle,
     "d4_ngram_jaccard" ->
       s"""WITH t AS ($shingleCte)
          SELECT l.doc_id AS a, r.doc_id AS b,

@@ -89,6 +89,16 @@ class RegistryPlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"cdc3 lost the untouched-base anti-join:\n$plan")
   }
 
+  test("d13 carries untouched clusters through an anti-join, scopes the rerun with a semi-join") {
+    val plan = SparkEntry.queries("d13_clusters_incremental")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // the touched-component scoping must survive optimization: losing the
+    // semi-join silently degrades the apply to a full recompute; losing the
+    // anti-join double-counts carried labels
+    assert(plan.contains("LeftSemi"), s"d13 lost the touched-component semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"d13 lost the untouched-label anti-join:\n$plan")
+  }
+
   test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
     val sfDir = "/root/testdata/sf0.001"
     // positive control: the inline v9 face trains in-plan (the VectorMean

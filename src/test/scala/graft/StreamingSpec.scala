@@ -334,6 +334,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ttl dedup: band-key state expires with the watermark and re-arrivals see only the live window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // three near-dup docs (same text => same band keys); c arrives long
+    // after the 10 s TTL window holding a and b has expired
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamBands = {
+      val d = mem.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+        .select(col("doc_id"), col("ts"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", graft.dedup.Dedup.shingles(col("w")))
+      graft.dedup.Dedup.lshBandKeys(
+        graft.dedup.Dedup.withMinhashSig(d, "sh", "sig")
+          .select("doc_id", "sig", "ts"),
+        "doc_id", "sig", carry = Seq("ts"))
+    }
+    val q = graft.streaming.StreamingDedup
+      .candidatePairsStreamTtl(streamBands, ttlMs = 10000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttl_pairs").start()
+    try {
+      // some progress entries (initializing ticks) carry no state operator
+      def stateRows: Long =
+        q.recentProgress.filter(_.stateOperators.nonEmpty)
+          .last.stateOperators(0).numRowsTotal
+      // batch 1: a near-dup pair inside the window -> emitted
+      // start well past epoch: the initial watermark is 0 and rows at/below
+      // it are dropped as late before reaching the stateful operator
+      mem.addData((1L, text, ts(10)), (2L, text, ts(11)))
+      q.processAllAvailable()
+      val afterLive = stateRows
+      assert(afterLive > 0, "live buckets should hold state")
+      // batch 2: unrelated doc far past the TTL advances the watermark;
+      // the watermark-catch-up batch Spark runs right after then fires the
+      // event-time timeouts, dropping batch-1's buckets (deadline = last
+      // arrival + 10 s << new watermark)
+      mem.addData((50L, "one two three four five six", ts(100)))
+      q.processAllAvailable()
+      val removed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsRemoved.toLong).sum
+      assert(removed >= afterLive,
+        s"expected batch-1's $afterLive buckets to expire; removed=$removed")
+      // batch 3: doc 3 is a near-dup of 1/2 but arrives after their window
+      // expired — the sliding corpus must NOT pair it with history
+      mem.addData((3L, text, ts(102)))
+      q.processAllAvailable()
+      val pairs = spark.table("ttl_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.exists(p => p == (1L, 2L)),
+        s"in-window near-dups must still pair: $pairs")
+      assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+        s"doc 3 paired against expired state: $pairs")
+      // state is bounded by the LIVE window: doc 50's and doc 3's buckets
+      // only — without expiry batch-1's buckets would still be here too
+      assert(stateRows <= 2 * afterLive,
+        s"state should track the live window, got $stateRows rows")
+      // control: the UNBOUNDED-state variant pairs 3 with the full history
+      // (same arrivals, no TTL) — proving expiry, not banding, is why doc 3
+      // stayed single
+      val mem2 = MemoryStream[(Long, String)]
+      val bands2 = {
+        val d = mem2.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .withColumn("sh", graft.dedup.Dedup.shingles(col("w")))
+        graft.dedup.Dedup.lshBandKeys(
+          graft.dedup.Dedup.withMinhashSig(d, "sh", "sig").select("doc_id", "sig"),
+          "doc_id", "sig")
+      }
+      val q2 = graft.streaming.StreamingDedup.candidatePairsStream(bands2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ttl_pairs_control").start()
+      try {
+        mem2.addData((1L, text), (2L, text)); q2.processAllAvailable()
+        mem2.addData((3L, text)); q2.processAllAvailable()
+        val control = spark.table("ttl_pairs_control").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(control.contains((1L, 3L)) && control.contains((2L, 3L)),
+          s"control run should pair doc 3 with history: $control")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("session windows merge across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
