@@ -210,8 +210,9 @@ object VectorOps {
     * by ASYMMETRIC DISTANCE: the query's exact dot product against each
     * codeword (an |Q|·m·ksub lookup table) summed over the candidate's m
     * codes. PQ on unit vectors makes the approximated dot product an
-    * approximated cosine directly (no residual encoding — the IVFADC
-    * variant without residuals).
+    * approximated cosine directly. This face is the no-residual variant;
+    * `residual = true` on [[ivfpqTrain]]/[[ivfpqSearch]] (v10) is the
+    * true-IVFADC residual encoding.
     *
     * The block id is a plain key end-to-end, so training/encoding are
     * single keyed aggregations, never per-block driver loops; the per-pair
