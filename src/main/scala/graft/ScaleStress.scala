@@ -1,18 +1,21 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale-stress: make SCALE.md's "would survive a 100x scale-up"
   * claim a MEASURED number instead of an assertion.
   *
   * Generates a deterministic ~10x replica of the sf0.1 fixtures by
-  * key-remapped replication (below), runs the 10 most expensive registry
-  * queries at BOTH scales with Bench's warm methodology, captures each
-  * executed plan's join-shape histogram, and writes the t(10x)/t(1x) table
-  * to SCALE_PROOF.md. Near-linear ratios + shape-stable plans are the
-  * evidence; a ratio blowing past `ratioBound` or a quadratic join
-  * appearing only at 10x exits nonzero.
+  * key-remapped replication (below), runs the FULL query registry at BOTH
+  * scales with Bench's warm methodology, captures each executed plan's
+  * join-shape histogram, and writes the t(10x)/t(1x) table to
+  * SCALE_PROOF.md — a scale proof per registry query, not per headline
+  * sample. Near-linear ratios + shape-stable plans are the evidence; a
+  * ratio blowing past `ratioBound` (above the sub-second noise floor) or a
+  * quadratic join appearing only at 10x exits nonzero. `--headline`
+  * restricts to the 10 historically most expensive queries for quick
+  * iteration.
   *
   * Replication preserves data CHARACTER, not just row counts — naive
   * copying would make every row a 10-way duplicate and quadratically
@@ -37,7 +40,7 @@ object ScaleStress {
 
   val reps = 10
 
-  /** The 10 most expensive queries by round-4 judge timing. */
+  /** The 10 most expensive queries by round-4 judge timing (`--headline`). */
   val headline: Seq[String] = Seq(
     "bfs1_supply_radius", "pipeline_corpus", "v4b_knn_ivf_refined",
     "q21_waiting_supplier", "pipeline_videos_tags", "d10_dedup_best_survivor",
@@ -45,6 +48,13 @@ object ScaleStress {
     "tx9_tfidf_top_terms")
 
   val ratioBound = 15.0
+
+  /** The ratio gate only fires above this many seconds of absolute growth
+    * (t10 - t1): a 60 ms query drifting to 900 ms is scheduler noise at
+    * local[32] granularity, not a scaling pathology, yet its RATIO is 15.
+    * Real blow-ups at 10x the data clear a second of growth trivially.
+    */
+  val ratioNoiseFloorSec = 1.0
 
   private val joinNodes = Seq(
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
@@ -61,6 +71,15 @@ object ScaleStress {
   /** Shift a key column into replica r's id space (0 = identity). */
   private def shift(c: String, r: Int, offset: Long) =
     (col(c) + lit(r * offset)).as(c)
+
+  /** Replica r's document text: every word suffixed with `~r`, so replicas
+    * of a doc are NOT near-dups of each other while each replica's internal
+    * dup structure matches the original exactly. Shared with the 10x
+    * streaming-equivalence spec so the spec's corpus is replicated by the
+    * same definition this harness measures.
+    */
+  def replicaText(textCol: Column, r: Int): Column =
+    array_join(transform(split(textCol, " "), w => concat(w, lit(s"~$r"))), " ")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def maxKey(t: String, k: String): Long =
@@ -116,8 +135,7 @@ object ScaleStress {
       // diverge and shift d10's (n_chars desc) survivor ranking)
       if (r == 0) d
       else {
-        val text = array_join(transform(split(col("text"), " "),
-          w => concat(w, lit(s"~$r"))), " ")
+        val text = replicaText(col("text"), r)
         d.select(shift("doc_id", r, maxDoc), text.as("text"), col("lang"),
           col("source"), length(text).cast("long").as("n_chars"))
       }
@@ -159,7 +177,8 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val oneX = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val tenX = args.headOption.getOrElse("scale10")
+    val headlineOnly = args.contains("--headline")
+    val tenX = args.filterNot(_.startsWith("--")).headOption.getOrElse("scale10")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_PROOF.md")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -189,11 +208,17 @@ object ScaleStress {
     case class Row(name: String, t1: Double, t10: Double,
         s1: Map[String, Int], s10: Map[String, Int]) {
       def ratio: Double = t10 / t1
+      def ratioViolation: Boolean =
+        ratio > ratioBound && (t10 - t1) > ratioNoiseFloorSec
       def quadraticRegression: Boolean =
         Seq("CartesianProduct", "BroadcastNestedLoopJoin").exists(n =>
           s10.getOrElse(n, 0) > s1.getOrElse(n, 0))
     }
-    val results = headline.map { name =>
+    val names =
+      if (headlineOnly) headline else SparkEntry.queries.keys.toSeq.sorted
+    println(s"[scale] measuring ${names.length} queries at both scales" +
+      (if (headlineOnly) " (--headline subset)" else " (full registry)"))
+    val results = names.map { name =>
       val (t1, s1) = timed(spark, name, oneX)
       val (t10, s10) = timed(spark, name, tenX)
       val r = Row(name, t1, t10, s1, s10)
@@ -204,6 +229,9 @@ object ScaleStress {
     def shapeStr(m: Map[String, Int]) =
       if (m.isEmpty) "-" else m.toSeq.sorted.map { case (k, v) => s"$k×$v" }.mkString(" ")
     val md = new StringBuilder
+    val scopeLine =
+      if (headlineOnly) "the 10 historically most expensive registry queries"
+      else s"the FULL query registry (${names.length} queries)"
     md ++= s"""# SCALE_PROOF — measured 10x scale-stress
               |
               |`graft.ScaleStress` replicates the sf0.1 fixture ${reps}x by
@@ -212,7 +240,7 @@ object ScaleStress {
               |near-dups; per-replica ±1 sign patterns — orthogonal diag
               |transforms — preserve within-replica embedding geometry while
               |decorrelating replicas; nation/region stay fixed), then times
-              |the 10 most expensive registry queries at both scales on the
+              |$scopeLine at both scales on the
               |same local[$cpus] session (warm runs, Bench protocol).
               |
               |lineitem rows: 1x = $rows1, 10x = $rows10.
@@ -224,13 +252,20 @@ object ScaleStress {
       md ++= f"| ${r.name} | ${r.t1}%.2f | ${r.t10}%.2f | ${r.ratio}%.2f | ${shapeStr(r.s1)} | ${shapeStr(r.s10)} |%n"
     }
     val worst = results.maxBy(_.ratio)
+    val worstReal = results.filter(r => (r.t10 - r.t1) > ratioNoiseFloorSec)
+      .sortBy(-_.ratio).headOption
     val sum1 = results.map(_.t1).sum
     val sum10 = results.map(_.t10).sum
     md ++= f"""|
                |Total: ${sum1}%.1f s → ${sum10}%.1f s (ratio ${sum10 / sum1}%.2f for 10x the
-               |data). Worst per-query ratio: ${worst.name} at ${worst.ratio}%.2f
+               |data) across ${results.length} queries. Worst per-query ratio:
+               |${worst.name} at ${worst.ratio}%.2f; worst above the
+               |$ratioNoiseFloorSec%.0f s noise floor: ${
+                 worstReal.map(r => f"${r.name} at ${r.ratio}%.2f").getOrElse("none")}
                |(bound $ratioBound%.0f — ratios near 10 are linear scaling; below it,
-               |fixed overhead amortizing away).
+               |fixed overhead amortizing away; sub-second queries are exempt from
+               |the ratio gate because scheduler jitter at local[$cpus] granularity
+               |dominates their ratios).
                |
                |Join-shape stability: a CartesianProduct/BroadcastNestedLoopJoin
                |appearing ONLY at 10x would mean a broadcast flipped into a
@@ -244,7 +279,7 @@ object ScaleStress {
       md.toString.getBytes("UTF-8"))
     println(s"[scale] wrote $out")
 
-    val badRatio = results.filter(_.ratio > ratioBound)
+    val badRatio = results.filter(_.ratioViolation)
     val badShape = results.filter(_.quadraticRegression)
     if (badRatio.nonEmpty || badShape.nonEmpty) {
       System.err.println(s"[scale] FAIL ratios>${ratioBound}: ${badRatio.map(_.name).mkString(",")}" +

@@ -334,6 +334,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("10x corpus: incremental dedup equals batch and state holds one row per band key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Replicate the sf0.01 documents table 10x with ScaleStress's
+    // character-preserving transform — shifted ids, ~r word suffixes via
+    // the SAME ScaleStress.replicaText the measured 10x run uses — so this
+    // proves the state store holds at 10x the corpus the base equivalence
+    // test covers (5000 docs), not a rerun at toy size.
+    val src = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val offset = src.agg(max("doc_id")).head.getLong(0) + 1
+    val tenX = (0 until 10).map { r =>
+      if (r == 0) src
+      else src.select((col("doc_id") + lit(r * offset)).as("doc_id"),
+        ScaleStress.replicaText(col("text"), r).as("text"))
+    }.reduce(_ unionByName _)
+
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+      val d = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", graft.dedup.Dedup.shingles(col("w")))
+      graft.dedup.Dedup.lshBandKeys(
+        graft.dedup.Dedup.withMinhashSig(d, "sh", "sig").select("doc_id", "sig"),
+        "doc_id", "sig")
+    }
+    // batch reference over the identical 10x corpus
+    val batchBands = bandsOf(tenX)
+    val batchPairs = graft.dedup.Dedup.candidatePairs(batchBands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distinctBandKeys = batchBands.select("band_key").distinct().count()
+
+    val docs = tenX.as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.length >= 5000, s"expected a 10x corpus, got ${docs.length} docs")
+    val batches = docs.grouped(1000).toSeq // k larger micro-batches
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .candidatePairsStream(bandsOf(mem.toDF().toDF("doc_id", "text")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_pairs_10x").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamPairs = spark.table("dedup_pairs_10x").distinct()
+      val got = streamPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchPairs,
+        "10x stream pairs diverge from the batch generator on the same corpus")
+      assert(got.size >= 10 * 32 / 2, s"10x corpus should carry 10x the dups: ${got.size}")
+      // state is EXACTLY one row (one Set[Long]) per distinct band key —
+      // the sizing claim in StreamingDedup's scaladoc, pinned at 10x
+      val peakState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).max
+      assert(peakState === distinctBandKeys,
+        s"state rows $peakState != distinct band keys $distinctBandKeys")
+      info(s"10x corpus: ${docs.length} docs in ${batches.length} micro-batches, " +
+        s"${got.size} pairs, peak state rows = $peakState (= distinct band keys)")
+      // survivors via the periodic CC pass == batch survivors on the 10x corpus
+      val dropped = graft.dedup.Dedup.connectedComponents(streamPairs)
+        .filter(col("cluster") =!= col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val batchDropped = graft.dedup.Dedup
+        .connectedComponents(graft.dedup.Dedup.candidatePairs(batchBands, "doc_id"))
+        .filter(col("cluster") =!= col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(dropped === batchDropped,
+        "10x incremental survivors diverge from the batch pipeline")
+    } finally q.stop()
+  }
+
   test("ttl dedup: band-key state expires with the watermark and re-arrivals see only the live window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
