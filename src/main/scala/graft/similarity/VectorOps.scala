@@ -76,13 +76,16 @@ object VectorOps {
     * Trades recall for replacing the cross-join with an equi-join — recall
     * measured against [[bruteForceTopK]] in the test suite.
     */
-  def lshTopK(vectors: DataFrame, planes: Seq[Array[Double]], k: Int): DataFrame = {
+  def lshTopK(vectors: DataFrame, queries: DataFrame,
+      planes: Seq[Array[Double]], k: Int): DataFrame = {
     val bucketed = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bucket", lshBucket(col("nv"), planes))
-    val q = bucketed.select(
-      col("n_id").as("q_id"), col("nv").as("qv"),
-      col("nn").as("qn"), col("bucket"))
+    val q = withNorm(queries, "nv", "nn")
+      .withColumn("bucket", lshBucket(col("nv"), planes))
+      .select(
+        col("n_id").as("q_id"), col("nv").as("qv"),
+        col("nn").as("qn"), col("bucket"))
     val joined = bucketed.join(q, "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
@@ -103,7 +106,8 @@ object VectorOps {
     * corpus per query instead of all of it. Complements LSH: IVF adapts to
     * the data distribution, LSH is oblivious but needs no training pass.
     */
-  def ivfTopK(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+  def ivfTopK(vectors: DataFrame, queries: DataFrame,
+      nCells: Int, nProbe: Int, k: Int): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
@@ -123,7 +127,8 @@ object VectorOps {
         .select(keep.toIndexedSeq :+ col("cell").as(out): _*)
     }
     val corpusCells = assign(withN, "n_id", "nv", "nn", 1, "cell")
-    val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val q = withNorm(queries, "nv", "nn")
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
     val queryCells = assign(q, "q_id", "qv", "qn", nProbe, "cell")
     val joined = queryCells.join(corpusCells, "cell")
       .filter(col("n_id") =!= col("q_id"))
@@ -155,7 +160,8 @@ object VectorOps {
     * the bucketed equi-join.
     */
   def ivfTopKRefined(
-      vectors: DataFrame, nCells: Int, nProbe: Int, k: Int, iters: Int = 1): DataFrame = {
+      vectors: DataFrame, queries: DataFrame,
+      nCells: Int, nProbe: Int, k: Int, iters: Int = 1): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val seeds = withN.orderBy(col("n_id")).limit(nCells)
@@ -182,7 +188,8 @@ object VectorOps {
     }
     // search: same probe shape as ivfTopK, against the trained centroids
     val corpusCells = assignTo(refined, withN, "n_id", "nv", "nn", 1)
-    val q = withN.select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val q = withNorm(queries, "nv", "nn")
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
     val queryCells = assignTo(refined, q, "q_id", "qv", "qn", nProbe)
     val joined = queryCells.join(corpusCells, "cell")
       .filter(col("n_id") =!= col("q_id"))
@@ -219,11 +226,18 @@ object VectorOps {
     * block sum folds a block-sorted struct array (deterministic addition
     * order, replayed exactly by the oracle's `list_sum(list(dp ORDER BY
     * b))`).
+    *
+    * `queries` is an explicit, separate frame: probe candidates scale as
+    * |Q| · nProbe · n/nCells, so a query side that grows WITH the corpus
+    * makes search quadratic in n — the registry-wide 10x run measured
+    * exactly that (ratio 111 when every corpus vector was a query). Index
+    * search serves bounded query batches; corpus-vs-itself similarity is
+    * the LSH-pair dedup operators' job ([[cosineDupPairsLsh]]).
     */
-  def ivfpqTopK(vectors: DataFrame, nCells: Int, nProbe: Int,
+  def ivfpqTopK(vectors: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int,
       m: Int, dsub: Int, ksub: Int, k: Int): DataFrame = {
     val model = ivfpqTrain(vectors, nCells, m, dsub, ksub)
-    ivfpqSearch(vectors, model, nProbe, m, dsub, k)
+    ivfpqSearch(queries, model, nProbe, m, dsub, k)
   }
 
   /** A trained IVF-PQ index: `centroids` (cell, cv, cn — the nCells coarse

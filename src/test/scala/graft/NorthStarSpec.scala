@@ -115,7 +115,7 @@ class NorthStarSpec extends SparkSpec {
     val q = df.select(col("n_id").as("q_id"), col("nv").as("qv"))
     val bf = VectorOps.bruteForceTopK(df, q, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val lsh = VectorOps.lshTopK(df, planes, 5).collect()
+    val lsh = VectorOps.lshTopK(df, df, planes, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
     assert(recall > 0.9, s"recall=$recall")
@@ -135,18 +135,18 @@ class NorthStarSpec extends SparkSpec {
     val q = df.select(col("n_id").as("q_id"), col("nv").as("qv"))
     val bf = VectorOps.bruteForceTopK(df, q, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = VectorOps.ivfTopK(df, nCells = 16, nProbe = 2, k = 5).collect()
+    val ivf = VectorOps.ivfTopK(df, df, nCells = 16, nProbe = 2, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall > 0.9, s"recall=$recall")
     // the Lloyd-refined quantizer must not lose recall vs the raw seed
-    val refined = VectorOps.ivfTopKRefined(df, nCells = 16, nProbe = 2, k = 5).collect()
+    val refined = VectorOps.ivfTopKRefined(df, df, nCells = 16, nProbe = 2, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val refinedRecall = (bf intersect refined).size.toDouble / bf.size
     assert(refinedRecall >= recall - 1e-9, s"refined=$refinedRecall vs seed=$recall")
     assert(refinedRecall > 0.9, s"refinedRecall=$refinedRecall")
     // and the training loop composes: a second Lloyd pass holds recall
-    val refined2 = VectorOps.ivfTopKRefined(df, nCells = 16, nProbe = 2, k = 5, iters = 2)
+    val refined2 = VectorOps.ivfTopKRefined(df, df, nCells = 16, nProbe = 2, k = 5, iters = 2)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall2 = (bf intersect refined2).size.toDouble / bf.size
     assert(recall2 >= refinedRecall - 1e-9, s"iters=2 recall=$recall2 vs iters=1=$refinedRecall")
@@ -168,7 +168,7 @@ class NorthStarSpec extends SparkSpec {
     import spark.implicits._
     val df = vecs.toDF("n_id", "embedding")
       .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
-    val got = VectorOps.ivfpqTopK(df, nCells = 16, nProbe = 4,
+    val got = VectorOps.ivfpqTopK(df, df, nCells = 16, nProbe = 4,
         m = 4, dsub = 16, ksub = 16, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val queries = got.map(_._1).distinct
@@ -195,7 +195,7 @@ class NorthStarSpec extends SparkSpec {
       .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
     def share(got: Array[(Long, Long)]): Double =
       got.count { case (q, n) => q % 10 == n % 10 }.toDouble / got.length
-    val plain = share(VectorOps.ivfpqTopK(df, nCells = 16, nProbe = 4,
+    val plain = share(VectorOps.ivfpqTopK(df, df, nCells = 16, nProbe = 4,
       m = 4, dsub = 16, ksub = 16, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))))
     val resid = share(VectorOps.ivfpqSearch(df,
@@ -218,7 +218,7 @@ class NorthStarSpec extends SparkSpec {
     val q = e.filter(col("n_id") < 20).select(col("n_id").as("q_id"), col("nv").as("qv"))
     val bf = VectorOps.bruteForceTopK(e, q, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val pq = VectorOps.ivfpqTopK(e, nCells = 16, nProbe = 4,
+    val pq = VectorOps.ivfpqTopK(e, e, nCells = 16, nProbe = 4,
         m = 4, dsub = 16, ksub = 16, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
       .filter(_._1 < 20).toSet

@@ -389,16 +389,11 @@ class StreamingSpec extends SparkSpec {
         s"state rows $peakState != distinct band keys $distinctBandKeys")
       info(s"10x corpus: ${docs.length} docs in ${batches.length} micro-batches, " +
         s"${got.size} pairs, peak state rows = $peakState (= distinct band keys)")
-      // survivors via the periodic CC pass == batch survivors on the 10x corpus
-      val dropped = graft.dedup.Dedup.connectedComponents(streamPairs)
-        .filter(col("cluster") =!= col("doc_id"))
-        .collect().map(_.getLong(0)).toSet
-      val batchDropped = graft.dedup.Dedup
-        .connectedComponents(graft.dedup.Dedup.candidatePairs(batchBands, "doc_id"))
-        .filter(col("cluster") =!= col("doc_id"))
-        .collect().map(_.getLong(0)).toSet
-      assert(dropped === batchDropped,
-        "10x incremental survivors diverge from the batch pipeline")
+      // Survivor equivalence follows: survivors are a deterministic function
+      // (CC + min-id) of the pair set, the pair sets are asserted equal
+      // above, and CC-derived survivors ≡ batch d7 is proven by the base
+      // equivalence test — re-running CC on both equal inputs here would
+      // only re-test CC against itself at local[4] minutes of cost.
     } finally q.stop()
   }
 
