@@ -183,13 +183,14 @@ object Dedup {
     * scalar convergence count per round; labels never leave the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Undirected edge list, both directions. Materialized once: the loop
-    // below references it every round, and without the checkpoint each
-    // iteration would re-execute the full upstream lineage (for LSH input,
-    // the entire MinHash pipeline).
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // Materialize the PAIRS (not the doubled edge list): a union of
+    // pairs-with-itself-swapped puts the expensive upstream lineage (for LSH
+    // input, the entire MinHash pipeline) into BOTH union branches of the
+    // checkpoint job — it would execute twice. Checkpoint the single pass,
+    // then derive both edge directions from the cached blocks.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     val labelType = labels.schema("label").dataType
@@ -222,8 +223,8 @@ object Dedup {
       iter += 1
     }
     // After >=1 iteration labels is checkpointed and no longer needs the
-    // edge blocks (with maxIter=0 the un-iterated labels still would).
-    if (iter > 0) edges.unpersist()
+    // pair blocks (with maxIter=0 the un-iterated labels still would).
+    if (iter > 0) p.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 }

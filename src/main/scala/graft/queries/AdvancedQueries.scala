@@ -593,6 +593,11 @@ object AdvancedQueries {
           min(col("ver")).cast("bigint").as("ver_from"),
           max(col("ver")).cast("bigint").as("ver_to"))
         .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
+        // The existing table feeds SEVEN consumers (history + the five
+        // current-row branches); in production it IS a stored table, so
+        // materialize once — without this every branch re-runs the
+        // snapshot-union + window + collapse lineage.
+        .localCheckpoint()
       // apply snapshot 3
       val v3 = snap(3).select(col("k"), col("val").as("v3"))
       val v3keys = v3.select("k")

@@ -174,7 +174,11 @@ object TextQueries {
     // causes.
     "d13_clusters_incremental" -> ((s, d) => {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
-      val bands = Dedup.lshBandKeys(sigs, "doc_id", "sig")
+      // The band keys feed FOUR consumers (old-pair generation + both sides
+      // of the new-pair probe join); without materialization each consumer
+      // re-executes the shingle+MinHash pipeline — the query's dominant
+      // cost — once per reference.
+      val bands = Dedup.lshBandKeys(sigs, "doc_id", "sig").localCheckpoint()
       val isNew = col("doc_id") % 10 === 0
       val oldPairs = Dedup.candidatePairs(bands.filter(!isNew), "doc_id")
       val labelsOld = Dedup.connectedComponents(oldPairs)
@@ -202,6 +206,50 @@ object TextQueries {
       labelsOld.join(touchedComps, Seq("cluster"), "left_anti")
         .select("doc_id", "cluster")
         .unionByName(relabeled)
+    }),
+
+    // SP1: SEQUENCE PACKING — assign documents to fixed-capacity training
+    // context windows (cap tokens), the batch-construction step every LLM
+    // trainer runs over the final corpus. Packing is inherently sequential,
+    // so the scalable form shards first (the shard key is the packing
+    // parallelism knob — production sets it to the writer task count) and
+    // packs WITHIN each shard by running-token-count: a doc starting before
+    // a capacity boundary stays in that bin (bounded overflow: a bin
+    // overruns by at most max_doc_tokens − 1; per-doc counts are capped at
+    // cap so no single doc exceeds a window). One window + one keyed agg —
+    // no iteration, no driver loop, shards pack in parallel.
+    "sp1_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 512L
+      val nShards = 8
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        least(size(split(col("text"), " ")).cast("bigint"), lit(cap)).as("n_tok"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tok")) / cap).cast("bigint"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    }),
+
+    // TX15: N-GRAM NOVELTY — per document, the fraction of its distinct
+    // 3-gram shingles not seen in any EARLIER document (doc_id order): the
+    // corpus-freshness score used to down-weight boilerplate and measure
+    // how much new text a crawl snapshot actually adds. First-seen owner =
+    // min(doc_id) per shingle — one shingle-keyed aggregation + one
+    // equi-join back, the tf-idf df shape (the 100 TB posture: the join is
+    // keyed on the shingle, never a cross-join).
+    "tx15_ngram_novelty" -> ((s, d) => {
+      val docSh = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+      val firstSeen = docSh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      docSh.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
     // D5: 60-bit SimHash per document (native expression; the declarative
@@ -906,6 +954,28 @@ object TextQueries {
          SELECT word, n, round(cum::DOUBLE / t, 6) AS cum_share
          FROM ranked, tot
          WHERE (cum - n)::DOUBLE / t < 0.95""",
+    "sp1_sequence_packing" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             least(len(string_split(text, ' '))::BIGINT, 512) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT shard, floor((cum - n_tok) / 512.0)::BIGINT AS bin,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS tok_sum
+         FROM c GROUP BY shard, bin""",
+    "tx15_ngram_novelty" ->
+      s"""WITH t AS ($shingleCte),
+         e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g)
+         SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+         FROM e JOIN f USING (g) GROUP BY e.doc_id""",
     "bpe1_merge_vocab" -> bpeOracle(bpeIters),
     "bpe2_encode" -> bpe2Oracle(bpeIters),
     "d3_lsh_candidate_pairs" -> lshPairsOracle,

@@ -311,7 +311,12 @@ object VectorOps {
         unit.join(corpusCells, "n_id").join(broadcast(cu), "cell")
           .select(col("n_id"), zip_with(col("u"), col("cu"), _ - _).as("u"))
       }
-    val subs = subBlocks(encBase, "u", m, dsub)
+    // Sub-blocks feed THREE consumers (seed selection, codebook training,
+    // corpus encoding) — materialize the one corpus-wide normalize+explode
+    // pass instead of re-running it per consumer. (Values unchanged; the
+    // Lloyd VectorMean aggregate itself stays in-plan — RegistryPlanSpec's
+    // v9 control asserts on it.)
+    val subs = subBlocks(encBase, "u", m, dsub).localCheckpoint()
     // deterministic seed: sub-blocks of the first ksub vectors by id order
     // (the same orderBy/limit pattern as the coarse centroids, so the seed
     // is well-defined on non-dense / non-zero-based id spaces too)

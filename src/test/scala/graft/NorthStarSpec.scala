@@ -351,6 +351,38 @@ class NorthStarSpec extends SparkSpec {
     assert(rows.map(_.rgb00).toSeq === Seq(0, 1, 2))
   }
 
+  test("sequence packing: bins respect the bounded-overflow contract") {
+    // sp1's packing admits bounded overflow (a doc starting before the
+    // boundary stays in its bin), and per-doc counts are capped at the
+    // window capacity — so every bin's token sum is < 2*cap, and within a
+    // shard only the LAST bin may be under-full relative to the boundary
+    // walk. The first property is the training-window contract; assert it.
+    val cap = 512L
+    val bins = graft.SparkEntry.queries("sp1_sequence_packing")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(bins.nonEmpty)
+    val over = bins.filter(_.getAs[Long]("tok_sum") >= 2 * cap)
+    assert(over.isEmpty,
+      s"bins violating the <2*cap overflow bound: ${over.mkString(", ")}")
+  }
+
+  test("ANN query batch covers every vector at the verify scales") {
+    // The v3/v4/v4b/v9/v9b/v10 faces serve the n_id < qBatch query batch
+    // (oracle-mirrored as vec_id < qBatch). The verify fixtures currently
+    // hold <= qBatch embeddings, so the faces' correctness scope is the
+    // WHOLE corpus — if a regenerated fixture ever grows past qBatch, that
+    // scope silently shrinks to a subset (hash checks stay green because
+    // query and oracle filter identically). Fail loudly instead.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val n = Tables.embeddings(spark, s"/root/testdata/$sf").count()
+      assert(n <= graft.queries.VectorQueries.qBatch,
+        s"$sf embeddings count $n exceeds the ANN faces' query batch " +
+          s"(${graft.queries.VectorQueries.qBatch}): the faces no longer " +
+          "cover the full corpus at verify scale — raise qBatch (and the " +
+          "oracle literals follow automatically) or shrink the fixture")
+    }
+  }
+
   test("vector mean: ragged embeddings fail fast with the dimension message") {
     import spark.implicits._
     val vm = org.apache.spark.sql.functions.udaf(new Aggregators.VectorMean)
