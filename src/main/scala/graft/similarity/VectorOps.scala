@@ -334,6 +334,30 @@ object VectorOps {
     IvfPqModel(centroids, trained, corpusCells.join(codes, "n_id"))
   }
 
+  /** ENCODE-ONLY index append — the incremental-maintenance half of the
+    * IVF-PQ lifecycle: new vectors are coarse-assigned and product-quantized
+    * against the EXISTING model (centroids + codebook), producing index rows
+    * in [[IvfPqModel.index]]'s shape without any training pass. This is the
+    * nightly posture of a production ANN store: encode arrivals against the
+    * standing quantizers, retrain periodically. Assignment is a pure
+    * function of (vector, quantizer), so appended rows are byte-identical
+    * to what a full re-encode of those vectors would produce — the v9c
+    * oracle replays exactly that.
+    */
+  def ivfpqEncode(vectors: DataFrame, model: IvfPqModel,
+      m: Int, dsub: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val cells = coarseAssign(withN, model.centroids, "n_id", 1)
+      .select("n_id", "cell")
+    val subs = subBlocks(
+      withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      "u", m, dsub)
+    val codes = pqAssign(subs, model.codebook)
+      .select(col("n_id"), col("b"), col("cell").as("code"))
+    cells.join(codes, "n_id")
+  }
+
   /** Asymmetric-distance search against a (possibly persisted) IVF-PQ
     * index: the query side computes its coarse probes and exact per-block
     * dot products against each codeword (an |Q|·m·ksub lookup table); the

@@ -39,7 +39,11 @@ class RegistryPlanSpec extends SparkSpec {
       "side is only touched through the bucketed index equi-join"),
     "v10_knn_ivfpq_residual" -> ("same bounded shapes as v9 (broadcast-centroid " +
       "assignment, broadcast-codebook encode over residuals); search is the cell " +
-      "equi-join plus (b, code) equi-joins"))
+      "equi-join plus (b, code) equi-joins"),
+    "v9c_knn_ivfpq_append" -> ("v9's bounded shapes split across the lifecycle: " +
+      "train on the standing corpus (O(n*k) broadcast-centroid assignment + " +
+      "broadcast-codebook encode), ivfpqEncode on arrivals (same shapes over the " +
+      "arrival batch only), search unchanged (cell + (b, code) equi-joins)"))
 
   test("no registry query plans an unbounded cartesian or nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

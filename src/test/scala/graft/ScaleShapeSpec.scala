@@ -43,6 +43,7 @@ class ScaleShapeSpec extends SparkSpec {
     "b1_bucketed_join",         // (20 s) writes the bucketed catalog table
     "v2_cosine_dup_pairs",      // (19 s)
     "v9b_knn_ivfpq_indexed",    // (17 s) builds + persists the PQ index
+    "v9c_knn_ivfpq_append",     // train-on-standing + encode-arrivals (v9-class cost)
     "v4_knn_ivf",               // (16 s)
     "q6_forecast_revenue",      // (13 s)
     "v1_knn_bruteforce",        // (13 s)
