@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ MediaQueries.queries ++ AdvancedQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++ SplitQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ MediaQueries.oracles ++ AdvancedQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++ SplitQueries.oracles
 }

@@ -227,4 +227,78 @@ object Dedup {
     if (iter > 0) p.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
+
+  /** Connected components by alternating large-star / small-star rounds —
+    * the published O(log n)-round MapReduce CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), here as DataFrame
+    * groupBy+join rounds. Same contract as [[connectedComponents]]: input
+    * candidate pairs (a, b), output (doc_id, cluster = min reachable id)
+    * for every node appearing in a pair.
+    *
+    * Why a second algorithm: min-label propagation needs O(diameter)
+    * rounds — fine for shallow near-dup clusters, quadratic wall-clock on
+    * pathological chains (a template corpus where doc i only pairs with
+    * doc i±1 has diameter = corpus size). Star contraction rewires the
+    * edge list itself toward a star forest, halving depth per round pair,
+    * so even a 100 TB chain converges in ~log2(n) rounds. Each round is
+    * one min-aggregate plus one equi-join on the same key (co-partitioned:
+    * AQE reuses the exchange); the driver sees only a scalar
+    * changed-edge count per round.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val nodes = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node"))).distinct()
+    // Directed edge list u -> v, deduped; maintained as parent-ish links.
+    var edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star(u): m = min(Γ(u) ∪ {u}); every BIGGER neighbor v > u
+      // re-links to m. Keeps smaller-neighbor edges for small-star.
+      val mins = edges.groupBy("u")
+        .agg(least(min(col("v")), col("u").cast(edges.schema("v").dataType)).as("m"))
+      val afterLarge = edges.join(mins, "u")
+        .select(
+          when(col("v") > col("u"), col("v")).otherwise(col("u")).as("a"),
+          when(col("v") > col("u"), col("m")).otherwise(col("v")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .select(col("a").as("u"), col("b").as("v"))
+        .union(mins.filter(col("m") =!= col("u"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+      // small-star(u): among u and its SMALLER-OR-EQUAL neighborhood, all
+      // re-link to the minimum. Bigger-neighbor edges pass through (they
+      // are that neighbor's smaller edge, handled on its own row).
+      val down = afterLarge.filter(col("v") < col("u"))
+      val sMins = down.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = down.join(sMins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(sMins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val next = relinked
+        .select(col("a").as("u"), col("b").as("v"))
+        .union(relinked.select(col("b").as("u"), col("a").as("v")))
+        .distinct().localCheckpoint()
+      // Exact convergence: the directed edge set is unchanged. Both sides
+      // are checkpointed, so this is one anti-join over materialized rows,
+      // and the driver receives a single scalar.
+      val changed = next.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(next).limit(1).count()
+      edges.unpersist()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+    // Star forest: every non-root has its root as its minimum neighbor;
+    // roots (the component minima) self-label via the left join.
+    val roots = edges.filter(col("v") < col("u"))
+      .groupBy("u").agg(min(col("v")).as("cluster"))
+      .withColumnRenamed("u", "node")
+    nodes.join(roots, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("cluster"), col("node")).as("cluster"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Dataset assembly — the step between a cleaned corpus and a training run:
+  * deterministic train/val/test splits, contamination-safe (cluster-aware)
+  * splitting, temperature-based language rebalancing, and seeded
+  * shuffle-sharding. None of the reference's queries cover this surface
+  * (its scope ends at migration); these are the north-star operators a
+  * 100 TB corpus build runs after dedup/quality gating.
+  *
+  * Everything is content/key-hash deterministic (no RNG): re-running the
+  * pipeline on the same corpus yields byte-identical assignments, which is
+  * what makes petabyte dataset builds auditable, resumable, and
+  * oracle-checkable. The hash is the portable 60-bit md5 bucket the rest of
+  * the repo uses (tx7): DuckDB replays it bit-for-bit.
+  */
+object SplitQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** `('0x' || substr(md5(x),1,15))::BIGINT % mod`, portably. */
+  private def md5Bucket(c: Column, mod: Long): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint") % mod
+
+  /** 98/1/1 by permille bucket — the fractions of a pretraining holdout. */
+  private def splitLabel(bucket: Column): Column =
+    when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+
+  val queries: Map[String, Q] = Map(
+    // SPL1: deterministic train/val/test split. The bucket hashes CONTENT,
+    // not doc_id: re-ingestion under new ids cannot move a document across
+    // the boundary, and byte-identical duplicates land on the same side by
+    // construction. Pure map over the scan — no shuffle, no state; at
+    // 100 TB this is a single pass that parallelizes perfectly.
+    "spl1_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), splitLabel(md5Bucket(col("text"), 1000)).as("split"))),
+
+    // SPL2: LEAKAGE-SAFE split — the contamination guard of corpus
+    // construction. A content-hash split still leaks when near-duplicates
+    // (not byte-identical) straddle train/test, so the split key is the
+    // near-dup CLUSTER label (the d6 MinHash→LSH→connected-components
+    // pipeline), not the document: every member of a cluster inherits the
+    // same side. Docs outside any candidate pair are their own cluster.
+    // Shape: the proven d6 pipeline + one equi-join of labels back to the
+    // corpus + a map — nothing new has to scale.
+    "spl2_leakage_safe_split" -> ((s, d) => {
+      val pairs = leakagePairs(s, d)
+      val labeled = Tables.documents(s, d).select("doc_id")
+        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val b = md5Bucket(concat(lit("split|"), col("cluster").cast("string")), 1000)
+      labeled.select(col("doc_id"), col("cluster"), splitLabel(b).as("split"))
+    }),
+
+    // MX1: temperature-based language rebalancing (the multilingual-corpus
+    // move: raise low-resource languages' share by downsampling the head).
+    // Acceptance rate per language = sqrt(n_min / n_l) — alpha = 0.5
+    // temperature normalized so the smallest language keeps everything —
+    // applied as a deterministic content-hash threshold, no RNG. Two
+    // passes by necessity (rates depend on global counts): a map-side
+    // partial count to |langs| rows, then a broadcast join + map filter.
+    // The only window runs over the LANGUAGE DIMENSION (|langs| rows), never
+    // the corpus.
+    "mx1_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val minN = min(col("n")).over(Window.partitionBy())
+      val rates = counts.select(col("lang"),
+        round(sqrt(minN.cast("double") / col("n")) * 1000000L).cast("bigint").as("thr"))
+      docs.join(broadcast(rates), "lang")
+        .filter(md5Bucket(col("text"), 1000000L) < col("thr"))
+        .select("doc_id", "lang")
+    }),
+
+    // SHUF1: seeded global shuffle, sharded — training-order randomization
+    // as (shard, position) rather than one global index: a single
+    // row_number over the whole corpus would be a one-partition window (the
+    // classic scale killer), so the order is declared per shard — shard =
+    // key-hash mod 32, position = rank of the hash within the shard. The
+    // concatenation shard 0 rows, shard 1 rows, ... IS a deterministic
+    // permutation of the corpus, and each shard sorts independently
+    // (one shuffle, 32-way parallel window). Keyed on doc_id + literal
+    // seed: reshuffling between epochs is a seed change, not a data pass.
+    "shuf1_sharded_shuffle" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("seed42|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("bigint")
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", col("h") % 32)
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    })
+  )
+
+  /** spl2's candidate-pair input — d6's MinHash→LSH pipeline verbatim.
+    * Public so SplitSpec can assert the leakage invariant (no candidate
+    * pair straddles a split) against the same pair set the query used.
+    */
+  def leakagePairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup.withMinhashSig(TextQueries.shingled(s, d), "sh", "sig")
+      .select("doc_id", "sig")
+    Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "spl1_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 AS b
+               FROM documents)""",
+    // d6's recursive-CTE CC rebuild, then the same hash CASE over the
+    // cluster label — singleton docs (no candidate pair) are their own
+    // cluster via the left join
+    "spl2_leakage_safe_split" ->
+      s"""WITH RECURSIVE t AS (${TextQueries.shingleCte}),
+         sigs AS (
+           SELECT doc_id, list_value(${TextQueries.sigEntriesSql.mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(n, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         cc AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         labeled AS (
+           SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN cc USING (doc_id))
+         SELECT doc_id, cluster,
+           CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster,
+                 ('0x' || substr(md5('split|' || cluster), 1, 15))::BIGINT % 1000 AS b
+               FROM labeled)""",
+    "mx1_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         rates AS (
+           SELECT lang,
+             round(sqrt((SELECT min(n) FROM counts)::DOUBLE / n) * 1000000)::BIGINT AS thr
+           FROM counts)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN rates r USING (lang)
+         WHERE ('0x' || substr(md5(d.text), 1, 15))::BIGINT % 1000000 < r.thr""",
+    "shuf1_sharded_shuffle" ->
+      """SELECT doc_id, h % 32 AS shard,
+           row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS pos
+         FROM (SELECT doc_id, ('0x' || substr(md5('seed42|' || doc_id), 1, 15))::BIGINT AS h
+               FROM documents)"""
+  )
+}

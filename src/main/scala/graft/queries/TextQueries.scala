@@ -19,7 +19,8 @@ object TextQueries {
   // Repartition first: the md5-minhash work downstream is CPU-bound, and the
   // small local fixture arrives as one split; real 100 TB inputs have many
   // splits, so this only levels the local playing field.
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  // private[queries]: SplitQueries reuses the same doc prep (spl2)
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -206,6 +207,20 @@ object TextQueries {
       labelsOld.join(touchedComps, Seq("cluster"), "left_anti")
         .select("doc_id", "cluster")
         .unionByName(relabeled)
+    }),
+
+    // D14: cluster resolution by large-star/small-star contraction — the
+    // O(log n)-round CC (Kiveris et al., SoCC'14) next to d6's O(diameter)
+    // min-label propagation. Near-dup clusters are usually shallow (d6's
+    // sweet spot); chain-shaped components (template corpora where doc i
+    // pairs only with doc i±1) make propagation's round count linear in
+    // corpus size, while star contraction halves depth every round pair.
+    // Same pairs, same contract; oracle = d6's full-rebuild CC, so the
+    // hash match proves the two algorithms agree on every cluster.
+    "d14_cc_largestar" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      Dedup.connectedComponentsStar(pairs)
     }),
 
     // SP1: SEQUENCE PACKING — assign documents to fixed-capacity training
@@ -614,13 +629,13 @@ object TextQueries {
         sha2(col("text").cast("binary"), 256).as("digest")))
   )
 
-  private val shingleCte =
+  private[queries] val shingleCte =
     """SELECT doc_id, w, list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        WHERE len(w) >= 3"""
 
   // Oracle mirror of Dedup.withMinhashSig: two 60-bit values per seeded md5.
-  private val sigEntriesSql: Seq[String] = (0 until 8).map { j =>
+  private[queries] val sigEntriesSql: Seq[String] = (0 until 8).map { j =>
     s"list_min(list_transform(sh, s -> substr(md5('${j / 2}|' || s), ${1 + 16 * (j % 2)}, 15)))"
   }
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
@@ -1039,6 +1054,8 @@ object TextQueries {
     // incremental touched-component apply must be indistinguishable from
     // recomputing every cluster from scratch
     "d13_clusters_incremental" -> ccRebuildOracle,
+    // star contraction must agree with min-label propagation on every label
+    "d14_cc_largestar" -> ccRebuildOracle,
     "d4_ngram_jaccard" ->
       s"""WITH t AS ($shingleCte)
          SELECT l.doc_id AS a, r.doc_id AS b,

@@ -366,6 +366,27 @@ class NorthStarSpec extends SparkSpec {
       s"bins violating the <2*cap overflow bound: ${over.mkString(", ")}")
   }
 
+  test("star-contraction CC: agrees with min-label CC and is logarithmic on a chain") {
+    import spark.implicits._
+    // The case star contraction exists for: a 200-node chain (diameter
+    // 199). Min-label propagation needs ~diameter rounds (default maxIter
+    // 10 would NOT converge here); star contraction must finish inside its
+    // default 25 — i.e., ~log2(n) round pairs, not O(n).
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = graft.dedup.Dedup.connectedComponentsStar(chain).collect()
+    assert(star.length == 200)
+    assert(star.forall(_.getAs[Long]("cluster") == 0L),
+      "chain must collapse to a single cluster rooted at 0")
+    // and on branchy random-ish pairs the two algorithms agree label-for-label
+    val pairs = (0L until 300L).filter(_ % 3 != 0)
+      .map(i => (i / 7 * 7, i)).filter { case (a, b) => a != b }.toDF("a", "b")
+    val viaProp = graft.dedup.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStar = graft.dedup.Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar == viaProp)
+  }
+
   test("ANN query batch covers every vector at the verify scales") {
     // The v3/v4/v4b/v9/v9b/v10 faces serve the n_id < qBatch query batch
     // (oracle-mirrored as vec_id < qBatch). The verify fixtures currently

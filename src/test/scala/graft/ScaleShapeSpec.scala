@@ -32,6 +32,8 @@ class ScaleShapeSpec extends SparkSpec {
     "v10_knn_ivfpq_residual",   // (80 s) coarse + residual codebook training
     "d13_clusters_incremental", // (57 s) CC + touched-component recompute
     "d6_dedup_clusters",        // (50 s) CC iterations
+    "spl2_leakage_safe_split",  // d6's CC iterations + label join
+    "d14_cc_largestar",         // star-contraction rounds (driver loop)
     "d12_survivors_incremental",// (48 s) stateful pair gen + CC
     "d10_dedup_best_survivor",  // (32 s) CC + survivor ranking
     "q7_nation_volume",         // (31 s)
