@@ -94,9 +94,12 @@ object Bench {
     val med =
       if (prior.isEmpty) 0.0
       else prior.values.toSeq.sorted.apply(prior.size / 2)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (prior.getOrElse(n, med), n)
-    }
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — measure just
+    // those (local debug loop; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (prior.getOrElse(n, med), n) }
 
     // (name, warm, cold, ok, skipped)
     val results = scala.collection.mutable.ArrayBuffer
@@ -114,9 +117,12 @@ object Bench {
 
     def renderJson(): String = {
       val done = results.toSeq
-      val qs = done.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      // Only successful measurements enter the timing maps — a failed run's
+      // elapsed time is time-to-error, not a query duration, and consumers
+      // diffing rounds must not mistake it for one (round-7 advice).
+      val qs = done.collect { case (k, v, _, true, false) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val colds = done.map { case (k, _, c, _, _) => "\"" + k + "\":" + c }
+      val colds = done.collect { case (k, _, c, true, false) => "\"" + k + "\":" + c }
         .mkString("{", ",", "}")
       val failed = done.collect { case (k, _, _, false, false) => "\"" + k + "\"" }
         .mkString("[", ",", "]")

@@ -22,20 +22,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark lacks; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a nanos-epoch
-    * long and is converted here (fixture values are exact microseconds, so
-    * truncation is lossless — see TESTDATA probe).
+  /** events.ts normalization. The fixture generator has shipped this column
+    * three ways across rounds: TIMESTAMP(NANOS) (arrives as a nanos-epoch
+    * long under `spark.sql.legacy.parquet.nanosAsLong=true`),
+    * timestamp[us] without timezone (arrives as TIMESTAMP_NTZ), and plain
+    * TIMESTAMP. All are the same instants; every downstream operator
+    * (windows, unix_micros, watermarks) is written against TIMESTAMP, so
+    * normalize here. Sessions run UTC, so the NTZ→TZ cast is a lossless
+    * relabeling, and `ts div 1000` is integer div, NOT `/`: ns epochs
+    * exceed double's 2^53 mantissa, so float division drifts by ±1us.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    // Integer `div`, NOT `/`: ns epochs exceed double's 2^53 mantissa, so
-    // float division drifts by ±1us.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -23,7 +23,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query names — run only those
+    // (debug loop for a failing subset; absent = full registry).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val budgetSec = sys.env.get("SPARK_GRAFT_VERIFY_BUDGET")
       .flatMap(_.toIntOption).getOrElse(2100)
@@ -80,14 +84,28 @@ object Verify {
     val med =
       if (prior.isEmpty) 0.0
       else prior.values.toSeq.sorted.apply(prior.size / 2)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (prior.getOrElse(n, med), n)
-    }
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (prior.getOrElse(n, med), n) }
 
     // Queries run through a small thread pool — Spark schedules concurrent
     // actions safely, and most of these jobs are too small to saturate the
     // executor threads alone. Per-query isolation (the try/catch) and the
     // one-file-per-query output contract are unchanged.
+    //
+    // Every query's outcome lands in verify_status.json (ok/failed/skipped
+    // + the error message). Round 7 lost two queries SILENTLY: they errored,
+    // got no result dir, and the driver's correctness report simply omitted
+    // them — 155/155 green read as a clean round while two operators were
+    // broken. A failure must be a visible row, not an absence.
+    val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    ordered.foreach { case (n, _) => status.put(n, "\"skipped\"") }
+    def writeStatus(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val body = status.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_status.json"), body)
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       val tasks = ordered.map { case (name, fn) =>
@@ -100,14 +118,19 @@ object Verify {
                 val s0 = System.nanoTime()
                 fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                   .parquet(s"$outDir/$name")
+                status.put(name, "\"ok\"")
+                writeStatus()
                 System.err.println(f"[verify] OK $name ${(System.nanoTime() - s0) / 1e9}%.1fs")
               } catch { case e: Throwable =>
+                status.put(name, "{\"failed\": " + q(String.valueOf(e.getMessage)) + "}")
+                writeStatus()
                 System.err.println(s"[verify] $name failed: ${e.getMessage}")
               }
         })
       }
       tasks.foreach(_.get())
     } finally pool.shutdown()
+    writeStatus()
     System.err.println(f"[verify] done in $elapsed%.0fs")
     spark.stop()
   }
