@@ -78,6 +78,51 @@ object SplitQueries {
         .select("doc_id", "lang")
     }),
 
+    // MX2: per-language TOKEN budget — the mixture knob production corpus
+    // builds actually turn ("this run gets at most B tokens of each
+    // language"), where mx1's knob is a sampling RATE. Docs are admitted in
+    // deterministic content-hash priority order until the language's
+    // running token total crosses the budget. The only window is a running
+    // sum PARTITIONED BY LANGUAGE — |langs|-way parallel, and the sort key
+    // is (hash, doc_id), so the plan is one shuffle + per-partition sort.
+    // At 100 TB the per-language sort is the cost; the budget itself stays
+    // a constant, and a two-level form (hash-bucket partial sums, then a
+    // |buckets|-row prefix over bucket totals picking a cutoff bucket)
+    // drops the sorted volume to ~B tokens per language when B << corpus.
+    "mx2_token_budget_mix" -> ((s, d) => {
+      val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"), h.as("h"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= tokenBudget)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+    }),
+
+    // REP1: epoch-weighted upsampling — the other half of mixture design:
+    // rare languages are REPEATED (multiple epochs) rather than the head
+    // being dropped (mx1) or capped (mx2). Epochs per language =
+    // min(4, ceil(sqrt(n_max / n_lang))) — the sqrt tempering of mx1 in
+    // repeat space, capped at the 4-epoch point where repetition stops
+    // helping. The replication is explode(sequence(1, epochs)): a map-side
+    // fan-out with NO shuffle after the |langs|-row broadcast join, and the
+    // (doc_id, epoch) output is exactly the sample list a packing/shuffle
+    // stage downstream consumes.
+    "rep1_epoch_upsample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val maxN = max(col("n")).over(Window.partitionBy())
+      val epochs = counts.select(col("lang"),
+        least(lit(4L), ceil(sqrt(maxN.cast("double") / col("n"))).cast("bigint"))
+          .as("epochs"))
+      docs.join(broadcast(epochs), "lang")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+    }),
+
     // SHUF1: seeded global shuffle, sharded — training-order randomization
     // as (shard, position) rather than one global index: a single
     // row_number over the whole corpus would be a one-partition window (the
@@ -98,6 +143,13 @@ object SplitQueries {
         .select("doc_id", "shard", "pos")
     })
   )
+
+  /** mx2's per-language token budget — ONE constant drives the Spark plan
+    * and the oracle. 2000 whitespace tokens binds for every language at the
+    * verify scale (sf0.01 languages run 3.5k–12k tokens), so the operator's
+    * cutoff path is actually exercised, not just its pass-through.
+    */
+  private val tokenBudget = 2000L
 
   /** spl2's candidate-pair input — d6's MinHash→LSH pipeline verbatim.
     * Public so SplitSpec can assert the leakage invariant (no candidate
@@ -158,6 +210,25 @@ object SplitQueries {
       """SELECT doc_id, h % 32 AS shard,
            row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS pos
          FROM (SELECT doc_id, ('0x' || substr(md5('seed42|' || doc_id), 1, 15))::BIGINT AS h
-               FROM documents)"""
+               FROM documents)""",
+    "mx2_token_budget_mix" ->
+      s"""SELECT doc_id, lang, n_tok, cum_tok FROM (
+           SELECT doc_id, lang, n_tok,
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tok
+           FROM (SELECT doc_id, lang,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                 FROM documents))
+         WHERE cum_tok <= $tokenBudget""",
+    "rep1_epoch_upsample" ->
+      """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         ep AS (
+           SELECT lang,
+             least(4, ceil(sqrt((SELECT max(n) FROM counts)::DOUBLE / n))::BIGINT) AS epochs
+           FROM counts)
+         SELECT d.doc_id, d.lang, u.epoch::BIGINT AS epoch
+         FROM documents d JOIN ep USING (lang),
+           unnest(range(1, ep.epochs + 1)) u(epoch)"""
   )
 }

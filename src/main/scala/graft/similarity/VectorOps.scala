@@ -201,6 +201,45 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Spherical k-means corpus clustering: `iters` deterministic Lloyd
+    * iterations (first-`nCells` seed, cosine assignment, per-cell 6dp-rounded
+    * VectorMean — the exact v4b training recipe), returning every input row
+    * with its final `cell` and the cosine to that centroid (`csim`). Where
+    * [[ivfTopKRefined]] uses the trained cells as an ANN index, this face
+    * RETURNS the clustering itself — the corpus-curation primitive
+    * (SemDeDup-style semantic dedup, per-cluster sampling, drift audits)
+    * consumes cluster labels, not neighbors.
+    *
+    * Scale shape: per iteration one corpus ⋈ broadcast(centroids) pass
+    * (O(n·k), the allowlisted assignment cost) and one cell-keyed VectorMean
+    * aggregation — (sum-vector, count) partials per (cell, partition) cross
+    * the shuffle, never exploded dims.
+    */
+  def kmeansAssign(vectors: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val seeds = withN.orderBy(col("n_id")).limit(nCells)
+      .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
+    def scored(cents: DataFrame) = {
+      val w = Window.partitionBy(col("n_id")).orderBy(col("csim").desc, col("cell").asc)
+      withN.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineWithNorms(col("nv"), col("cv"), col("nn"), col("cn")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+    }
+    val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
+    val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      scored(cents)
+        .groupBy("cell")
+        .agg(vecMean(col("nv")).as("mv"))
+        .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+    }
+    scored(refined)
+      .select(col("n_id"), col("nv"), col("nn"), col("cell"),
+        round(col("csim"), 6).as("csim"))
+  }
+
   /** IVF-PQ: product-quantized ANN — THE 100 TB memory story. The corpus
     * side of the search carries only `m` small code ids per vector (m=4
     * codes ≈ 4 bytes vs 64 float dims ≈ 256 bytes: a 16x cut of what the

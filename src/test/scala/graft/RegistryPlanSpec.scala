@@ -43,7 +43,12 @@ class RegistryPlanSpec extends SparkSpec {
     "v9c_knn_ivfpq_append" -> ("v9's bounded shapes split across the lifecycle: " +
       "train on the standing corpus (O(n*k) broadcast-centroid assignment + " +
       "broadcast-codebook encode), ivfpqEncode on arrivals (same shapes over the " +
-      "arrival batch only), search unchanged (cell + (b, code) equi-joins)"))
+      "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
+    "km1_kmeans_assign" -> ("v4b's O(n*k) broadcast-centroid Lloyd assignment, " +
+      "run per iteration — the output is the assignment itself"))
+    // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
+    // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
+    // appears in it — the pair generation itself is the cluster-id equi-join.)
 
   test("no registry query plans an unbounded cartesian or nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

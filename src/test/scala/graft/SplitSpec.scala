@@ -56,6 +56,60 @@ class SplitSpec extends SparkSpec {
       s"largest language ${maxLang._1} did not downsample")
   }
 
+  test("mx2: every language's admitted token total respects the budget, " +
+      "and admission is a prefix of the hash priority order") {
+    val kept = SplitQueries.queries("mx2_token_budget_mix")(spark, sfDir).cache()
+    // budget: no language's kept total exceeds 2000 tokens
+    val over = kept.groupBy("lang").agg(sum("n_tok").as("t"))
+      .filter(col("t") > 2000L).count()
+    assert(over == 0, "a language exceeded its token budget")
+    // maximality: for each language, the FIRST rejected doc (in admission
+    // order) would have pushed the running total past the budget — i.e. the
+    // operator admits a maximal prefix, not merely a safe subset
+    val all = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val notMaximal = all
+      .withColumn("cum", sum("n_tok").over(w))
+      .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+      .filter(col("k").isNull && col("cum") <= 2000L)
+      .count()
+    assert(notMaximal == 0, "a doc within budget was rejected - prefix broken")
+    kept.unpersist()
+  }
+
+  test("rep1: epochs are capped at 4, rare languages repeat at least as " +
+      "often as the head, and the head runs exactly one epoch") {
+    val rep = SplitQueries.queries("rep1_epoch_upsample")(spark, sfDir).cache()
+    val perLang = rep.groupBy("lang")
+      .agg(max("epoch").as("epochs"), count(lit(1)).as("rows"),
+        count_distinct(col("doc_id")).as("docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    perLang.foreach { case (l, e, rows, docs) =>
+      assert(e >= 1 && e <= 4, s"$l epochs out of range: $e")
+      assert(rows == e * docs, s"$l replication is not uniform: $rows != $e * $docs")
+    }
+    val before = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val head = before.maxBy(_._2)._1
+    assert(perLang.find(_._1 == head).get._2 == 1L,
+      s"largest language $head should run exactly one epoch")
+    // monotone: fewer docs => at least as many epochs
+    val sorted = perLang.sortBy(t => before(t._1))
+    sorted.sliding(2).foreach {
+      case Array((l1, e1, _, _), (l2, e2, _, _)) =>
+        assert(e1 >= e2, s"rarer $l1 repeats less than $l2 ($e1 < $e2)")
+      case _ =>
+    }
+    rep.unpersist()
+  }
+
   test("shuf1: positions are a contiguous 1..n_shard ranking per shard") {
     val shuffled = SplitQueries.queries("shuf1_sharded_shuffle")(spark, sfDir).cache()
     val total = graft.Tables.documents(spark, sfDir).count()
