@@ -123,6 +123,30 @@ object SplitQueries {
           explode(sequence(lit(1L), col("epochs"))).as("epoch"))
     }),
 
+    // CUR1: quality-curriculum ordering — the corpus emitted as (phase,
+    // shard, pos): phase 1 = highest tx2 quality score, later phases
+    // noisier, so a trainer consuming phases in order runs a
+    // clean-data-first curriculum. Phase boundaries are FIXED score
+    // thresholds (no global quantile pass — a deterministic map), and
+    // within a phase the order is shuf1's sharded hash permutation: shard
+    // = hash mod 8, pos = rank within (phase, shard). The only window is
+    // per-(phase, shard) — 32-way parallel, never a global sort.
+    "cur1_curriculum" -> ((s, d) => {
+      val score = graft.text.TextAnalysis.qualityScore(col("text"))
+      val h = conv(substring(md5(concat(lit("cur|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("bigint")
+      val w = Window.partitionBy(col("phase"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(score >= 0.4, 1L).when(score >= 0.3, 2L)
+            .when(score >= 0.2, 3L).otherwise(4L).as("phase"),
+          h.as("h"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select("doc_id", "phase", "shard", "pos")
+    }),
+
     // SHUF1: seeded global shuffle, sharded — training-order randomization
     // as (shard, position) rather than one global index: a single
     // row_number over the whole corpus would be a one-partition window (the
@@ -221,6 +245,25 @@ object SplitQueries {
                    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
                  FROM documents))
          WHERE cum_tok <= $tokenBudget""",
+    "cur1_curriculum" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             least(stop_hits / n_tok * 5.0, 1.0) * 0.5
+               + least(n_tok / 200.0, 1.0) * 0.5 AS score,
+             ('0x' || substr(md5('cur|' || doc_id), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::BIGINT AS stop_hits,
+                   len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tok
+                 FROM documents)),
+         phased AS (
+           SELECT doc_id,
+             CASE WHEN score >= 0.4 THEN 1 WHEN score >= 0.3 THEN 2
+                  WHEN score >= 0.2 THEN 3 ELSE 4 END::BIGINT AS phase,
+             h, h % 8 AS shard
+           FROM scored)
+         SELECT doc_id, phase, shard,
+           row_number() OVER (PARTITION BY phase, shard ORDER BY h, doc_id) AS pos
+         FROM phased""",
     "rep1_epoch_upsample" ->
       """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
          ep AS (

@@ -523,6 +523,41 @@ object TextQueries {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
+    // BPE3: full corpus TOKENIZATION — the token-ID sequences a training
+    // run actually consumes, not just counts (bpe2). Same
+    // vocab-sized-work discipline: merges segment the DISTINCT vocabulary
+    // once; token ids come from a dense ranking of the DISTINCT trained
+    // tokens (a vocabulary is bounded — production BPE vocabs are ~50k —
+    // so the id-assignment window runs over a vocab-sized frame, the tx14
+    // precedent, never the corpus); the corpus-sized work is two
+    // equi-joins (word → its token list, token → id) and a bounded
+    // per-word explode. Output: one row per (doc, word position, token
+    // position within the word) with the token id.
+    "bpe3_tokenize" -> ((s, d) => {
+      val (merges, _) = trainBpeMerges(s, d)
+      val docWords = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("word_pos", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val vocab0 = docWords.select("word").distinct()
+        .withColumn("seq",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      val segmented = merges.foldLeft(vocab0) { (df, pair) =>
+          df.withColumn("seq", graft.text.TextAnalysis.mergePair(col("seq"), pair))
+        }
+        .select(col("word"), split(trim(col("seq")), " ").as("toks"))
+      val idWindow = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+      val ids = segmented.select(explode(col("toks")).as("token")).distinct()
+        .withColumn("token_id", row_number().over(idWindow).cast("bigint"))
+      docWords.join(segmented, "word")
+        .select(col("doc_id"), col("word_pos").cast("bigint").as("word_pos"),
+          posexplode(col("toks")).as(Seq("tok_pos", "token")))
+        .join(ids, "token")
+        .select(col("doc_id"), col("word_pos"),
+          col("tok_pos").cast("bigint").as("tok_pos"), col("token_id"))
+    }),
+
     // PIPELINE: the end-to-end LLM-corpus face — quality gate (tx12's
     // bands) → near-dup survivorship (d7's MinHash/LSH/CC) → benchmark
     // decontamination (d11's gram join), composed the way a production
@@ -742,7 +777,11 @@ object TextQueries {
     * the full distinct corpus vocabulary, then per-doc token counts via the
     * word -> n_tokens map (the same vocab-join shape as the Spark side).
     */
-  private def bpe2Oracle(iters: Int): String = {
+  /** Shared bpe2/bpe3 prefix: training CTEs, the per-doc word list WITH
+    * word positions (bpe2 only counts them; bpe3 emits them), and the
+    * merge-application chain over the distinct vocabulary.
+    */
+  private def bpeEncodePrefix(iters: Int): String = {
     val encodeCtes = (1 to iters).map { j =>
       s""",
          enc$j AS (
@@ -754,13 +793,18 @@ object TextQueries {
     bpeTrainCtes(iters) +
       s""",
          docw AS (
-           SELECT doc_id, word FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-           WHERE regexp_full_match(word, '[a-z]+')),
+           SELECT doc_id, i::BIGINT AS word_pos, w[i+1] AS word
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(len(w))) u(i)
+           WHERE regexp_full_match(w[i+1], '[a-z]+')),
          enc0 AS (
            SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
            FROM (SELECT DISTINCT word FROM docw))""" +
-      encodeCtes +
+      encodeCtes
+  }
+
+  private def bpe2Oracle(iters: Int): String =
+    bpeEncodePrefix(iters) +
       s""",
          encn AS (
            SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS n_tokens
@@ -768,7 +812,24 @@ object TextQueries {
          SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tokens)::BIGINT AS n_tokens
          FROM docw JOIN encn USING (word)
          GROUP BY doc_id"""
-  }
+
+  /** bpe3: the same trained segmentation, emitted as token-id sequences —
+    * ids are a dense rank over the DISTINCT trained tokens (vocab-sized).
+    */
+  private def bpe3Oracle(iters: Int): String =
+    bpeEncodePrefix(iters) +
+      s""",
+         wordtoks AS (
+           SELECT word, string_split(trim(seq), ' ') AS toks FROM enc$iters),
+         ids AS (
+           SELECT token, row_number() OVER (ORDER BY token)::BIGINT AS token_id
+           FROM (SELECT DISTINCT unnest(toks) AS token FROM wordtoks)),
+         flat AS (
+           SELECT d.doc_id, d.word_pos, i::BIGINT AS tok_pos, t.toks[i+1] AS token
+           FROM docw d JOIN wordtoks t USING (word),
+             unnest(range(len(t.toks))) u(i))
+         SELECT f.doc_id, f.word_pos, f.tok_pos, ids.token_id
+         FROM flat f JOIN ids USING (token)"""
 
   // Shared by d7 and d12: identical survivor semantics, batch vs stateful
   // physical route.
@@ -1012,6 +1073,7 @@ object TextQueries {
          FROM e JOIN f USING (g) GROUP BY e.doc_id""",
     "bpe1_merge_vocab" -> bpeOracle(bpeIters),
     "bpe2_encode" -> bpe2Oracle(bpeIters),
+    "bpe3_tokenize" -> bpe3Oracle(bpeIters),
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,

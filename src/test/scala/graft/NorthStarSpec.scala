@@ -366,6 +366,26 @@ class NorthStarSpec extends SparkSpec {
       s"bins violating the <2*cap overflow bound: ${over.mkString(", ")}")
   }
 
+  test("bpe3 token sequences are consistent with bpe2 token counts") {
+    // Same trained merges, two faces: bpe3's per-doc token-row count must
+    // equal bpe2's per-doc n_tokens, and token ids must be a dense 1..V
+    // ranking of the vocabulary.
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val counts = graft.SparkEntry.queries("bpe2_encode")(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"))
+    val seqs = graft.SparkEntry.queries("bpe3_tokenize")(spark, sfDir)
+    val mismatch = seqs.groupBy("doc_id").agg(count(lit(1)).as("n_rows"))
+      .join(counts, "doc_id")
+      .filter(col("n_rows") =!= col("n_tokens"))
+      .count()
+    assert(mismatch == 0, "bpe3 row counts disagree with bpe2 token counts")
+    val ids = seqs.select("token_id").distinct()
+    val v = ids.count()
+    assert(v > 0 && ids.agg(min("token_id"), max("token_id")).head ==
+      org.apache.spark.sql.Row(1L, v), "token ids are not a dense 1..V ranking")
+  }
+
   test("star-contraction CC: agrees with min-label CC and is logarithmic on a chain") {
     import spark.implicits._
     // The case star contraction exists for: a 200-node chain (diameter

@@ -110,6 +110,21 @@ class SplitSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("cur1: covers every doc once, four phases, gapless ranks per (phase, shard)") {
+    val cur = SplitQueries.queries("cur1_curriculum")(spark, sfDir).cache()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(cur.count() == total)
+    assert(cur.select("doc_id").distinct().count() == total)
+    val phases = cur.select("phase").distinct().collect().map(_.getLong(0)).sorted
+    assert(phases.forall(p => p >= 1 && p <= 4), s"phase out of range: ${phases.toSeq}")
+    val bad = cur.groupBy("phase", "shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n"), count_distinct(col("pos")).as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+      .count()
+    assert(bad == 0, "a (phase, shard) ranking has gaps or duplicates")
+    cur.unpersist()
+  }
+
   test("shuf1: positions are a contiguous 1..n_shard ranking per shard") {
     val shuffled = SplitQueries.queries("shuf1_sharded_shuffle")(spark, sfDir).cache()
     val total = graft.Tables.documents(spark, sfDir).count()
