@@ -275,10 +275,14 @@ object TextQueries {
     // equi-join back, the tf-idf df shape (the 100 TB posture: the join is
     // keyed on the shingle, never a cross-join).
     "tx15_ngram_novelty" -> ((s, d) => {
-      val docSh = shingled(s, d)
+      // first-seen owner via a per-shingle window min instead of a
+      // groupBy + self-join: the shingle pipeline executes ONCE and the
+      // plan is two keyed exchanges (g, then doc_id) instead of the
+      // aggregate+join re-executing the explode on both sides.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
-      val firstSeen = docSh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      docSh.join(firstSeen, "g")
+        .withColumn("first_doc", min(col("doc_id")).over(w))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -447,6 +447,33 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** Two-stage retrieval: ADC shortlist, then exact-cosine RERANK — the
+    * standard production IVF-PQ serving shape. Stage 1 is [[ivfpqSearch]]
+    * truncated at `shortlist` (the compressed-domain scan: candidates cost
+    * m code lookups each); stage 2 joins ONLY the |Q|·shortlist surviving
+    * pairs back to full vectors for the exact score. The expensive exact
+    * kernel runs on a constant-size set per query — the corpus is never
+    * touched uncompressed — which is why rerank recovers most of the
+    * recall PQ compression loses at ~zero extra scan cost.
+    */
+  def ivfpqRerank(vectors: DataFrame, queries: DataFrame, model: IvfPqModel,
+      nProbe: Int, m: Int, dsub: Int, shortlist: Int, k: Int,
+      residual: Boolean = false): DataFrame = {
+    val sl = ivfpqSearch(queries, model, nProbe, m, dsub, k = shortlist,
+        residual = residual)
+      .select(col("q_id"), col("n_id"))
+    val qv = withNorm(queries, "nv", "nn")
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val cv = withNorm(vectors, "nv", "nn")
+      .select(col("n_id"), col("nv"), col("nn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    sl.join(qv, "q_id").join(cv, "n_id")
+      .withColumn("cos", cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Per-vector int8 scalar quantization: x -> floor((x-min)*255/(max-min)
     * + 0.5) (explicit floor+0.5, not round(), so no engine rounding-mode
     * ambiguity), plus the dequantization MSE — the compression audit a

@@ -226,6 +226,31 @@ class NorthStarSpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("ivf-pq rerank: exact-cosine reranking recovers recall the codes lose") {
+    // The fixture floor test above pins plain ADC recall ~0.3 on random
+    // embeddings (PQ's worst case). Reranking the 20-candidate ADC
+    // shortlist with the exact cosine must recover a strict improvement —
+    // the candidates are usually RIGHT, their compressed ordering is what's
+    // wrong — at the cost of 20 exact dots per query, not a corpus scan.
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").select(
+      col("vec_id").as("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val q = e.filter(col("n_id") < 20).select(col("n_id").as("q_id"), col("nv").as("qv"))
+    val bf = VectorOps.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val model = VectorOps.ivfpqTrain(e, nCells = 16, m = 4, dsub = 16, ksub = 16)
+    def recallOf(got: Array[(Long, Long)]): Double =
+      (bf intersect got.filter(_._1 < 20).toSet).size.toDouble / bf.size
+    val adc = recallOf(VectorOps.ivfpqSearch(e.filter(col("n_id") < 20), model,
+      nProbe = 4, m = 4, dsub = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    val rr = recallOf(VectorOps.ivfpqRerank(e, e.filter(col("n_id") < 20), model,
+      nProbe = 4, m = 4, dsub = 16, shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    assert(rr > adc, s"rerank recall=$rr did not improve on adc recall=$adc")
+    assert(rr > 0.5, s"rerank recall=$rr")
+  }
+
   test("lsh near-dup pairs: exact precision, high recall on clustered vectors") {
     // Near-dup pairs = same-cluster pairs (members are tiny perturbations of
     // a shared centroid, cos ≈ 1; cross-cluster cos is far below threshold).

@@ -45,7 +45,11 @@ class RegistryPlanSpec extends SparkSpec {
       "broadcast-codebook encode), ivfpqEncode on arrivals (same shapes over the " +
       "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
     "km1_kmeans_assign" -> ("v4b's O(n*k) broadcast-centroid Lloyd assignment, " +
-      "run per iteration — the output is the assignment itself"))
+      "run per iteration — the output is the assignment itself"),
+    "v9d_knn_ivfpq_rerank" -> ("v9b's bounded query-side shapes (O(q*k) " +
+      "broadcast-centroid probe + broadcast-codebook LUT over the FIXED query " +
+      "batch); the rerank joins only the |Q|*shortlist surviving pairs back to " +
+      "vectors by id — constant per query, never a corpus scan"))
     // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
     // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
     // appears in it — the pair generation itself is the cluster-id equi-join.)
