@@ -447,6 +447,39 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** Per-cell PQ reconstruction audit — the RETRAIN TRIGGER a production
+    * ANN store monitors: as the corpus drifts away from the codebooks'
+    * training distribution, each vector's quantization error ||u_b − cw||²
+    * grows; per-cell mean/max error is the metric an operator alerts and
+    * retrains on (the v6 scalar-quantization audit, lifted to the PQ
+    * index). Cost shape: one corpus sub-block pass + two equi-joins
+    * against the (broadcast-sized) codebook and the index codes, then a
+    * cell-keyed aggregation — no training, no search, nothing quadratic.
+    * The per-vector error folds blocks in b order (collect + sorted fold),
+    * the deterministic addition order the oracle replays.
+    */
+  def pqDriftAudit(vectors: DataFrame, model: IvfPqModel,
+      m: Int, dsub: Int): DataFrame = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val subs = subBlocks(
+      withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      "u", m, dsub)
+    val cw = model.codebook.select(col("b"), col("cell").as("code"), col("cv"))
+    val verr = model.index
+      .join(subs, Seq("n_id", "b"))
+      .join(broadcast(cw), Seq("b", "code"))
+      .withColumn("err2", l2sq(col("sv"), col("cv")))
+      .groupBy("n_id", "cell")
+      .agg(array_sort(collect_list(struct(col("b"), col("err2")))).as("es"))
+      .select(col("cell"),
+        aggregate(col("es"), lit(0.0), (acc, e) => acc + e.getField("err2")).as("verr"))
+    verr.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("verr")), 6).as("mean_err"),
+        round(max(col("verr")), 6).as("max_err"))
+  }
+
   /** Two-stage retrieval: ADC shortlist, then exact-cosine RERANK — the
     * standard production IVF-PQ serving shape. Stage 1 is [[ivfpqSearch]]
     * truncated at `shortlist` (the compressed-domain scan: candidates cost
