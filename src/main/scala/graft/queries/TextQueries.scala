@@ -228,6 +228,38 @@ object TextQueries {
         .unionByName(relabeled)
     }),
 
+    // D15: CONTAINMENT detection over LSH candidates — the asymmetric
+    // near-dup Jaccard misses: a short doc embedded verbatim in a long one
+    // has low Jaccard (|∩|/|∪| shrinks with the size gap) but containment
+    // |∩|/min(|A|,|B|) ≈ 1. Quote-chains, boilerplate-wrapped reposts, and
+    // excerpt pages are exactly this shape. Candidates come from the SAME
+    // d3 LSH generator (equi-join on band key — never corpus²); the
+    // intersection is counted by joining each pair side to the candidate
+    // docs' distinct shingles on (doc, shingle) — pair-bounded work, and
+    // the shingle explode is semi-join-restricted to candidate docs.
+    "d15_containment" -> ((s, d) => {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      val pairs = Dedup
+        .candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+        .localCheckpoint()
+      val cand = pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+      val sh = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+        .join(cand, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      pairs
+        .join(sh.select(col("doc_id").as("a"), col("g")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+        .select(col("a"), col("b"), col("n_common"),
+          round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 6)
+            .as("containment"))
+    }),
+
     // D14: cluster resolution by large-star/small-star contraction — the
     // O(log n)-round CC (Kiveris et al., SoCC'14) next to d6's O(diameter)
     // min-label propagation. Near-dup clusters are usually shallow (d6's
@@ -860,6 +892,34 @@ object TextQueries {
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT n FROM dropped)"""
 
+  // d15: the d3 candidate CTEs + distinct-shingle intersection counts and
+  // min-size normalization (asymmetric containment).
+  private lazy val containmentOracle =
+    s"""WITH t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
+       sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM e GROUP BY doc_id),
+       inter AS (
+         SELECT p.a, p.b, count(*)::BIGINT AS n_common
+         FROM pairs p
+         JOIN e ea ON ea.doc_id = p.a
+         JOIN e eb ON eb.doc_id = p.b AND eb.g = ea.g
+         GROUP BY p.a, p.b)
+       SELECT i.a, i.b, i.n_common,
+         round(i.n_common::DOUBLE / least(sa.n, sb.n), 6) AS containment
+       FROM inter i
+       JOIN sizes sa ON sa.doc_id = i.a
+       JOIN sizes sb ON sb.doc_id = i.b"""
+
   // Shared by d3 and d3b: identical candidate semantics, different storage.
   private lazy val lshPairsOracle =
     s"""WITH t AS ($shingleCte),
@@ -1139,6 +1199,7 @@ object TextQueries {
     // incremental touched-component apply must be indistinguishable from
     // recomputing every cluster from scratch
     "d13_clusters_incremental" -> ccRebuildOracle,
+    "d15_containment" -> containmentOracle,
     // star contraction must agree with min-label propagation on every label
     "d14_cc_largestar" -> ccRebuildOracle,
     "d4_ngram_jaccard" ->

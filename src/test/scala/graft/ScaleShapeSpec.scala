@@ -30,6 +30,7 @@ class ScaleShapeSpec extends SparkSpec {
   private val heavyConstruction: Set[String] = Set(
     "v8_embedding_dedup",       // (141 s) LSH pairs -> CC iterations
     "sd1_semdedup",             // k-means training + within-cluster CC iterations
+    "d15_containment",          // checkpointed candidate pairs + shingle sets
     "v10_knn_ivfpq_residual",   // (80 s) coarse + residual codebook training
     "d13_clusters_incremental", // (57 s) CC + touched-component recompute
     "d6_dedup_clusters",        // (50 s) CC iterations
