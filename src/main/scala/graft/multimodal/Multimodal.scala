@@ -206,6 +206,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 8x8 grayscale pattern PNG for the perceptual-hash dedup face (mm8):
+    * pixel(x, y) = ((id % 16)·7 + x·3 + y·5) mod 256 on every channel.
+    * Closed-form per (id % 16), so ids sharing the residue produce
+    * byte-identical images — the planted duplicate groups — and the oracle
+    * can replay the pixels (PNG is lossless) without ever decoding one.
+    */
+  def synthesizePatternPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = (((id % 16) * 7 + x * 3 + y * 5) % 256).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded image's top-left 8x8 gray
+    * block: bit (y·8 + x) set iff pixel > mean. THE standard cheap
+    * perceptual fingerprint for image dedup — identical for re-encoded
+    * copies, Hamming-close under small edits. Emitted as a 64-char '0'/'1'
+    * string in bit order (bit 63 of a BIGINT overflows DuckDB's checked
+    * shift, and the string groups/compares identically).
+    */
+  def averageHash(png: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val px = for (y <- 0 until 8; x <- 0 until 8)
+      yield img.getRGB(x, y) & 0xFF
+    val mean = px.sum.toDouble / 64.0
+    px.map(p => if (p.toDouble > mean) '1' else '0').mkString
+  }
+
   /** Batched per-partition feature extraction. `batchSize` groups records so
     * a real decoder initializes once per batch (grouped() is lazy — no
     * partition-wide materialization).

@@ -56,6 +56,29 @@ object MediaQueries {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // MM8: perceptual-hash IMAGE DEDUP — the multimodal curation operator:
+    // synthesize a patterned 8x8 PNG per doc (ids sharing id % 16 produce
+    // byte-identical images: the planted dup groups), round-trip it through
+    // the REAL codec (ImageIO encode + decode), compute the 64-bit
+    // average-hash from the DECODED pixels, and resolve each hash group to
+    // its min-id representative. The oracle knows only the pixel
+    // arithmetic — rows can match ONLY if a real encoder, decoder, and the
+    // hash pipeline all ran. Grouping is an equi-join/window on the hash
+    // (the d1 exact-dedup shape with a perceptual key), so the plan scales
+    // like any hash dedup.
+    "mm8_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.averageHash(Multimodal.synthesizePatternPng(id)))
+        }
+        .toDF("id", "phash")
+        .withColumn("group_rep", min(col("id")).over(w))
+        .select(col("id"), col("phash"), col("group_rep"))
+    }),
+
     // MM5: REAL audio codec round trip, the WAV analog of mm4 — synthesize a
     // 16-bit mono PCM WAV with closed-form sample rate / frame count per doc
     // (executor-side AudioSystem.write), decode it back through the Decoder
@@ -150,6 +173,21 @@ object MediaQueries {
            (doc_id % 48 + 1)::BIGINT AS height,
            1::BIGINT AS n_frames
          FROM documents WHERE doc_id < 200""",
+    "mm8_phash_dedup" ->
+      """WITH px AS (
+           SELECT doc_id AS id, x, y,
+             ((doc_id % 16) * 7 + x * 3 + y * 5) % 256 AS p
+           FROM documents, unnest(range(8)) ux(x), unnest(range(8)) uy(y)
+           WHERE doc_id < 200),
+         m AS (SELECT id, avg(p) AS mean FROM px GROUP BY id),
+         h AS (
+           SELECT px.id,
+             string_agg(CASE WHEN px.p > m.mean THEN '1' ELSE '0' END, ''
+               ORDER BY px.y * 8 + px.x) AS phash
+           FROM px JOIN m USING (id) GROUP BY px.id),
+         reps AS (SELECT phash, min(id) AS group_rep FROM h GROUP BY phash)
+         SELECT h.id, h.phash, reps.group_rep
+         FROM h JOIN reps USING (phash)""",
     "mm5_wav_decode" ->
       """SELECT doc_id AS id,
            (8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate,
