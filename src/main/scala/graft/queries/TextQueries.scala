@@ -228,6 +228,25 @@ object TextQueries {
         .unionByName(relabeled)
     }),
 
+    // CC1: the corpus CARD — the per-(lang, source) profile table a
+    // dataset release ships: doc/token volumes, mean length, and the
+    // exact-dup rate (docs whose content hash repeats corpus-wide). One
+    // content-hash window + one keyed aggregation; every stat is
+    // slice-local so the 100 TB form is the same two exchanges.
+    "cc1_corpus_card" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("dup", when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          round(avg(col("n_tok")), 2).as("avg_tok"),
+          sum(col("dup")).as("n_dup_docs"))
+    }),
+
     // D15: CONTAINMENT detection over LSH candidates — the asymmetric
     // near-dup Jaccard misses: a short doc embedded verbatim in a long one
     // has low Jaccard (|∩|/|∪| shrinks with the size gap) but containment
@@ -1200,6 +1219,21 @@ object TextQueries {
     // recomputing every cluster from scratch
     "d13_clusters_incremental" -> ccRebuildOracle,
     "d15_containment" -> containmentOracle,
+    "cc1_corpus_card" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok,
+             md5(text) AS h
+           FROM documents),
+         flagged AS (
+           SELECT lang, source, n_tok,
+             CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS dup
+           FROM base)
+         SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tok,
+           round(avg(n_tok), 2) AS avg_tok,
+           sum(dup)::BIGINT AS n_dup_docs
+         FROM flagged GROUP BY lang, source""",
     // star contraction must agree with min-label propagation on every label
     "d14_cc_largestar" -> ccRebuildOracle,
     "d4_ngram_jaccard" ->
