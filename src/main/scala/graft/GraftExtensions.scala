@@ -40,6 +40,9 @@ object GraftExtensions {
     (functions.DotProduct.name,
       "dot product of two double arrays (tight codegen loop)",
       functions.DotProduct.builder),
+    (functions.L2Sq.name,
+      "squared L2 distance of two double arrays (tight codegen loop)",
+      functions.L2Sq.builder),
     (functions.SimHash.name,
       "60-bit SimHash of a token array",
       functions.SimHash.builder),

@@ -310,8 +310,11 @@ object VectorOps {
     df.select(col("n_id"), explode(sequence(lit(0), lit(m - 1))).as("b"), col(uCol).as("u"))
       .select(col("n_id"), col("b"), slice(col("u"), col("b") * dsub + 1, lit(dsub)).as("sv"))
 
+  // Native codegen kernel (graft_l2sq) — same sequential fold as the
+  // declarative aggregate(zip_with(...)) form, so values are bit-identical;
+  // codeword assignment evaluates it n·m·ksub times per pass.
   private def l2sq(a: Column, c: Column): Column =
-    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
+    graft.functions.L2Sq.l2sq(a, c)
 
   /** Nearest codeword (L2, tie by codeword id) per (n_id, b) sub-block. */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {

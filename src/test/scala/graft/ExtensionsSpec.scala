@@ -65,7 +65,7 @@ class ExtensionsSpec extends SparkSpec {
 
   test("the injection list covers exactly the native expressions") {
     assert(GraftExtensions.injected.map(_._1).sorted ===
-      Seq("graft_dot", "graft_simhash", "graft_winnow"))
+      Seq("graft_dot", "graft_l2sq", "graft_simhash", "graft_winnow"))
     // and the class wires into a fresh extensions object without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

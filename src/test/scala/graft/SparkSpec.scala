@@ -20,6 +20,7 @@ trait SparkSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     graft.functions.DotProduct.register(s)
+    graft.functions.L2Sq.register(s)
     s
   }
 
