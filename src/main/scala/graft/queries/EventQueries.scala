@@ -116,6 +116,30 @@ object EventQueries {
     // the whole funnel is three filtered agg+joins on user_id (no
     // per-user event arrays materialize; at 100 TB the stage frames are
     // user-cardinality, not event-cardinality).
+    // EV3: retention cohorts — the product-analytics table behind every
+    // retention curve: users grouped by first-seen week, each later week's
+    // activity expressed as a fraction of the cohort. Shapes: two keyed
+    // aggregations (cohort assignment, distinct user-weeks) + one
+    // broadcastable join on user, then a (cohort, offset)-keyed count —
+    // no windows, nothing corpus²; at 100 TB the user-keyed aggregations
+    // shuffle once each on their natural keys. Week truncation is ISO
+    // Monday in both engines, so offsets replay exactly.
+    "ev3_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val active = ev.distinct()
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cw"),
+          floor(datediff(col("wk"), col("cw")) / 7).cast("bigint").as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(sizes, "cw")
+        .select(col("cw").cast("date").as("cohort_week"), col("week_offset"),
+          col("n_active"),
+          round(col("n_active").cast("double") / col("n_users"), 6).as("retention"))
+    }),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
@@ -192,6 +216,19 @@ object EventQueries {
        FROM w"""
 
   val oracles: Map[String, String] = Map(
+    "ev3_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, wk FROM ev),
+         sizes AS (SELECT cw, count(*)::BIGINT AS n_users FROM cohort GROUP BY cw),
+         r AS (
+           SELECT c.cw, (date_diff('day', c.cw, a.wk) // 7)::BIGINT AS week_offset,
+             count(DISTINCT a.user_id)::BIGINT AS n_active
+           FROM active a JOIN cohort c USING (user_id)
+           GROUP BY 1, 2)
+         SELECT r.cw::DATE AS cohort_week, r.week_offset, r.n_active,
+           round(r.n_active::DOUBLE / s.n_users, 6) AS retention
+         FROM r JOIN sizes s USING (cw)""",
     "x1_response_linking" -> x1Oracle,
     // identical semantics through the window route (option b)
     "x1b_response_linking_window" -> x1Oracle,
