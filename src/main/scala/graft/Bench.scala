@@ -71,7 +71,12 @@ object Bench {
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val s0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        // Scope frees the face's tracked localCheckpoints after the action
+        // (Standing artifacts pin themselves outside the tracker), so the
+        // 169-query x 2-run sweep measures steady-state memory, not an
+        // ever-growing storage pool.
+        try { graft.ops.Checkpoints.scoped {
+          fn(spark, sfDir).queryExecution.toRdd.count() }; true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -100,11 +100,19 @@ object Verify {
     // broken. A failure must be a visible row, not an absence.
     val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
     ordered.foreach { case (n, _) => status.put(n, "\"skipped\"") }
-    def writeStatus(): Unit = {
+    // Synchronized + write-temp-then-atomic-move (round-8 advice): the 4
+    // pool threads call this concurrently, and a plain truncate-write could
+    // leave an interleaved/torn file for a driver reading mid-run (or after
+    // a mid-flight kill). Every snapshot on disk is a complete JSON object.
+    def writeStatus(): Unit = synchronized {
       import scala.jdk.CollectionConverters._
       val body = status.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/verify_status.json"), body)
+      val tmp = Paths.get(s"$outDir/.verify_status.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(s"$outDir/verify_status.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
@@ -116,8 +124,14 @@ object Verify {
             else
               try {
                 val s0 = System.nanoTime()
-                fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                  .parquet(s"$outDir/$name")
+                // Scope frees every face-created localCheckpoint once the
+                // write lands (Standing artifacts pin themselves outside
+                // the tracker) — a 169-query sweep no longer accumulates
+                // every face's scaffolding blocks for the JVM's lifetime.
+                graft.ops.Checkpoints.scoped {
+                  fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                    .parquet(s"$outDir/$name")
+                }
                 status.put(name, "\"ok\"")
                 writeStatus()
                 System.err.println(f"[verify] OK $name ${(System.nanoTime() - s0) / 1e9}%.1fs")

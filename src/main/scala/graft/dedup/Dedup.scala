@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints.TrackedOps
+
 /** Deduplication operators for LLM-data pipelines (builder-prompt north
   * star). Four families: exact (hash-groupBy), MinHash+LSH, SimHash, and
   * n-gram Jaccard. Embedding-cosine near-dup lives with the vector ops.
@@ -19,6 +21,45 @@ import org.apache.spark.sql.functions._
   * (true Jaccard) touches only candidates.
   */
 object Dedup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Bucket-size ceiling for the candidate generators' in-bucket pair
+    * expansion. A real crawl has pathological band buckets (empty docs,
+    * template boilerplate): one million-doc band key means a ~10^12-row
+    * expansion AND a single aggregation buffer holding the whole bucket.
+    * Buckets above the cap switch to the star expansion (see
+    * [[candidatePairs]]); the fixtures' buckets run tens of docs, so the
+    * default never engages below a genuinely pathological corpus.
+    */
+  val DefaultMaxBucket = 10000
+
+  /** The skew guard shared by the candidate generators: find bucket keys
+    * whose member count exceeds `maxBucket`, loudly (the repo's
+    * no-silent-caps rule — an overflow is logged with bucket count, member
+    * volume, and the largest bucket, never silently dropped). Returns None
+    * when no bucket overflows — the caller keeps its exact all-pairs plan,
+    * so the guard cannot change results on non-pathological data.
+    *
+    * The size pass is a count aggregation — map-side combinable, constant
+    * buffer per key — so DETECTING a million-doc bucket never buffers it.
+    * The oversized key set is at most |rows|/maxBucket keys (in practice a
+    * handful), hence broadcastable by construction.
+    */
+  private def oversizedKeys(bk: DataFrame, keyCols: Seq[String], maxBucket: Int,
+      what: String): Option[DataFrame] = {
+    val sizes = bk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+    val st = sizes.agg(count(lit(1)).as("k"), sum(col("__n")).as("m"),
+      max(col("__n")).as("big")).collect()(0)
+    if (st.getLong(0) == 0L) None
+    else {
+      log.warn(s"$what skew guard engaged: ${st.getLong(0)} bucket(s) exceed " +
+        s"$maxBucket members (largest ${st.getLong(2)}, ${st.getLong(1)} total rows); " +
+        "oversized buckets use the linear star expansion instead of all-pairs")
+      Some(sizes.select(keyCols.map(col): _*))
+    }
+  }
 
   /** Word n-gram shingles (0-based `getItem`); input must have >= n words. */
   def shingles(words: Column, n: Int = 3): Column =
@@ -78,17 +119,51 @@ object Dedup {
     * with two chained explodes — ONE pass over the (expensive) signatures
     * instead of a self-join that recomputes the minhash lineage for both
     * sides. Bucket sizes are bounded by the r>=2 banding (SCALE.md), so the
-    * within-bucket expansion is small; a pathological bucket would need the
-    * salting treatment (ops.Skew).
+    * within-bucket expansion is small on real near-dup data.
+    *
+    * SKEW GUARD: buckets above `maxBucket` (a template-boilerplate or
+    * empty-doc band key on a crawl) switch to the STAR expansion — every
+    * member pairs with the bucket's minimum id only. That bounds both the
+    * pair count (n-1 instead of n(n-1)/2 per bucket) and task memory (the
+    * oversized path is groupBy-min + an equi-join against the broadcast
+    * oversized-key set — no collect_set buffer ever holds an oversized
+    * bucket). Connectivity through the bucket is preserved exactly, so the
+    * downstream connected-components clustering — the reason candidates
+    * exist — reaches the same clusters whenever in-bucket members truly
+    * are mutual duplicates (the pathological case: byte-identical docs all
+    * verify against the representative). The recall trade on MIXED giant
+    * buckets is explicit and logged, never silent. With no oversized
+    * bucket (every fixture here) the plan and results are EXACTLY the
+    * unguarded all-pairs form.
+    *
+    * `materialize` checkpoints the pruned band keys so the guard's size
+    * pass and the pair pass share one evaluation of the (expensive)
+    * signature lineage; pass false when `bandKeys` is already a persisted
+    * table (d3b's bucketed layout — both aggregations then read the
+    * bucket layout exchange-free, and a checkpoint would destroy that).
     */
-  def candidatePairs(bandKeys: DataFrame, idCol: String): DataFrame =
-    bandKeys
+  def candidatePairs(bandKeys: DataFrame, idCol: String,
+      maxBucket: Int = DefaultMaxBucket, materialize: Boolean = true): DataFrame = {
+    val pruned = bandKeys.select(col("band_key"), col(idCol))
+    val bk = if (materialize) graft.ops.Checkpoints.tracked(pruned) else pruned
+    def allPairs(in: DataFrame): DataFrame = in
       .groupBy("band_key").agg(collect_set(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+    oversizedKeys(bk, Seq("band_key"), maxBucket, "LSH candidatePairs") match {
+      case None => allPairs(bk).distinct()
+      case Some(over) =>
+        val small = allPairs(bk.join(broadcast(over), Seq("band_key"), "left_anti"))
+        val mins = bk.join(broadcast(over), Seq("band_key"), "left_semi")
+          .groupBy("band_key").agg(min(col(idCol)).as("__rep"))
+        val stars = bk.join(broadcast(mins), Seq("band_key"))
+          .filter(col(idCol) =!= col("__rep"))
+          .select(col("__rep").as("a"), col(idCol).as("b"))
+        small.unionByName(stars).distinct()
+    }
+  }
 
   /** SimHash band candidates — the simhash flavor of LSH dedup: split the
     * 60-bit hash into 4 x 15-bit bands; docs agreeing on ANY band are
@@ -98,13 +173,20 @@ object Dedup {
     *
     * One pass: (id, simhash) structs ride the bucket collect, so the
     * verify stage reads the carried hashes — no join back to the signature
-    * table. Same bounded-bucket posture as candidatePairs.
+    * table. Same skew guard as [[candidatePairs]]: buckets above
+    * `maxBucket` star-link members to the min-id representative (carrying
+    * its simhash via min_by, so the Hamming verify still runs per star
+    * pair — identical docs pass at distance 0) instead of expanding
+    * all-pairs; results are exactly the unguarded form when no bucket
+    * overflows.
     */
   def simhashCandidates(sigs: DataFrame, idCol: String, shCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandVals = array((0 until 4).map(i =>
       shiftright(col(shCol), i * 15).bitwiseAND(lit(0x7FFFL))): _*)
-    sigs.select(col(idCol), col(shCol), posexplode(bandVals).as(Seq("band", "bval")))
+    val bk = graft.ops.Checkpoints.tracked(
+      sigs.select(col(idCol), col(shCol), posexplode(bandVals).as(Seq("band", "bval"))))
+    def verified(in: DataFrame): DataFrame = in
       .groupBy("band", "bval")
       .agg(collect_set(struct(col(idCol).as("id"), col(shCol).as("sh"))).as("members"))
       .filter(size(col("members")) > 1)
@@ -114,21 +196,45 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    oversizedKeys(bk, Seq("band", "bval"), maxBucket, "SimHash candidates") match {
+      case None => verified(bk).distinct()
+      case Some(over) =>
+        val small = verified(bk.join(broadcast(over), Seq("band", "bval"), "left_anti"))
+        val reps = bk.join(broadcast(over), Seq("band", "bval"), "left_semi")
+          .groupBy("band", "bval")
+          .agg(min_by(struct(col(idCol).as("id"), col(shCol).as("sh")), col(idCol))
+            .as("rep"))
+        val stars = bk.join(broadcast(reps), Seq("band", "bval"))
+          .filter(col("rep.id") < col(idCol))
+          .select(col("rep.id").as("a"), col(idCol).as("b"),
+            bit_count(col("rep.sh").bitwiseXOR(col(shCol))).cast("bigint").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+        small.unionByName(stars).distinct()
+    }
   }
 
   /** LSH candidates WITH the MinHash Jaccard estimate: matching signature
     * positions / signature length — the sketch-only verify stage (no raw
     * text touched, exact multiples of 1/num so engine-exact). Signatures
-    * ride the bucket collect like [[simhashCandidates]].
+    * ride the bucket collect like [[simhashCandidates]], and the same skew
+    * guard applies: oversized buckets star-link to the min-id member (its
+    * signature carried via min_by, so est_j is still computed per star
+    * pair — identical docs estimate 1.0).
     */
   def candidatePairsWithEstimate(sigs: DataFrame, idCol: String, sigCol: String,
-      rowsPerBand: Int = 2, numBands: Int = 4): DataFrame = {
+      rowsPerBand: Int = 2, numBands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = transform(sequence(lit(0), lit(numBands - 1)),
       i => concat_ws("|", slice(col(sigCol), i * rowsPerBand + lit(1), lit(rowsPerBand))))
-    sigs.select(col(idCol), col(sigCol), posexplode(bands).as(Seq("band", "h")))
-      .select(col(idCol), col(sigCol),
-        concat_ws(":", col("band"), col("h")).as("band_key"))
+    def estJ(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(x).cast("double")
+    val bk = graft.ops.Checkpoints.tracked(
+      sigs.select(col(idCol), col(sigCol), posexplode(bands).as(Seq("band", "h")))
+        .select(col(idCol), col(sigCol),
+          concat_ws(":", col("band"), col("h")).as("band_key")))
+    def estimated(in: DataFrame): DataFrame = in
       .groupBy("band_key")
       .agg(collect_set(struct(col(idCol).as("id"), col(sigCol).as("sig"))).as("members"))
       .filter(size(col("members")) > 1)
@@ -136,11 +242,21 @@ object Dedup {
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (aggregate(
-          zip_with(col("x.sig"), col("y.sig"), (p, q) => when(p === q, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") /
-          size(col("x.sig")).cast("double")).as("est_j"))
-      .distinct()
+        estJ(col("x.sig"), col("y.sig")).as("est_j"))
+    oversizedKeys(bk, Seq("band_key"), maxBucket, "LSH candidatePairsWithEstimate") match {
+      case None => estimated(bk).distinct()
+      case Some(over) =>
+        val small = estimated(bk.join(broadcast(over), Seq("band_key"), "left_anti"))
+        val reps = bk.join(broadcast(over), Seq("band_key"), "left_semi")
+          .groupBy("band_key")
+          .agg(min_by(struct(col(idCol).as("id"), col(sigCol).as("sig")), col(idCol))
+            .as("rep"))
+        val stars = bk.join(broadcast(reps), Seq("band_key"))
+          .filter(col("rep.id") < col(idCol))
+          .select(col("rep.id").as("a"), col(idCol).as("b"),
+            estJ(col("rep.sig"), col(sigCol)).as("est_j"))
+        small.unionByName(stars).distinct()
+    }
   }
 
   /** Set Jaccard of two shingle arrays (distinct semantics, like
@@ -188,7 +304,7 @@ object Dedup {
     // input, the entire MinHash pipeline) into BOTH union branches of the
     // checkpoint job — it would execute twice. Checkpoint the single pass,
     // then derive both edge directions from the cached blocks.
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val p = pairs.select(col("a"), col("b")).trackedCheckpoint()
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -214,9 +330,12 @@ object Dedup {
         .select(col("node"), col("label").as("contrib"), col("label").as("old"))
         .union(viaNeighbors)
         .groupBy("node").agg(min(col("contrib")).as("label"), max(col("old")).as("old"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).limit(1).count()
-      if (checkpointed != null) checkpointed.unpersist() // free the previous round
+      // free the previous round's blocks NOW (the scope would only free
+      // them at face end — O(iterations) accumulation for deep loops);
+      // release, not unpersist: see Checkpoints.release
+      if (checkpointed != null) graft.ops.Checkpoints.release(checkpointed)
       checkpointed = next
       labels = next.select("node", "label")
       converged = changed == 0
@@ -224,7 +343,7 @@ object Dedup {
     }
     // After >=1 iteration labels is checkpointed and no longer needs the
     // pair blocks (with maxIter=0 the un-iterated labels still would).
-    if (iter > 0) p.unpersist()
+    if (iter > 0) graft.ops.Checkpoints.release(p)
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
@@ -246,13 +365,13 @@ object Dedup {
     * changed-edge count per round.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val p = pairs.select(col("a"), col("b")).trackedCheckpoint()
     val nodes = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node"))).distinct()
     // Directed edge list u -> v, deduped; maintained as parent-ish links.
     var edges = p.select(col("a").as("u"), col("b").as("v"))
       .union(p.select(col("b").as("u"), col("a").as("v")))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().trackedCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -281,13 +400,13 @@ object Dedup {
       val next = relinked
         .select(col("a").as("u"), col("b").as("v"))
         .union(relinked.select(col("b").as("u"), col("a").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().trackedCheckpoint()
       // Exact convergence: the directed edge set is unchanged. Both sides
       // are checkpointed, so this is one anti-join over materialized rows,
       // and the driver receives a single scalar.
       val changed = next.exceptAll(edges).limit(1).count() +
         edges.exceptAll(next).limit(1).count()
-      edges.unpersist()
+      graft.ops.Checkpoints.release(edges)
       edges = next
       converged = changed == 0
       iter += 1

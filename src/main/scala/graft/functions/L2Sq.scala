@@ -16,19 +16,30 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * primitive loop inside whole-stage codegen. Summation order is the same
   * sequential fold, so results are bit-identical to the built-in form (and
   * to the oracle's `list_sum(list_transform(range(d), ...))` replay).
+  *
+  * NULL semantics match the declarative form exactly (round-8 advice —
+  * `graft_l2sq` is a registered PUBLIC SQL function, so the semantic must
+  * not fork from the form it documents itself as replacing): mismatched
+  * lengths → NULL (zip_with pads with null, poisoning the fold) and any
+  * NULL element → NULL. Internal call sites always pass equal-length
+  * non-null dsub slices, so the hot loop pays only a bitset probe.
   */
 case class L2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
       i += 1
@@ -42,14 +53,21 @@ case class L2Sq(left: Expression, right: Expression)
       val acc = ctx.freshName("l2Acc")
       val i = ctx.freshName("l2I")
       val d = ctx.freshName("l2D")
+      val bad = ctx.freshName("l2Bad")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $x.getDouble($i) - $y.getDouble($i);
-         |  $acc += $d * $d;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints.TrackedOps
+
 import graft.Tables
 
 /** Beyond-reference relational coverage: TPC-H-style headline queries, set
@@ -597,7 +599,7 @@ object AdvancedQueries {
         // current-row branches); in production it IS a stored table, so
         // materialize once — without this every branch re-runs the
         // snapshot-union + window + collapse lineage.
-        .localCheckpoint()
+        .trackedCheckpoint()
       // apply snapshot 3
       val v3 = snap(3).select(col("k"), col("val").as("v3"))
       val v3keys = v3.select("k")

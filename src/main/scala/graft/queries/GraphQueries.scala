@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints.TrackedOps
+
 /** Iterative graph computation over relational edge lists — the operator
   * family beyond connected components (Dedup.connectedComponents): rank
   * propagation by repeated join+aggregate, the distributed-graph shape that
@@ -59,9 +61,9 @@ object GraphQueries {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = GraphQueries.damping,
                tol: Option[Double] = None, checkpointEvery: Int = 5,
                hasDanglingNodes: Boolean = true): DataFrame = {
-    val both = edges.localCheckpoint()
+    val both = edges.trackedCheckpoint()
     val deg = both.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     // outdeg rides each edge so iterations never re-join the degree frame;
     // the contribution stays pr/outdeg (NOT a premultiplied 1/outdeg —
     // that would change the float rounding vs the oracle's division).
@@ -69,7 +71,7 @@ object GraphQueries {
     // re-deriving the (broadcast) degree join lazily beats paying a third
     // checkpoint job (measured 2.3s vs 2.9s warm at sf0.1, iters=3).
     val weighted0 = both.join(deg, "src")
-    val weighted = if (iters > 4) weighted0.localCheckpoint() else weighted0
+    val weighted = if (iters > 4) weighted0.trackedCheckpoint() else weighted0
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("pr", lit(1.0))
     var i = 0
@@ -91,7 +93,7 @@ object GraphQueries {
       // A convergence check materializes the frame anyway, so checkpoint
       // on every checked iteration; otherwise only at the depth bound.
       val bounded =
-        if (tol.isDefined || i % checkpointEvery == 0) next.localCheckpoint()
+        if (tol.isDefined || i % checkpointEvery == 0) next.trackedCheckpoint()
         else next
       tol.foreach { t =>
         val delta = bounded
@@ -115,12 +117,12 @@ object GraphQueries {
     */
   def bfs(edges: DataFrame, sourceFilter: Column, maxDepth: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin}
-    val both = edges.localCheckpoint()
+    val both = edges.trackedCheckpoint()
     var visited = both.select(col("src").as("node")).unionByName(
         both.select(col("dst").as("node"))).distinct()
       .filter(sourceFilter)
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -129,7 +131,7 @@ object GraphQueries {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // visited stays a lazy union of CHECKPOINTED frontiers — each round's
       // anti-join re-reads materialized blocks, never recomputes a lineage,
       // and skipping the per-round visited materialization saves one job

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints.TrackedOps
+
 import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
@@ -109,7 +111,10 @@ object TextQueries {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       graft.sources.Storage.replaceBucketed(
         Dedup.lshBandKeys(sigs, "doc_id", "sig"), "d3b_band_keys", "band_key", 8)
-      Dedup.candidatePairs(s.table("d3b_band_keys"), "doc_id")
+      // materialize=false: the input IS a persisted bucketed table — the
+      // guard's size pass and the pair pass both read the bucket layout
+      // exchange-free, and a checkpoint would throw that layout away.
+      Dedup.candidatePairs(s.table("d3b_band_keys"), "doc_id", materialize = false)
     }),
 
     // D4: true n-gram Jaccard on a bounded id range (verification stage of
@@ -200,7 +205,7 @@ object TextQueries {
         .withMinhashSig(shingled(s, d).filter(isNew), "sh", "sig")
         .select("doc_id", "sig")
         .transform(Dedup.lshBandKeys(_, "doc_id", "sig"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // incremental candidates: each new doc pairs with every member of the
       // buckets it lands in (old members AND other new arrivals)
       val newPairs = bandsNew
@@ -260,13 +265,13 @@ object TextQueries {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup
         .candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
-        .localCheckpoint()
+        .trackedCheckpoint()
       val cand = pairs.select(col("a").as("doc_id"))
         .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
       val sh = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
         .join(cand, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
+        .trackedCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       pairs
         .join(sh.select(col("doc_id").as("a"), col("g")), "a")
@@ -632,7 +637,7 @@ object TextQueries {
           split(col("text"), " ").as("w"))
         .withColumn("sh", when(size(col("w")) >= 3, Dedup.shingles(col("w"))))
         .drop("w")
-        .localCheckpoint()
+        .trackedCheckpoint()
       // stage 1: quality gate (docs < 20 are the held-out benchmark, never
       // part of the training corpus)
       val corpus = base.filter(col("doc_id") >= 20 &&
@@ -770,7 +775,7 @@ object TextQueries {
       .orderBy(col("n").desc, col("word").asc).limit(bpeWords)
     var seqs = words.withColumn("seq",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val merges = Seq.newBuilder[String]
     (1 to bpeIters).foreach { _ =>
       val top = seqs

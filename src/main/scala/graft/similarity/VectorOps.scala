@@ -2,6 +2,8 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.ops.Checkpoints.TrackedOps
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.DotProduct.dot_product
@@ -358,7 +360,7 @@ object VectorOps {
     // pass instead of re-running it per consumer. (Values unchanged; the
     // Lloyd VectorMean aggregate itself stays in-plan — RegistryPlanSpec's
     // v9 control asserts on it.)
-    val subs = subBlocks(encBase, "u", m, dsub).localCheckpoint()
+    val subs = subBlocks(encBase, "u", m, dsub).trackedCheckpoint()
     // deterministic seed: sub-blocks of the first ksub vectors by id order
     // (the same orderBy/limit pattern as the coarse centroids, so the seed
     // is well-defined on non-dense / non-zero-based id spaces too)

@@ -48,6 +48,8 @@ class ScaleShapeSpec extends SparkSpec {
     "v2_cosine_dup_pairs",      // (19 s)
     "v9b_knn_ivfpq_indexed",    // (17 s) builds + persists the PQ index
     "v9c_knn_ivfpq_append",     // train-on-standing + encode-arrivals (v9-class cost)
+    "v9d_knn_ivfpq_rerank",     // Standing build = full IVF-PQ training (r8 advice)
+    "v11_pq_drift_audit",       // shares v9d's Standing training build (r8 advice)
     "v4_knn_ivf",               // (16 s)
     "q6_forecast_revenue",      // (13 s)
     "v1_knn_bruteforce",        // (13 s)
