@@ -109,6 +109,8 @@ object Bench {
     // (name, warm, cold, ok, skipped)
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Boolean, Boolean)]
+    // queries whose warm number came from a median-of-3 re-measurement
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
 
     val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       .getOrElse {
@@ -134,7 +136,8 @@ object Bench {
       val skipped = done.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = done.collect { case (_, v, _, true, false) => v }.sum
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"skipped":$skipped,"warmup_sec":$warmupSec%.2f,"budget_sec":$budgetSec,"sf":"$sfDir"}"""
+      val rem = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"skipped":$skipped,"remeasured":$rem,"warmup_sec":$warmupSec%.2f,"budget_sec":$budgetSec,"sf":"$sfDir"}"""
     }
     def writeRecord(): Unit = outs.foreach { out =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -153,7 +156,21 @@ object Bench {
       } else {
         val (cold, okCold) = timed(name, fn)
         if (okCold) System.gc()
-        val (warm, ok) = if (okCold) timed(name, fn) else (cold, false)
+        val (warm0, ok) = if (okCold) timed(name, fn) else (cold, false)
+        // Outlier re-measurement (round-8 advice): warm >> cold on a
+        // healthy query is a scheduler stall, not a query duration — the
+        // round-7/8 driver records each shipped a >20s phantom for a ~2-3s
+        // query and burned an advice cycle on the noise. When the warm run
+        // exceeds max(3s, 2x cold), take a third run and report the MEDIAN
+        // of the three, flagging the query in "remeasured".
+        val warm =
+          if (ok && warm0 > math.max(3.0, 2.0 * cold)) {
+            val (third, ok3) = timed(name, fn)
+            if (ok3) {
+              remeasured += name
+              Seq(cold, warm0, third).sorted.apply(1)
+            } else warm0
+          } else warm0
         results += ((name, warm, cold, ok, false))
         writeRecord()
       }

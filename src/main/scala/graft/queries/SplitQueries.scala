@@ -82,22 +82,39 @@ object SplitQueries {
     // builds actually turn ("this run gets at most B tokens of each
     // language"), where mx1's knob is a sampling RATE. Docs are admitted in
     // deterministic content-hash priority order until the language's
-    // running token total crosses the budget. The only window is a running
-    // sum PARTITIONED BY LANGUAGE — |langs|-way parallel, and the sort key
-    // is (hash, doc_id), so the plan is one shuffle + per-partition sort.
-    // At 100 TB the per-language sort is the cost; the budget itself stays
-    // a constant, and a two-level form (hash-bucket partial sums, then a
-    // |buckets|-row prefix over bucket totals picking a cutoff bucket)
-    // drops the sorted volume to ~B tokens per language when B << corpus.
+    // running token total crosses the budget.
+    //
+    // TWO-LEVEL form (round-8 verdict item #2 — the single-window form
+    // sorted the WHOLE corpus inside one partition per language, which at
+    // 100 TB with English >> budget sorts vastly more than it admits):
+    //   1. bucket docs by the TOP bits of the same priority hash — bucket
+    //      order is a prefix of the (h, doc_id) priority order, so bucket
+    //      boundaries never split the admission order;
+    //   2. per-(lang, bucket) token totals (one map-combinable agg), then
+    //      a prefix sum over the |langs|x|buckets| TOTALS row set (a
+    //      dimension-table window, never the corpus) gives each bucket its
+    //      starting offset `prior`;
+    //   3. buckets with prior > budget cannot admit anything (every doc's
+    //      running total >= prior) and are dropped BEFORE any sort — the
+    //      per-doc running-sum window then runs per (lang, bucket) over
+    //      only ~budget tokens' worth of docs per language, and with
+    //      |buckets|x the parallelism of the per-language window.
+    // Offsets make the within-bucket running sums globally exact, so the
+    // output hash-matches the unchanged single-window oracle (SplitSpec
+    // also pins equality against mx2SingleWindow on two fixtures).
     "mx2_token_budget_mix" -> ((s, d) => {
-      val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
-        .cast("bigint")
-      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      val base = mx2Base(s, d)
+        .withColumn("bucket", shiftright(col("h"), 60 - mx2BucketBits))
+      val wb = Window.partitionBy("lang").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("lang", "bucket").agg(sum(col("n_tok")).as("btok"))
+        .withColumn("prior", coalesce(sum(col("btok")).over(wb), lit(0L)))
+        .filter(col("prior") <= tokenBudget)
+        .select("lang", "bucket", "prior")
+      val ww = Window.partitionBy("lang", "bucket").orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"), h.as("h"))
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      base.join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("cum_tok", col("prior") + sum(col("n_tok")).over(ww))
         .filter(col("cum_tok") <= tokenBudget)
         .select("doc_id", "lang", "n_tok", "cum_tok")
     }),
@@ -174,6 +191,53 @@ object SplitQueries {
     * cutoff path is actually exercised, not just its pass-through.
     */
   private val tokenBudget = 2000L
+
+  /** mx2's priority-hash bucket width: the TOP `mx2BucketBits` bits of the
+    * 60-bit hash, i.e. 2^bits range-buckets that partition the (h, doc_id)
+    * admission order. 4 bits (16 buckets) keeps every fixture language's
+    * docs spread across multiple buckets so the cutoff actually prunes in
+    * SplitSpec; production tunes this so budget/2^bits tokens fit one task.
+    */
+  private[queries] val mx2BucketBits = 4
+
+  /** The shared mx2 scan: (doc_id, lang, n_tok, h). */
+  private def mx2Base(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"), h.as("h"))
+  }
+
+  /** The original single-window mx2 (one running sum partitioned by
+    * language): kept as the equivalence REFERENCE for SplitSpec — the
+    * registry face is the two-level form, which must be indistinguishable
+    * from this on any input.
+    */
+  private[graft] def mx2SingleWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    mx2Base(s, d)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= tokenBudget)
+      .select("doc_id", "lang", "n_tok", "cum_tok")
+  }
+
+  /** Rows surviving mx2's bucket cutoff (the volume the final per-doc sort
+    * actually touches) vs the full corpus — SplitSpec's budget-boundedness
+    * gate reads these two counts.
+    */
+  private[graft] def mx2SortVolume(s: SparkSession, d: String): (Long, Long) = {
+    val base = mx2Base(s, d)
+      .withColumn("bucket", shiftright(col("h"), 60 - mx2BucketBits))
+    val wb = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "bucket").agg(sum(col("n_tok")).as("btok"))
+      .withColumn("prior", coalesce(sum(col("btok")).over(wb), lit(0L)))
+      .filter(col("prior") <= tokenBudget)
+      .select("lang", "bucket")
+    (base.join(broadcast(offsets), Seq("lang", "bucket")).count(), base.count())
+  }
 
   /** spl2's candidate-pair input — d6's MinHash→LSH pipeline verbatim.
     * Public so SplitSpec can assert the leakage invariant (no candidate
