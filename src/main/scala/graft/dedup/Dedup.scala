@@ -347,6 +347,87 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** ADAPTIVE cluster resolution — the production entry point (d7/d12/d13
+    * route through this): start with min-label propagation (one join +
+    * aggregate per round, unbeatable on the shallow star-shaped clusters
+    * near-dup corpora actually produce), but WATCH THE LABEL CHURN. On a
+    * shallow graph churn collapses after round one (every member adopts
+    * the cluster min immediately); on a chain-shaped component (template
+    * corpora where doc i only pairs with doc i±1) the min only travels one
+    * hop per round, so churn stays ~constant — O(diameter) rounds, the
+    * pathology d14's star contraction exists for. When churn stops
+    * decaying (round r >= 2 with churn_r > `churnDecay` x churn_{r-1}),
+    * re-route: CONTRACT the pairs through the labels propagation already
+    * earned (shrinking the graph by every finished cluster) and finish
+    * with [[connectedComponentsStar]]'s O(log n) rounds on the contracted
+    * graph, composing labels on the way out. Either path yields min
+    * reachable id per node, so the result is algorithm-independent —
+    * d7/d12/d13's oracles (full-rebuild CC) hold on both routes.
+    *
+    * vs [[connectedComponents]]: the router needs the real per-round
+    * churn COUNT, not the 0/1 convergence probe — one extra filter+count
+    * job per probe round over already-materialized blocks.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    ccAutoRouted(pairs, maxIter)._1
+
+  /** [[connectedComponentsAuto]] with the route decision exposed (spec
+    * observability): `_2` is true iff the star re-route engaged.
+    */
+  private[graft] def ccAutoRouted(pairs: DataFrame, maxIter: Int = 10,
+      churnDecay: Double = 0.75): (DataFrame, Boolean) = {
+    val p = pairs.select(col("a"), col("b")).trackedCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    val labelType = labels.schema("label").dataType
+    var checkpointed: DataFrame = null
+    var iter = 0
+    var converged = false
+    var route = false
+    var prevChurn = Long.MaxValue
+    while (iter < maxIter && !converged && !route) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label").as("contrib"),
+          lit(null).cast(labelType).as("old"))
+      val next = labels
+        .select(col("node"), col("label").as("contrib"), col("label").as("old"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min(col("contrib")).as("label"), max(col("old")).as("old"))
+        .trackedCheckpoint()
+      val churn = next.filter(col("label") =!= col("old")).count()
+      if (checkpointed != null) graft.ops.Checkpoints.release(checkpointed)
+      checkpointed = next
+      labels = next.select("node", "label")
+      converged = churn == 0
+      iter += 1
+      if (!converged && iter >= 2 && churn > churnDecay * prevChurn) route = true
+      prevChurn = churn
+    }
+    if (!route)
+      (labels.select(col("node").as("doc_id"), col("label").as("cluster")), false)
+    else {
+      log.info(s"CC router: label churn stopped decaying after $iter rounds " +
+        s"(last $prevChurn) — contracting and finishing with star rounds")
+      val la = labels.select(col("node").as("a"), col("label").as("la"))
+      val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+      val contracted = p.join(la, "a").join(lb, "b")
+        .select(least(col("la"), col("lb")).as("a"),
+          greatest(col("la"), col("lb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val starred = connectedComponentsStar(contracted)
+        .select(col("doc_id").as("label"), col("cluster"))
+      // compose: a node's final cluster is its current label's star
+      // cluster; labels whose component fully contracted already (no
+      // surviving contracted edge) are their own cluster
+      (labels.join(starred, Seq("label"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("cluster"), col("label")).as("cluster")), true)
+    }
+  }
+
   /** Connected components by alternating large-star / small-star rounds —
     * the published O(log n)-round MapReduce CC (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14), here as DataFrame

@@ -140,7 +140,11 @@ object TextQueries {
     "d7_dedup_survivors" -> ((s, d) => {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
-      val dropped = Dedup.connectedComponents(pairs)
+      // the ADAPTIVE resolver (min-label with the star re-route): the
+      // production face inherits the O(log) bound on chain-shaped
+      // components; either route yields min-id labels, so the oracle's
+      // full-rebuild CC holds unchanged
+      val dropped = Dedup.connectedComponentsAuto(pairs)
         .filter(col("cluster") =!= col("doc_id"))
         .select("doc_id")
       Tables.documents(s, d).select("doc_id")
@@ -159,7 +163,7 @@ object TextQueries {
       val pairs = graft.streaming.StreamingDedup
         .candidatePairsStream(Dedup.lshBandKeys(sigs, "doc_id", "sig"))
         .toDF("a", "b").distinct()
-      val dropped = Dedup.connectedComponents(pairs)
+      val dropped = Dedup.connectedComponentsAuto(pairs)
         .filter(col("cluster") =!= col("doc_id"))
         .select("doc_id")
       Tables.documents(s, d).select("doc_id")
@@ -226,7 +230,7 @@ object TextQueries {
       // is enough to collect every edge of a touched component
       val touchedEdges = oldPairs
         .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
-      val relabeled = Dedup.connectedComponents(
+      val relabeled = Dedup.connectedComponentsAuto(
         touchedEdges.unionByName(newPairs))
       labelsOld.join(touchedComps, Seq("cluster"), "left_anti")
         .select("doc_id", "cluster")
