@@ -329,15 +329,57 @@ object VectorOps {
       .select(col("n_id"), col("b"), col("sv"), col("cell"))
   }
 
+  /** OPQ-lite: the energy-balancing coordinate permutation (the closed-form
+    * slice of Optimized Product Quantization — Ge et al., CVPR'13 train a
+    * full rotation; the permutation special case is deterministic and
+    * engine-replayable). PQ's quantization error concentrates in whichever
+    * sub-block happens to hold the high-variance coordinates; ranking
+    * coordinates by corpus energy (Σ u_i², 4dp-rounded so both engines
+    * rank identically, ties by index) and dealing them round-robin across
+    * the m blocks balances per-block energy, which is worth several recall
+    * points on anisotropic corpora at zero extra serve cost (a permutation
+    * is orthogonal: permuted dot products equal raw dot products).
+    *
+    * Returns P with P(newPos) = oldIdx: rank r lands in block r % m,
+    * slot r / m. The energy aggregation is a |dim|-row dimension table —
+    * the scalar-class driver action the Lloyd/BPE loops already use.
+    */
+  def energyBalancedPerm(vectors: DataFrame, m: Int): Seq[Int] = {
+    val withN = withNorm(vectors, "nv", "nn")
+    val energy = withN
+      .select(posexplode(transform(col("nv"), _ / col("nn"))).as(Seq("i", "x")))
+      .groupBy("i").agg(round(sum(col("x") * col("x")), 4).as("e"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val dim = energy.length
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val dsub = dim / m
+    val ranked = energy.sortBy { case (i, e) => (-e, i) }.map(_._1)
+    val p = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (idx, r) => p((r % m) * dsub + r / m) = idx }
+    p.toIndexedSeq
+  }
+
+  /** Apply a coordinate permutation (P(newPos) = oldIdx) to an array column. */
+  def permuteCol(u: Column, perm: Seq[Int]): Column =
+    array(perm.map(i => element_at(u, i + 1)): _*)
+
+  private def permuted(df: DataFrame, uCol: String, perm: Seq[Int]): DataFrame =
+    if (perm.isEmpty) df
+    else df.withColumn(uCol, permuteCol(col(uCol), perm))
+
   /** Train the IVF-PQ index (the one-off build pass; [[ivfpqSearch]] never
     * retrains). `residual = true` is true IVFADC: codebooks quantize the
     * residual u − c_unit(cell(v)) instead of the raw unit vector — the
     * codewords then only have to cover the WITHIN-cell spread, which is
     * what makes PQ sharp on clustered corpora (recall comparison pinned in
-    * NorthStarSpec).
+    * NorthStarSpec). `perm` (OPQ-lite, [[energyBalancedPerm]]) permutes
+    * the unit vectors before blocking — coarse cells stay on raw vectors,
+    * only the PQ sub-block geometry changes.
     */
   def ivfpqTrain(vectors: DataFrame, nCells: Int, m: Int, dsub: Int,
-      ksub: Int, residual: Boolean = false): IvfPqModel = {
+      ksub: Int, residual: Boolean = false, perm: Seq[Int] = Nil): IvfPqModel = {
+    require(perm.isEmpty || !residual,
+      "OPQ-lite permutation is defined for the no-residual variant")
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     // coarse IVF quantizer: first-nCells vectors by id (deterministic sample)
@@ -360,7 +402,7 @@ object VectorOps {
     // pass instead of re-running it per consumer. (Values unchanged; the
     // Lloyd VectorMean aggregate itself stays in-plan — RegistryPlanSpec's
     // v9 control asserts on it.)
-    val subs = subBlocks(encBase, "u", m, dsub).trackedCheckpoint()
+    val subs = subBlocks(permuted(encBase, "u", perm), "u", m, dsub).trackedCheckpoint()
     // deterministic seed: sub-blocks of the first ksub vectors by id order
     // (the same orderBy/limit pattern as the coarse centroids, so the seed
     // is well-defined on non-dense / non-zero-based id spaces too)
@@ -414,14 +456,18 @@ object VectorOps {
     * scan + equi-joins (asserted in RegistryPlanSpec for v9b).
     */
   def ivfpqSearch(queries: DataFrame, model: IvfPqModel, nProbe: Int,
-      m: Int, dsub: Int, k: Int, residual: Boolean = false): DataFrame = {
+      m: Int, dsub: Int, k: Int, residual: Boolean = false,
+      perm: Seq[Int] = Nil): DataFrame = {
     val qN = withNorm(queries, "nv", "nn")
       .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val queryCells = coarseAssign(qN.withColumnRenamed("n_id", "q_id"),
       model.centroids, "q_id", nProbe)
-    // query side stays EXACT: plain unit sub-blocks even in residual mode
+    // query side stays EXACT: plain unit sub-blocks even in residual mode;
+    // a permuted model needs the SAME permutation on the query side (the
+    // LUT dot products must live in the codebook's coordinate space)
     val qsubs = subBlocks(
-      qN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      permuted(qN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+        "u", perm),
       "u", m, dsub)
     val lut = qsubs.select(col("n_id").as("q_id"), col("b"), col("sv"))
       .join(broadcast(model.codebook), "b")
@@ -496,9 +542,9 @@ object VectorOps {
     */
   def ivfpqRerank(vectors: DataFrame, queries: DataFrame, model: IvfPqModel,
       nProbe: Int, m: Int, dsub: Int, shortlist: Int, k: Int,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false, perm: Seq[Int] = Nil): DataFrame = {
     val sl = ivfpqSearch(queries, model, nProbe, m, dsub, k = shortlist,
-        residual = residual)
+        residual = residual, perm = perm)
       .select(col("q_id"), col("n_id"))
     val qv = withNorm(queries, "nv", "nn")
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))

@@ -251,6 +251,52 @@ class NorthStarSpec extends SparkSpec {
     assert(rr > 0.5, s"rerank recall=$rr")
   }
 
+  test("opq-lite permutation: recall holds vs unpermuted rerank on clustered vectors, " +
+      "and the permutation actually balances block energy") {
+    // The round-8 verdict's v9e gate: the energy-balanced coordinate
+    // permutation (closed-form OPQ) must not lose recall against the v9d
+    // serving shape (same rerank stage — a permutation is orthogonal, so
+    // exact scores are unchanged; only the compressed shortlist can move).
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (m <- 0 until 20; c <- 0 until 10) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((m * 10 + c).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    def share(got: Array[(Long, Long)]): Double =
+      got.count { case (q, n) => q % 10 == n % 10 }.toDouble / got.length
+    val plainModel = VectorOps.ivfpqTrain(df, nCells = 16, m = 4, dsub = 16, ksub = 16)
+    val plain = share(VectorOps.ivfpqRerank(df, df, plainModel,
+      nProbe = 4, m = 4, dsub = 16, shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    val perm = VectorOps.energyBalancedPerm(df, 4)
+    assert(perm.sorted == (0 until dim), "perm must be a permutation of the dims")
+    val opqModel = VectorOps.ivfpqTrain(df, nCells = 16, m = 4, dsub = 16,
+      ksub = 16, perm = perm)
+    val opq = share(VectorOps.ivfpqRerank(df, df, opqModel,
+      nProbe = 4, m = 4, dsub = 16, shortlist = 20, k = 5, perm = perm)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    assert(opq >= plain - 1e-9, s"opq-lite share=$opq < plain rerank share=$plain")
+    assert(opq > 0.95, s"opq-lite same-cluster share=$opq")
+    // and the permutation does what it claims: the max/min per-block energy
+    // ratio after dealing must not exceed the unpermuted blocking's
+    def blockEnergies(p: Seq[Int]): Seq[Double] = {
+      val unit = df.withColumn("nn", VectorOps.l2norm(col("nv")))
+        .select(transform(col("nv"), _ / col("nn")).as("u"))
+        .collect().map(_.getSeq[Double](0))
+      val energy = Array.tabulate(dim)(i => unit.map(u => u(i) * u(i)).sum)
+      (0 until 4).map(b => (0 until 16).map(s => energy(p(b * 16 + s))).sum)
+    }
+    val before = blockEnergies(0 until dim)
+    val after = blockEnergies(perm)
+    assert(after.max / after.min <= before.max / before.min + 1e-9,
+      s"permutation failed to balance block energy: before=$before after=$after")
+  }
+
   test("lsh near-dup pairs: exact precision, high recall on clustered vectors") {
     // Near-dup pairs = same-cluster pairs (members are tiny perturbations of
     // a shared centroid, cos ≈ 1; cross-cluster cos is far below threshold).

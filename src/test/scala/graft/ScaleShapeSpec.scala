@@ -49,6 +49,7 @@ class ScaleShapeSpec extends SparkSpec {
     "v9b_knn_ivfpq_indexed",    // (17 s) builds + persists the PQ index
     "v9c_knn_ivfpq_append",     // train-on-standing + encode-arrivals (v9-class cost)
     "v9d_knn_ivfpq_rerank",     // Standing build = full IVF-PQ training (r8 advice)
+    "v9e_knn_ivfpq_opq",        // same cost class: Standing IVF-PQ training build
     "v11_pq_drift_audit",       // shares v9d's Standing training build (r8 advice)
     "v4_knn_ivf",               // (16 s)
     "q6_forecast_revenue",      // (13 s)
