@@ -47,6 +47,24 @@ object ScaleStress {
     "sk2_salted_join", "pr1_pagerank", "v8_embedding_dedup",
     "tx9_tfidf_top_terms")
 
+  /** The `--scale 100` set: the 15 most expensive registry queries by the
+    * round-8 record whose plans are scale-free (keyed joins / aggregations
+    * / windows / bounded candidate sets). EXPLICITLY EXCLUDED (the
+    * no-silent-caps rule): sd1_semdedup and v8_embedding_dedup — their
+    * candidate stage is all-pairs within a FIXED number of partitions
+    * (16 k-means cells / 64 hyperplane buckets), so at 100x the fixture
+    * their pair count grows ~100x² BY HYPERPARAMETER CHOICE, not engine
+    * design; production scales nCells/nPlanes with the corpus (the faces
+    * pin them for oracle determinism), so a 100x run of the fixture-tuned
+    * constants would measure the pinned hyperparameter, not the engine.
+    */
+  val heavy100: Seq[String] = Seq(
+    "d7_dedup_survivors", "d6_dedup_clusters", "tx15_ngram_novelty",
+    "d15_containment", "v9_knn_ivfpq", "d10_dedup_best_survivor",
+    "d14_cc_largestar", "bfs1_supply_radius", "v10_knn_ivfpq_residual",
+    "d13_clusters_incremental", "pipeline_corpus", "pr1_pagerank",
+    "bpe3_tokenize", "v4b_knn_ivf_refined", "sk2_salted_join")
+
   val ratioBound = 15.0
 
   /** The ratio gate only fires above this many seconds of absolute growth
@@ -81,7 +99,8 @@ object ScaleStress {
   def replicaText(textCol: Column, r: Int): Column =
     array_join(transform(split(textCol, " "), w => concat(w, lit(s"~$r"))), " ")
 
-  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      reps: Int = ScaleStress.reps): Unit = {
     def maxKey(t: String, k: String): Long =
       Tables.load(spark, srcDir, t).agg(max(col(k))).head.getLong(0) + 1
     val (maxCust, maxSupp, maxPart) =
@@ -175,6 +194,135 @@ object ScaleStress {
     ((System.nanoTime() - t0) / 1e9, joinShape(df))
   }
 
+  /** One measured run (no warm duplicate) — the `--scale 100` protocol:
+    * cold/cold at every scale is a CONSISTENT methodology whose ratio is
+    * fair (first-touch constants inflate both numerator and denominator),
+    * and it halves a sweep whose 100x leg alone runs ~1.5 h. Faces run
+    * inside a checkpoint scope so the sweep's storage footprint is
+    * per-query, not cumulative.
+    */
+  private def timedOnce(spark: SparkSession, name: String, dir: String): (Double, Map[String, Int]) =
+    graft.ops.Checkpoints.scoped {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, joinShape(df))
+    }
+
+  /** `--scale N` (N=100): the 100x stress — measure [[heavy100]] at 1x,
+    * 10x, and Nx of the sf0.1 fixture (single run per scale, see
+    * [[timedOnce]]), gate on ratio(Nx/1x) < 1.5·N above the noise floor
+    * and on join-shape stability, and write the three-scale table to
+    * `out`. The table is rewritten after EVERY query so a kill leaves the
+    * completed rows; a budget (SPARK_GRAFT_SCALE_BUDGET seconds, default
+    * 6600) skips remaining queries with an explicit list.
+    */
+  private def scaleMode(spark: SparkSession, oneX: String, n: Int, out: String): Unit = {
+    val tenX = "scale10"
+    val bigX = s"scale$n"
+    if (!new java.io.File(s"$tenX/_SUCCESS").exists()) {
+      println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
+      generate(spark, oneX, tenX, reps)
+    }
+    if (!new java.io.File(s"$bigX/_SUCCESS").exists()) {
+      println(s"[scale] generating ${n}x fixture at $bigX from $oneX")
+      generate(spark, oneX, bigX, n)
+    }
+    val rows1 = Tables.load(spark, oneX, "lineitem").count()
+    val rowsN = Tables.load(spark, bigX, "lineitem").count()
+    println(s"[scale] lineitem rows: 1x=$rows1 ${n}x=$rowsN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, oneX).groupBy("l_returnflag").count().collect()
+
+    val budgetSec = sys.env.get("SPARK_GRAFT_SCALE_BUDGET")
+      .flatMap(_.toIntOption).getOrElse(6600)
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val bound = 1.5 * n
+    case class R(name: String, t1: Double, t10: Double, tN: Double,
+        s1: Map[String, Int], s10: Map[String, Int], sN: Map[String, Int]) {
+      def ratio10: Double = t10 / t1
+      def ratioN: Double = tN / t1
+      def ratioViolation: Boolean = ratioN > bound && (tN - t1) > ratioNoiseFloorSec
+      def quadraticRegression: Boolean =
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin").exists(nd =>
+          math.max(s10.getOrElse(nd, 0), sN.getOrElse(nd, 0)) > s1.getOrElse(nd, 0))
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[R]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def shapeStr(m: Map[String, Int]) =
+      if (m.isEmpty) "-" else m.toSeq.sorted.map { case (k, v) => s"$k×$v" }.mkString(" ")
+    def writeMd(): Unit = {
+      val md = new StringBuilder
+      md ++= s"""# SCALE_PROOF_100X — measured ${n}x scale-stress
+                |
+                |`graft.ScaleStress --scale $n`: the 15 most expensive scale-free
+                |registry queries (round-8 record), measured at 1x / 10x / ${n}x of
+                |the sf0.1 fixture (same key-remapped replication as the 10x proof;
+                |lineitem 1x = $rows1 rows, ${n}x = $rowsN rows ≈ 1.5 GB). ONE
+                |measured run per scale — cold/cold at every scale is a consistent
+                |methodology and halves a sweep whose ${n}x leg alone runs ~1.5 h.
+                |Gate: ratio(${n}x/1x) < ${bound.toInt} above the 1 s noise floor, and no
+                |CartesianProduct/BroadcastNestedLoopJoin appearing only at scale.
+                |
+                |EXCLUDED (no silent caps): sd1_semdedup, v8_embedding_dedup — their
+                |candidate stage is all-pairs within a FIXED partition count
+                |(16 k-means cells / 64 hyperplane buckets), so a ${n}x run of the
+                |fixture-tuned constants measures the pinned hyperparameter growing
+                |quadratically, not the engine; production scales nCells/nPlanes
+                |with the corpus.
+                |
+                || query | t(1x) s | t(10x) s | t(${n}x) s | r10 | r$n | joins 1x | joins ${n}x |
+                ||---|---|---|---|---|---|---|---|
+                |""".stripMargin
+      done.foreach { r =>
+        md ++= f"| ${r.name} | ${r.t1}%.2f | ${r.t10}%.2f | ${r.tN}%.2f | ${r.ratio10}%.2f | ${r.ratioN}%.2f | ${shapeStr(r.s1)} | ${shapeStr(r.sN)} |%n"
+      }
+      if (done.nonEmpty) {
+        val (sum1, sum10, sumN) = (done.map(_.t1).sum, done.map(_.t10).sum, done.map(_.tN).sum)
+        md ++= f"""|
+                   |Totals: ${sum1}%.1f s → ${sum10}%.1f s → ${sumN}%.1f s for 1x → 10x → ${n}x
+                   |(aggregate ${n}x ratio ${sumN / sum1}%.2f for ${n}x the data — sub-linear
+                   |means fixed overhead amortizes and the plans stay keyed). Worst
+                   |${n}x ratio: ${done.maxBy(_.ratioN).name} at ${done.maxBy(_.ratioN).ratioN}%.2f
+                   |(gate ${bound.toInt}). Shape stability: ${
+                     if (done.exists(_.quadraticRegression)) "REGRESSION DETECTED"
+                     else "no quadratic join appears only at scale"}.
+                   |""".stripMargin
+      }
+      if (skipped.nonEmpty)
+        md ++= s"\nSKIPPED (budget ${budgetSec}s exceeded): ${skipped.mkString(", ")}\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        md.toString.getBytes("UTF-8"))
+    }
+    // SPARK_GRAFT_SCALE_ONLY: comma-separated subset (mechanics smoke /
+    // re-measuring a fix); the committed proof always runs the full list.
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(heavy100)
+    names.foreach { name =>
+      if (elapsed > budgetSec) { skipped += name; writeMd() }
+      else {
+        val (t1, s1) = timedOnce(spark, name, oneX)
+        val (t10, s10) = timedOnce(spark, name, tenX)
+        val (tN, sN) = timedOnce(spark, name, bigX)
+        val r = R(name, t1, t10, tN, s1, s10, sN)
+        done += r
+        println(f"[scale] ${name}%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ${n}x=${tN}%7.2fs r$n=${r.ratioN}%6.2f")
+        writeMd()
+      }
+    }
+    writeMd()
+    println(s"[scale] wrote $out")
+    val badRatio = done.filter(_.ratioViolation)
+    val badShape = done.filter(_.quadraticRegression)
+    if (badRatio.nonEmpty || badShape.nonEmpty) {
+      System.err.println(s"[scale] FAIL ratios>$bound: ${badRatio.map(_.name).mkString(",")}" +
+        s" quadratic-at-scale: ${badShape.map(_.name).mkString(",")}")
+      spark.stop(); sys.exit(1)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val oneX = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val headlineOnly = args.contains("--headline")
@@ -204,6 +352,15 @@ object ScaleStress {
       .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // --scale N: the three-scale (1x/10x/Nx) stress over heavy100
+    val scaleIdx = args.indexOf("--scale")
+    if (scaleIdx >= 0) {
+      val n = args(scaleIdx + 1).toInt
+      scaleMode(spark, oneX, n,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"SCALE_PROOF_${n}X.md"))
+      return
+    }
 
     if (!new java.io.File(s"$tenX/_SUCCESS").exists()) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
