@@ -22,10 +22,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * StreamingSpec: accumulated stream pairs == batch candidatePairs, and
   * survivors derived from them == the d7 registry answer.
   *
-  * State sizing at 100 TB: state is one Set[Long] per band key, total =
+  * State sizing at 100 TB: state is one member set per band key, total =
   * corpus band rows (docs × bands) — the same cardinality the batch
-  * shuffle moves; the r>=2 banding keeps buckets bounded (SCALE.md). For
-  * sliding-corpus semantics [[candidatePairsStreamTtl]] bounds that state
+  * shuffle moves; the r>=2 banding keeps buckets bounded (SCALE.md), and
+  * the SKEW GUARD (the streaming mirror of Dedup.candidatePairs') bounds
+  * the pathological bucket a real crawl has: past `maxBucket` members a
+  * bucket COLLAPSES its state to the running min id and every later
+  * arrival emits one star pair against it — state and per-arrival
+  * emission both O(1) from then on, connectivity through the bucket
+  * preserved (the property cluster resolution needs). Below the cap,
+  * behavior is byte-identical to the unguarded form. Two documented
+  * trades above the cap: re-delivered members can re-emit their star pair
+  * (membership was dropped — downstream `.distinct()` absorbs it, exactly
+  * like cross-band duplicates), and the transition batch's earlier
+  * members keep their already-emitted all-pairs (a superset of the batch
+  * guard's star set — still bucket-internal, still linear from the
+  * collapse on).
+  *
+  * For sliding-corpus semantics [[candidatePairsStreamTtl]] bounds state
   * in TIME too: a bucket expires `ttl` past its last arrival (event-time
   * timeout against the watermark — deterministic under reprocessing,
   * unlike a wall-clock TTL), so state size tracks the live window, not
@@ -37,31 +51,74 @@ object StreamingDedup {
   case class TimedBandRow(band_key: String, doc_id: Long, ts: java.sql.Timestamp)
   case class CandPair(a: Long, b: Long)
 
+  /** Per-band-key state: the member set while the bucket is small; once
+    * `total` crosses the cap, `members` drops to empty and `minId` alone
+    * carries the bucket (the star anchor). `total` keeps the true
+    * member count so the overflow decision is monotone.
+    */
+  case class BucketState(members: Set[Long], minId: Long, total: Long)
+
+  private val emptyState = BucketState(Set.empty, Long.MaxValue, 0L)
+
+  /** Shared emission step: exact all-pairs below the cap, star emission to
+    * the running min above it. Returns (pairs, next state).
+    */
+  private def step(st: BucketState, incoming: Set[Long], maxBucket: Int)
+      : (Seq[CandPair], BucketState) = {
+    val out = Seq.newBuilder[CandPair]
+    // Known-member dedup: below the cap `members` carries everyone; after
+    // a collapse only the anchor is still recognizable (minId ∉ members
+    // then, and subtracting it is a no-op below the cap where it is one).
+    val fresh = ((incoming -- st.members) - st.minId).toArray.sorted
+    if (st.total + fresh.length <= maxBucket) {
+      // exact path — unchanged semantics below the cap
+      var i = 0
+      while (i < fresh.length) {
+        val n = fresh(i)
+        st.members.foreach(o => out += CandPair(math.min(n, o), math.max(n, o)))
+        var j = i + 1
+        while (j < fresh.length) { out += CandPair(n, fresh(j)); j += 1 }
+        i += 1
+      }
+      val members = st.members ++ fresh
+      val mn =
+        if (fresh.isEmpty) st.minId
+        else if (st.minId == Long.MaxValue) fresh.head
+        else math.min(st.minId, fresh.head)
+      (out.result(), BucketState(members, mn, st.total + fresh.length))
+    } else {
+      // overflow: collapse to the star anchor. Membership is gone, so
+      // re-deliveries re-emit their star pair — downstream distinct
+      // absorbs them like cross-band duplicates.
+      var mn = st.minId
+      // the transition batch: members already in the set got their exact
+      // pairs earlier; arrivals from here connect via the running min
+      fresh.foreach { n =>
+        if (mn != Long.MaxValue && n != mn)
+          out += CandPair(math.min(mn, n), math.max(mn, n))
+        mn = if (mn == Long.MaxValue) n else math.min(mn, n)
+      }
+      (out.result(), BucketState(Set.empty, mn, st.total + fresh.length))
+    }
+  }
+
   /** Streaming candidate pairs from a streaming (band_key, doc_id) frame.
     * Emits each cross-batch and within-batch bucket pair once per band
     * (downstream dedups across bands, exactly like the batch
-    * candidatePairs' distinct).
+    * candidatePairs' distinct). `maxBucket` is the skew guard's collapse
+    * threshold — see the object doc.
     */
-  def candidatePairsStream(bandKeys: DataFrame): Dataset[CandPair] = {
+  def candidatePairsStream(bandKeys: DataFrame,
+      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): Dataset[CandPair] = {
     import bandKeys.sparkSession.implicits._
     bandKeys.select(col("band_key"), col("doc_id")).as[BandRow]
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[BandRow], state: GroupState[Set[Long]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[Long])
-          // sorted for deterministic emission order; Set dedups re-deliveries
-          val fresh = (rows.map(_.doc_id).toSet -- seen).toArray.sorted
-          val out = Seq.newBuilder[CandPair]
-          var i = 0
-          while (i < fresh.length) {
-            val n = fresh(i)
-            seen.foreach(o => out += CandPair(math.min(n, o), math.max(n, o)))
-            var j = i + 1
-            while (j < fresh.length) { out += CandPair(n, fresh(j)); j += 1 }
-            i += 1
-          }
-          if (fresh.nonEmpty) state.update(seen ++ fresh)
-          out.result().iterator
+        (_: String, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(emptyState)
+          val (pairs, next) = step(st, rows.map(_.doc_id).toSet, maxBucket)
+          if (next.total != st.total) state.update(next)
+          pairs.iterator
       }
   }
 
@@ -76,40 +133,32 @@ object StreamingDedup {
     * buckets at the same points, where a processing-time TTL would depend
     * on wall-clock scheduling.
     */
-  def candidatePairsStreamTtl(bandKeys: DataFrame, ttlMs: Long): Dataset[CandPair] = {
+  def candidatePairsStreamTtl(bandKeys: DataFrame, ttlMs: Long,
+      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): Dataset[CandPair] = {
     import bandKeys.sparkSession.implicits._
     bandKeys.select(col("band_key"), col("doc_id"), col("ts")).as[TimedBandRow]
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[TimedBandRow], state: GroupState[Set[Long]]) =>
+        (_: String, rows: Iterator[TimedBandRow], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             // the watermark passed this bucket's deadline: drop the state —
             // future arrivals see an empty bucket (the sliding window)
             state.remove()
             Iterator.empty
           } else {
-            val seen = state.getOption.getOrElse(Set.empty[Long])
+            val st = state.getOption.getOrElse(emptyState)
             var maxTs = Long.MinValue
             val incoming = rows.map { r =>
               maxTs = math.max(maxTs, r.ts.getTime); r.doc_id
             }.toSet
-            val fresh = (incoming -- seen).toArray.sorted
-            val out = Seq.newBuilder[CandPair]
-            var i = 0
-            while (i < fresh.length) {
-              val n = fresh(i)
-              seen.foreach(o => out += CandPair(math.min(n, o), math.max(n, o)))
-              var j = i + 1
-              while (j < fresh.length) { out += CandPair(n, fresh(j)); j += 1 }
-              i += 1
-            }
-            if (fresh.nonEmpty) state.update(seen ++ fresh)
+            val (pairs, next) = step(st, incoming, maxBucket)
+            if (next.total != st.total) state.update(next)
             if (state.exists)
               // deadline = last arrival + ttl, clamped above the watermark
               // (Spark rejects a timeout at/below it)
               state.setTimeoutTimestamp(
                 math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
-            out.result().iterator
+            pairs.iterator
           }
       }
   }

@@ -290,6 +290,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming skew guard: a pathological band bucket collapses to linear star emission") {
+    // The streaming mirror of Dedup.candidatePairs' skew guard: 60 docs
+    // land on ONE band key (a crawl's boilerplate bucket) across 3
+    // micro-batches with cap 10 — emission must be the n-1 star chain,
+    // never the ~1.8k all-pairs, state must collapse to the anchor, and a
+    // small bucket in the same stream keeps exact all-pairs.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingDedup
+      .candidatePairsStream(mem.toDF().toDF("band_key", "doc_id"), maxBucket = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("skew_pairs").start()
+    try {
+      val hot = (1L to 60L).map(i => ("0:hot", i))
+      val small = Seq(101L, 102L, 103L, 104L).map(i => ("1:small", i))
+      (hot ++ small).grouped(22).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val pairs = spark.table("skew_pairs").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val hotPairs = pairs.filter(_._2 <= 60L)
+      assert(hotPairs.length === 59,
+        s"expected the 59-star chain, got ${hotPairs.length} pairs")
+      assert(hotPairs.forall(_._1 == 1L), "star pairs must anchor at the min id")
+      // connectivity preserved: cluster resolution still collapses the bucket
+      val cc = graft.dedup.Dedup.connectedComponents(
+        spark.table("skew_pairs").distinct()).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(cc.filter(_._1 <= 60L).forall(_._2 == 1L))
+      // the small bucket stays exact all-pairs
+      assert(pairs.count(_._1 > 100L) === 4 * 3 / 2)
+    } finally q.stop()
+  }
+
   test("incremental LSH dedup over a document stream equals the batch pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
