@@ -49,7 +49,10 @@ class RegistryPlanSpec extends SparkSpec {
     "v9d_knn_ivfpq_rerank" -> ("v9b's bounded query-side shapes (O(q*k) " +
       "broadcast-centroid probe + broadcast-codebook LUT over the FIXED query " +
       "batch); the rerank joins only the |Q|*shortlist surviving pairs back to " +
-      "vectors by id — constant per query, never a corpus scan"))
+      "vectors by id — constant per query, never a corpus scan"),
+    "v9e_knn_ivfpq_opq" -> ("v9d's exact serving shapes over the permuted " +
+      "index — the coordinate permutation changes sub-block geometry only, " +
+      "not a single join: same bounded probe/LUT/rerank"))
     // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
     // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
     // appears in it — the pair generation itself is the cluster-id equi-join.)
