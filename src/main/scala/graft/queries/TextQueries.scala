@@ -446,6 +446,31 @@ object TextQueries {
     // corpora have bounded vocab (AQE broadcasts it), but synthetic/random
     // text makes the profile corpus-sized — forcing a broadcast there
     // measured 2x slower than the shuffled join AQE picks.
+    // TX16: per-doc TOKEN ENTROPY — the vocabulary-diversity quality
+    // signal (low-entropy docs are keyword stuffing / boilerplate / tag
+    // soup even when length and stopword gates pass; the composite
+    // quality filters of published pretraining pipelines all carry one).
+    // Shape: tx9's two keyed aggregations (per-(doc, word) counts, then a
+    // doc-keyed entropy fold) — nothing corpus-quadratic; the sum of
+    // p·ln p folds doubles, so it rounds to 6dp like tx10's avg ln.
+    "tx16_token_entropy" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val wc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      wc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+          max(col("n")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          round(-sum((col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n"))), 6).as("entropy_nats"))
+    }),
+
     "tx10_bigram_loglik" -> ((s, d) => {
       val bigrams = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -1055,6 +1080,19 @@ object TextQueries {
              CASE WHEN l.sig[i+1] = r.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / ${sigEntriesSql.length} AS est_j
          FROM bands l JOIN bands r USING (band_key)
          WHERE l.doc_id < r.doc_id""",
+    "tx16_token_entropy" ->
+      """WITH words AS (
+           SELECT doc_id, word
+           FROM documents,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) u(word)
+           WHERE word != ''),
+         wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM words GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct
+                 FROM wc GROUP BY doc_id)
+         SELECT wc.doc_id, max(tot.n) AS n_tokens, max(tot.n_distinct) AS n_distinct,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy_nats
+         FROM wc JOIN tot USING (doc_id)
+         GROUP BY wc.doc_id""",
     "tx10_bigram_loglik" ->
       s"""WITH bigrams AS (
            SELECT doc_id,
