@@ -865,6 +865,32 @@ object AdvancedQueries {
             exact * 0.05).as("approx_ok"))
     }),
 
+    // APX3: MERGEABLE sketch rollup — the re-aggregation story apx1's
+    // single-level sketch doesn't cover: per-(lang, source) HLL sketches
+    // (Datasketches hll_sketch_agg — the partial a 100 TB datacube tile
+    // stores) UNION to language totals WITHOUT rescanning rows, the
+    // property that makes distinct-count dashboards over petabyte slices
+    // feasible. Same tolerance contract as apx1: each engine asserts ITS
+    // OWN sketch (Spark: two-level sketch-union; DuckDB: its native HLL
+    // over the union directly — semantically the same set) against its
+    // own exact count at a 5% bound, and the hash compares the booleans
+    // plus the exact values.
+    "apx3_sketch_rollup" -> ((s, d) => {
+      val h = md5(col("text").cast("binary"))
+      val docs = Tables.documents(s, d)
+      val parts = docs.groupBy("lang", "source")
+        .agg(hll_sketch_agg(h, lit(14)).as("sk"))
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(h).as("exact_distinct"))
+      parts.groupBy("lang")
+        .agg(count(lit(1)).as("n_slices"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .join(exact, "lang")
+        .select(col("lang"), col("n_slices"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("rollup_ok"))
+    }),
+
     // Window-offset family: lag/lead plus a running total — sequential
     // accumulation order is the partition sort order in both engines, so
     // the doubles are bit-identical pre-round.
@@ -1341,6 +1367,17 @@ object AdvancedQueries {
     "sk2_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "apx3_sketch_rollup" ->
+      """WITH slices AS (
+           SELECT lang, count(DISTINCT source)::BIGINT AS n_slices
+           FROM documents GROUP BY lang),
+         ex AS (
+           SELECT lang, count(DISTINCT md5(text))::BIGINT AS exact_distinct,
+             (abs(approx_count_distinct(md5(text)) - count(DISTINCT md5(text)))
+                <= count(DISTINCT md5(text)) * 0.05) AS rollup_ok
+           FROM documents GROUP BY lang)
+         SELECT lang, n_slices, exact_distinct, rollup_ok
+         FROM slices JOIN ex USING (lang)""",
     "apx1_approx_distinct" ->
       """SELECT l_returnflag,
            count(DISTINCT l_partkey)::BIGINT AS exact_parts,
