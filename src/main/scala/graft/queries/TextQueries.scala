@@ -315,6 +315,36 @@ object TextQueries {
     "sp1_sequence_packing" -> ((s, d) =>
       packSequences(Tables.documents(s, d), cap = 512L, nShards = sp1Shards)),
 
+    // SP2: LENGTH-BUCKETED BATCHING — the padding-minimization half of
+    // batch construction: where sp1 CONCATENATES docs into fixed windows,
+    // dynamic batching GROUPS similar-length docs into fixed-size batches
+    // so each batch pads only to ITS max length, not the corpus max
+    // (padding waste is compute burned on pad tokens). Docs bucket by
+    // log2 length (power-of-two buckets — the standard bucketing ladder),
+    // batch within (bucket, shard) in doc_id order via a running count,
+    // and each batch reports its padding waste: n_docs·max_len − Σ len.
+    // One window partitioned by (bucket, shard) + one keyed agg — same
+    // parallel shape as sp1, nothing global.
+    "sp2_length_bucketed_batches" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val batchSize = 16L
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        // binary-length bucket (= floor(log2)+1) — INTEGER-exact in both
+        // engines; a float log2 can straddle floor() at exact powers of 2
+        .withColumn("bucket", length(bin(col("n_tok"))).cast("bigint"))
+        .withColumn("shard", (col("doc_id") % sp1Shards).as("shard"))
+      val w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+      docs.withColumn("batch",
+          floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+        .groupBy("bucket", "shard", "batch")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_len"),
+          sum(col("n_tok")).as("tok_sum"),
+          (count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("pad_waste"))
+    }),
+
     // TX15: N-GRAM NOVELTY — per document, the fraction of its distinct
     // 3-gram shingles not seen in any EARLIER document (doc_id order): the
     // corpus-freshness score used to down-weight boilerplate and measure
@@ -1202,6 +1232,25 @@ object TextQueries {
          SELECT word, n, round(cum::DOUBLE / t, 6) AS cum_share
          FROM ranked, tot
          WHERE (cum - n)::DOUBLE / t < 0.95""",
+    "sp2_length_bucketed_batches" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tok,
+             length(bin(n_tok))::BIGINT AS bucket,
+             doc_id % $sp1Shards AS shard
+           FROM d),
+         r AS (
+           SELECT bucket, shard, n_tok,
+             ((row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id)) - 1)
+               // 16 AS batch
+           FROM b)
+         SELECT bucket, shard, batch, count(*)::BIGINT AS n_docs,
+           max(n_tok) AS max_len, sum(n_tok)::BIGINT AS tok_sum,
+           (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_waste
+         FROM r GROUP BY bucket, shard, batch""",
     "sp1_sequence_packing" ->
       s"""WITH d AS (
            SELECT doc_id, doc_id % $sp1Shards AS shard,

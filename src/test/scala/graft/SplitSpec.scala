@@ -127,6 +127,26 @@ class SplitSpec extends SparkSpec {
       math.max(1, Runtime.getRuntime.availableProcessors()).toLong)
   }
 
+  test("sp2: length-bucketed batches bound batch size and pad only to the bucket ceiling") {
+    val rows = graft.queries.TextQueries.queries("sp2_length_bucketed_batches")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, nDocs, maxLen, tokSum, padWaste) =>
+      assert(nDocs >= 1 && nDocs <= 16, s"batch size $nDocs out of range")
+      // binary-length bucket b holds lengths in [2^(b-1), 2^b - 1]
+      assert(maxLen >= (1L << (bucket - 1)) && maxLen < (1L << bucket),
+        s"max_len $maxLen escapes bucket $bucket")
+      assert(padWaste == nDocs * maxLen - tokSum && padWaste >= 0)
+      // the point of bucketing: padding to the batch max wastes less than
+      // half the batch's compute (lengths within a bucket differ < 2x)
+      assert(padWaste.toDouble / (nDocs * maxLen) < 0.5,
+        s"bucketed batch wastes ${padWaste.toDouble / (nDocs * maxLen)}")
+    }
+    // every doc lands in exactly one batch
+    assert(rows.map(_._2).sum == graft.Tables.documents(spark, sfDir).count())
+  }
+
   test("rep1: epochs are capped at 4, rare languages repeat at least as " +
       "often as the head, and the head runs exactly one epoch") {
     val rep = SplitQueries.queries("rep1_epoch_upsample")(spark, sfDir).cache()
