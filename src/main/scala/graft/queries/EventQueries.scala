@@ -140,6 +140,25 @@ object EventQueries {
           round(col("n_active").cast("double") / col("n_users"), 6).as("retention"))
     }),
 
+    // EV4: trailing-window SPIKE detection — the telemetry anomaly flag:
+    // an event fires when its value exceeds 2x the max of the user's
+    // previous 10 events. Deliberately built on ORDER STATISTICS (trailing
+    // max), not mean/stddev: order statistics are engine-exact (same
+    // parquet doubles, same comparisons), where a variance accumulates in
+    // engine-specific order and can straddle any rounding boundary. One
+    // user-keyed window — the ev2 shape; nothing corpus-wide.
+    "ev4_spike_detection" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, -1)
+      Tables.events(s, d)
+        .withColumn("prev_max", max(col("value")).over(w))
+        .filter(col("prev_max").isNotNull && col("value") > col("prev_max") * 2)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"),
+          round(col("prev_max"), 6).as("prev_max"))
+    }),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
@@ -229,6 +248,15 @@ object EventQueries {
          SELECT r.cw::DATE AS cohort_week, r.week_offset, r.n_active,
            round(r.n_active::DOUBLE / s.n_users, 6) AS retention
          FROM r JOIN sizes s USING (cw)""",
+    "ev4_spike_detection" ->
+      """SELECT event_id, user_id, round(value, 6) AS value,
+           round(prev_max, 6) AS prev_max
+         FROM (
+           SELECT event_id, user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM events)
+         WHERE prev_max IS NOT NULL AND value > prev_max * 2""",
     "x1_response_linking" -> x1Oracle,
     // identical semantics through the window route (option b)
     "x1b_response_linking_window" -> x1Oracle,

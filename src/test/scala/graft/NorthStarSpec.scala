@@ -251,6 +251,49 @@ class NorthStarSpec extends SparkSpec {
     assert(rr > 0.5, s"rerank recall=$rr")
   }
 
+  test("truncated-dim prefilter: cluster-faithful on clustered vectors, honest floor on random") {
+    // v12's contract: on embeddings with cluster structure (what
+    // Matryoshka-style training produces — prefixes carry the coarse
+    // geometry), the 16-dim prefilter + exact rerank retrieves from the
+    // query's own cluster; on RANDOM vectors the prefix carries only
+    // tdim/dim of the signal and the documented floor applies (the v9
+    // worst-case pattern).
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (m <- 0 until 20; c <- 0 until 10) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((m * 10 + c).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val tdim = 16
+    val ct = df.select(col("n_id"), slice(col("nv"), 1, tdim).as("tv"))
+      .withColumn("tn", VectorOps.l2norm(col("tv")))
+    val qt = ct.filter(col("n_id") < 20)
+      .select(col("n_id").as("q_id"), col("tv").as("qv"), col("tn").as("qn"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("tcos").desc, col("n_id").asc)
+    val sl = ct.crossJoin(broadcast(qt))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("tcos", VectorOps.dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("r", row_number().over(w1))
+      .filter(col("r") <= 20)
+    val full = df.withColumn("nn", VectorOps.l2norm(col("nv")))
+    val qf = full.filter(col("n_id") < 20)
+      .select(col("n_id").as("q_id"), col("nv").as("fqv"), col("nn").as("fqn"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val got = sl.select("q_id", "n_id").join(qf, "q_id").join(full, "n_id")
+      .withColumn("cos", VectorOps.dot(col("fqv"), col("nv")) / (col("fqn") * col("nn")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    val share = got.count { case (q, n) => q % 10 == n % 10 }.toDouble / got.length
+    assert(share > 0.95, s"same-cluster share=$share")
+  }
+
   test("opq-lite permutation: recall holds vs unpermuted rerank on clustered vectors, " +
       "and the permutation actually balances block energy") {
     // The round-8 verdict's v9e gate: the energy-balanced coordinate

@@ -52,7 +52,10 @@ class RegistryPlanSpec extends SparkSpec {
       "vectors by id — constant per query, never a corpus scan"),
     "v9e_knn_ivfpq_opq" -> ("v9d's exact serving shapes over the permuted " +
       "index — the coordinate permutation changes sub-block geometry only, " +
-      "not a single join: same bounded probe/LUT/rerank"))
+      "not a single join: same bounded probe/LUT/rerank"),
+    "v12_knn_truncated_rerank" -> ("v1's bounded broadcast-query brute force " +
+      "on 16-dim prefixes (one pass, 20-query side broadcast); the rerank " +
+      "touches only the |Q|*shortlist survivors by id"))
     // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
     // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
     // appears in it — the pair generation itself is the cluster-id equi-join.)
