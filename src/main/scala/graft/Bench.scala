@@ -166,10 +166,12 @@ object Bench {
         val warm =
           if (ok && warm0 > math.max(3.0, 2.0 * cold)) {
             val (third, ok3) = timed(name, fn)
-            if (ok3) {
-              remeasured += name
-              Seq(cold, warm0, third).sorted.apply(1)
-            } else warm0
+            // flag the row even when the third run FAILS (round-9 review):
+            // the phantom warm0 is then shipped as the only honest option,
+            // but a "remeasured" row whose value still looks like a stall
+            // tells the reader the re-measurement could not clear it
+            remeasured += name
+            if (ok3) Seq(cold, warm0, third).sorted.apply(1) else warm0
           } else warm0
         results += ((name, warm, cold, ok, false))
         writeRecord()

@@ -172,10 +172,26 @@ object ScaleStress {
     // completeness sentinel, written LAST: a crash mid-generate leaves no
     // _SUCCESS, so the next run regenerates instead of measuring a partial
     // fixture (embeddings is written after lineitem — gating on any single
-    // table file would accept a half-built directory)
+    // table file would accept a half-built directory). The sentinel records
+    // (base dir, reps) so a reuse check can detect a replica built from a
+    // DIFFERENT base fixture (round-9 review: _SUCCESS alone let a base
+    // switch silently divide Nx-of-old-base timings by 1x-of-new-base).
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/_SUCCESS"), Array.emptyByteArray)
+      java.nio.file.Paths.get(s"$outDir/_SUCCESS"),
+      s"$srcDir|$reps".getBytes("UTF-8"))
     ()
+  }
+
+  /** True iff `dir` holds a COMPLETE replica generated from (`srcDir`,
+    * `reps`) — an empty legacy sentinel is accepted as matching (it
+    * predates the base recording and was always built from sf0.1).
+    */
+  private def fixtureCurrent(dir: String, srcDir: String, reps: Int): Boolean = {
+    val f = java.nio.file.Paths.get(s"$dir/_SUCCESS")
+    java.nio.file.Files.exists(f) && {
+      val rec = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      rec.isEmpty || rec == s"$srcDir|$reps"
+    }
   }
 
   private def joinShape(df: DataFrame): Map[String, Int] =
@@ -186,12 +202,18 @@ object ScaleStress {
     */
   private def timed(spark: SparkSession, name: String, dir: String): (Double, Map[String, Int]) = {
     val fn = SparkEntry.queries(name)
-    fn(spark, dir).queryExecution.toRdd.count()
+    // each run in its own checkpoint scope (round-9 review): the full
+    // registry x cold+warm x 2 fixtures sweep would otherwise accumulate
+    // every face's localCheckpoint blocks for the JVM's lifetime — the
+    // round-8 storage-pool leak this harness is supposed to measure WITHOUT
+    graft.ops.Checkpoints.scoped { fn(spark, dir).queryExecution.toRdd.count() }
     System.gc()
-    val t0 = System.nanoTime()
-    val df = fn(spark, dir)
-    df.queryExecution.toRdd.count()
-    ((System.nanoTime() - t0) / 1e9, joinShape(df))
+    graft.ops.Checkpoints.scoped {
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      df.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, joinShape(df))
+    }
   }
 
   /** One measured run (no warm duplicate) — the `--scale 100` protocol:
@@ -220,11 +242,11 @@ object ScaleStress {
   private def scaleMode(spark: SparkSession, oneX: String, n: Int, out: String): Unit = {
     val tenX = "scale10"
     val bigX = s"scale$n"
-    if (!new java.io.File(s"$tenX/_SUCCESS").exists()) {
+    if (!fixtureCurrent(tenX, oneX, reps)) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
       generate(spark, oneX, tenX, reps)
     }
-    if (!new java.io.File(s"$bigX/_SUCCESS").exists()) {
+    if (!fixtureCurrent(bigX, oneX, n)) {
       println(s"[scale] generating ${n}x fixture at $bigX from $oneX")
       generate(spark, oneX, bigX, n)
     }
@@ -356,13 +378,15 @@ object ScaleStress {
     // --scale N: the three-scale (1x/10x/Nx) stress over heavy100
     val scaleIdx = args.indexOf("--scale")
     if (scaleIdx >= 0) {
+      require(scaleIdx + 1 < args.length && args(scaleIdx + 1).toIntOption.exists(_ > 1),
+        s"--scale requires an integer factor > 1, got: ${args.mkString(" ")}")
       val n = args(scaleIdx + 1).toInt
       scaleMode(spark, oneX, n,
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"SCALE_PROOF_${n}X.md"))
       return
     }
 
-    if (!new java.io.File(s"$tenX/_SUCCESS").exists()) {
+    if (!fixtureCurrent(tenX, oneX, reps)) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
       generate(spark, oneX, tenX)
     }

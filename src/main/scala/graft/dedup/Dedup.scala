@@ -46,6 +46,12 @@ object Dedup {
     * The oversized key set is at most |rows|/maxBucket keys (in practice a
     * handful), hence broadcastable by construction.
     */
+  // NOTE: the three guarded generators below (candidatePairs,
+  // simhashCandidates, candidatePairsWithEstimate) intentionally repeat the
+  // small/star two-path expansion with schema-level variation (plain ids vs
+  // min_by-carried structs). A change to the star semantics must land in
+  // all three — DedupSkewGuardSpec pins each generator's guard separately,
+  // so a forked edit fails the suite rather than shipping silently.
   private def oversizedKeys(bk: DataFrame, keyCols: Seq[String], maxBucket: Int,
       what: String): Option[DataFrame] = {
     val sizes = bk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))

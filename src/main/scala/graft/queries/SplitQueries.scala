@@ -105,12 +105,7 @@ object SplitQueries {
     "mx2_token_budget_mix" -> ((s, d) => {
       val base = mx2Base(s, d)
         .withColumn("bucket", shiftright(col("h"), 60 - mx2BucketBits))
-      val wb = Window.partitionBy("lang").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy("lang", "bucket").agg(sum(col("n_tok")).as("btok"))
-        .withColumn("prior", coalesce(sum(col("btok")).over(wb), lit(0L)))
-        .filter(col("prior") <= tokenBudget)
-        .select("lang", "bucket", "prior")
+      val offsets = mx2Offsets(base)
       val ww = Window.partitionBy("lang", "bucket").orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       base.join(broadcast(offsets), Seq("lang", "bucket"))
@@ -209,6 +204,22 @@ object SplitQueries {
         graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"), h.as("h"))
   }
 
+  /** mx2's bucket-cutoff stage, shared by the registry face and
+    * [[mx2SortVolume]] (round-9 review: a duplicated pipeline would let
+    * SplitSpec's budget-boundedness gate measure a different plan than
+    * the registry runs): per-(lang, bucket) token totals, a prefix sum
+    * over the TOTALS rows, and the `prior <= budget` cutoff. Returns the
+    * admissible (lang, bucket, prior) frame.
+    */
+  private def mx2Offsets(base: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.groupBy("lang", "bucket").agg(sum(col("n_tok")).as("btok"))
+      .withColumn("prior", coalesce(sum(col("btok")).over(wb), lit(0L)))
+      .filter(col("prior") <= tokenBudget)
+      .select("lang", "bucket", "prior")
+  }
+
   /** The original single-window mx2 (one running sum partitioned by
     * language): kept as the equivalence REFERENCE for SplitSpec — the
     * registry face is the two-level form, which must be indistinguishable
@@ -230,12 +241,7 @@ object SplitQueries {
   private[graft] def mx2SortVolume(s: SparkSession, d: String): (Long, Long) = {
     val base = mx2Base(s, d)
       .withColumn("bucket", shiftright(col("h"), 60 - mx2BucketBits))
-    val wb = Window.partitionBy("lang").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("lang", "bucket").agg(sum(col("n_tok")).as("btok"))
-      .withColumn("prior", coalesce(sum(col("btok")).over(wb), lit(0L)))
-      .filter(col("prior") <= tokenBudget)
-      .select("lang", "bucket")
+    val offsets = mx2Offsets(base).select("lang", "bucket")
     (base.join(broadcast(offsets), Seq("lang", "bucket")).count(), base.count())
   }
 

@@ -327,7 +327,7 @@ object TextQueries {
     // parallel shape as sp1, nothing global.
     "sp2_length_bucketed_batches" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val batchSize = 16L
+      val batchSize = sp2BatchSize
       val docs = Tables.documents(s, d).select(
         col("doc_id"),
         graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
@@ -813,6 +813,11 @@ object TextQueries {
     */
   val sp1Shards: Long = math.max(1, Runtime.getRuntime.availableProcessors()).toLong
 
+  /** sp2's batch size — ONE constant drives the face and the oracle (the
+    * sp1Shards pattern; a hardcoded literal on either side could drift).
+    */
+  val sp2BatchSize: Long = 16L
+
   /** SEQUENCE PACKING — assign documents to fixed-capacity training
     * context windows (`cap` tokens). Packing is inherently sequential, so
     * the scalable form shards first (`nShards` IS the packing-parallelism
@@ -1245,7 +1250,7 @@ object TextQueries {
          r AS (
            SELECT bucket, shard, n_tok,
              ((row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id)) - 1)
-               // 16 AS batch
+               // $sp2BatchSize AS batch
            FROM b)
          SELECT bucket, shard, batch, count(*)::BIGINT AS n_docs,
            max(n_tok) AS max_len, sum(n_tok)::BIGINT AS tok_sum,

@@ -558,6 +558,39 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Truncated-dimension prefilter + exact rerank — the Matryoshka
+    * serving trick (see the v12 face): stage 1 scores the corpus on the
+    * first `tdim` dims only (broadcast bounded query side, one corpus
+    * pass), stage 2 exact-reranks the |Q|·`shortlist` survivors at full
+    * dimension. Shared by the registry face and NorthStarSpec's
+    * cluster-faithfulness gate so the spec exercises the shipped code.
+    */
+  def truncatedRerank(corpus: DataFrame, queries: DataFrame, tdim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val ct = corpus.select(col("n_id"), slice(col("nv"), 1, tdim).as("tv"))
+      .withColumn("tn", l2norm(col("tv")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val qt = queries.select(col("n_id").as("q_id"),
+        slice(col("nv"), 1, tdim).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val w1 = Window.partitionBy("q_id").orderBy(col("tcos").desc, col("n_id").asc)
+    val sl = ct.crossJoin(broadcast(qt))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("tcos", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("r", row_number().over(w1))
+      .filter(col("r") <= shortlist)
+      .select("q_id", "n_id")
+    val full = corpus.withColumn("nn", l2norm(col("nv")))
+    val qf = queries.select(col("n_id").as("q_id"), col("nv").as("fqv"))
+      .withColumn("fqn", l2norm(col("fqv")))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    sl.join(qf, "q_id").join(full, "n_id")
+      .withColumn("cos", dot(col("fqv"), col("nv")) / (col("fqn") * col("nn")))
+      .withColumn("rank", row_number().over(w2).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Per-vector int8 scalar quantization: x -> floor((x-min)*255/(max-min)
     * + 0.5) (explicit floor+0.5, not round(), so no engine rounding-mode
     * ambiguity), plus the dequantization MSE — the compression audit a

@@ -141,7 +141,7 @@ class RegistryPlanSpec extends SparkSpec {
       import spark.implicits._
       val probes = Seq((900L, 0L), (901L, 3L)).toDF("q_id", "cell")
       // table names carry the fixture tag (see the v9b face)
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode & 0x7fffffff)
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val jp = probes.join(spark.table(s"v9b_pq_index_$tag"), "cell")
         .queryExecution.executedPlan.toString
       assert("Exchange".r.findAllMatchIn(jp).length == 1,
