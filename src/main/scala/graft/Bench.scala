@@ -161,8 +161,11 @@ object Bench {
         // healthy query is a scheduler stall, not a query duration — the
         // round-7/8 driver records each shipped a >20s phantom for a ~2-3s
         // query and burned an advice cycle on the noise. When the warm run
-        // exceeds max(3s, 2x cold), take a third run and report the MEDIAN
-        // of the three, flagging the query in "remeasured".
+        // exceeds max(3s, 2x cold), take a third (warm-class) run and ship
+        // the MINIMUM of the warm runs, flagging the query in "remeasured".
+        // Warm-class only (round-9 advice): a median over (cold, warm0,
+        // third) could literally ship the cold number as "warm" when
+        // third < cold < warm0, mixing measurement classes in the record.
         val warm =
           if (ok && warm0 > math.max(3.0, 2.0 * cold)) {
             val (third, ok3) = timed(name, fn)
@@ -171,7 +174,7 @@ object Bench {
             // but a "remeasured" row whose value still looks like a stall
             // tells the reader the re-measurement could not clear it
             remeasured += name
-            if (ok3) Seq(cold, warm0, third).sorted.apply(1) else warm0
+            if (ok3) math.min(warm0, third) else warm0
           } else warm0
         results += ((name, warm, cold, ok, false))
         writeRecord()

@@ -47,23 +47,27 @@ object ScaleStress {
     "sk2_salted_join", "pr1_pagerank", "v8_embedding_dedup",
     "tx9_tfidf_top_terms")
 
-  /** The `--scale 100` set: the 15 most expensive registry queries by the
-    * round-8 record whose plans are scale-free (keyed joins / aggregations
-    * / windows / bounded candidate sets). EXPLICITLY EXCLUDED (the
-    * no-silent-caps rule): sd1_semdedup and v8_embedding_dedup — their
-    * candidate stage is all-pairs within a FIXED number of partitions
-    * (16 k-means cells / 64 hyperplane buckets), so at 100x the fixture
-    * their pair count grows ~100x² BY HYPERPARAMETER CHOICE, not engine
-    * design; production scales nCells/nPlanes with the corpus (the faces
-    * pin them for oracle determinism), so a 100x run of the fixture-tuned
-    * constants would measure the pinned hyperparameter, not the engine.
+  /** The `--scale 100` set: the most expensive registry queries by the
+    * round-8/9 records whose plans are scale-free (keyed joins /
+    * aggregations / windows / bounded candidate sets), plus the round-9/10
+    * additions so the table closes over the registry's expensive tail.
+    * sd1_semdedup and v8_embedding_dedup ENTER the set this round
+    * (rounds 8-9 excluded them): their blocking width now scales with the
+    * corpus (VectorQueries.sd1Cells / VectorOps.adaptivePlaneCount — the
+    * derivation the oracles replay closed-form) and oversized buckets
+    * star-collapse (VectorOps.guardedCosinePairs), so a 100x run measures
+    * the engine, not a fixture-pinned hyperparameter.
     */
   val heavy100: Seq[String] = Seq(
     "d7_dedup_survivors", "d6_dedup_clusters", "tx15_ngram_novelty",
     "d15_containment", "v9_knn_ivfpq", "d10_dedup_best_survivor",
     "d14_cc_largestar", "bfs1_supply_radius", "v10_knn_ivfpq_residual",
     "d13_clusters_incremental", "pipeline_corpus", "pr1_pagerank",
-    "bpe3_tokenize", "v4b_knn_ivf_refined", "sk2_salted_join")
+    "bpe3_tokenize", "v4b_knn_ivf_refined", "sk2_salted_join",
+    "sd1_semdedup", "v8_embedding_dedup",
+    "v9e_knn_ivfpq_opq", "v12_knn_truncated_rerank",
+    "sp2_length_bucketed_batches", "apx3_sketch_rollup",
+    "tx16_token_entropy", "ev4_spike_detection")
 
   val ratioBound = 15.0
 
@@ -183,14 +187,21 @@ object ScaleStress {
   }
 
   /** True iff `dir` holds a COMPLETE replica generated from (`srcDir`,
-    * `reps`) — an empty legacy sentinel is accepted as matching (it
-    * predates the base recording and was always built from sf0.1).
+    * `reps`). An empty legacy sentinel (predating the base recording) is
+    * accepted ONLY when the requested base/reps are the defaults every
+    * legacy replica was in fact built from — accepting it for ANY
+    * (srcDir, reps) would reintroduce, for legacy dirs, exactly the
+    * cross-base staleness the recorded sentinel exists to prevent
+    * (round-9 advice: an SF_DIR override would silently reuse an
+    * sf0.1-based replica).
     */
   private def fixtureCurrent(dir: String, srcDir: String, reps: Int): Boolean = {
     val f = java.nio.file.Paths.get(s"$dir/_SUCCESS")
     java.nio.file.Files.exists(f) && {
       val rec = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      rec.isEmpty || rec == s"$srcDir|$reps"
+      if (rec.isEmpty)
+        srcDir == "/root/testdata/sf0.1" && reps == ScaleStress.reps
+      else rec == s"$srcDir|$reps"
     }
   }
 
@@ -239,8 +250,8 @@ object ScaleStress {
     * completed rows; a budget (SPARK_GRAFT_SCALE_BUDGET seconds, default
     * 6600) skips remaining queries with an explicit list.
     */
-  private def scaleMode(spark: SparkSession, oneX: String, n: Int, out: String): Unit = {
-    val tenX = "scale10"
+  private def scaleMode(spark: SparkSession, oneX: String, tenX: String,
+      n: Int, out: String): Unit = {
     val bigX = s"scale$n"
     if (!fixtureCurrent(tenX, oneX, reps)) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
@@ -278,21 +289,21 @@ object ScaleStress {
       val md = new StringBuilder
       md ++= s"""# SCALE_PROOF_100X — measured ${n}x scale-stress
                 |
-                |`graft.ScaleStress --scale $n`: the 15 most expensive scale-free
-                |registry queries (round-8 record), measured at 1x / 10x / ${n}x of
-                |the sf0.1 fixture (same key-remapped replication as the 10x proof;
-                |lineitem 1x = $rows1 rows, ${n}x = $rowsN rows ≈ 1.5 GB). ONE
+                |`graft.ScaleStress --scale $n`: the most expensive scale-free
+                |registry queries (round-8/9 records) plus the round-9/10
+                |additions, measured at 1x / 10x / ${n}x of the sf0.1 fixture
+                |(same key-remapped replication as the 10x proof; lineitem
+                |1x = $rows1 rows, ${n}x = $rowsN rows ≈ 1.5 GB). ONE
                 |measured run per scale — cold/cold at every scale is a consistent
                 |methodology and halves a sweep whose ${n}x leg alone runs ~1.5 h.
                 |Gate: ratio(${n}x/1x) < ${bound.toInt} above the 1 s noise floor, and no
                 |CartesianProduct/BroadcastNestedLoopJoin appearing only at scale.
                 |
-                |EXCLUDED (no silent caps): sd1_semdedup, v8_embedding_dedup — their
-                |candidate stage is all-pairs within a FIXED partition count
-                |(16 k-means cells / 64 hyperplane buckets), so a ${n}x run of the
-                |fixture-tuned constants measures the pinned hyperparameter growing
-                |quadratically, not the engine; production scales nCells/nPlanes
-                |with the corpus.
+                |sd1_semdedup and v8_embedding_dedup ENTER the table this round
+                |(rounds 8-9 excluded them as fixture-pinned): their blocking
+                |width now scales with the corpus (sd1Cells / adaptivePlaneCount,
+                |replayed closed-form by the DuckDB oracles) and oversized
+                |buckets star-collapse, so the ${n}x legs measure the engine.
                 |
                 || query | t(1x) s | t(10x) s | t(${n}x) s | r10 | r$n | joins 1x | joins ${n}x |
                 ||---|---|---|---|---|---|---|---|
@@ -355,11 +366,14 @@ object ScaleStress {
       if (onlyIdx >= 0 && onlyIdx + 1 < args.length)
         Some(args(onlyIdx + 1).split(",").toSeq)
       else None
-    // the value after --only is that flag's operand, not the positional
-    // 10x-dir (and with --only absent, onlyIdx+1 == 0 must not exclude a
-    // positional dir at index 0)
+    // the values after --only / --scale are those flags' operands, not the
+    // positional 10x-dir (and with a flag absent, idx+1 == 0 must not
+    // exclude a positional dir at index 0)
+    val scaleOpIdx = args.indexOf("--scale")
     val tenX = args.zipWithIndex.collectFirst {
-      case (a, i) if !a.startsWith("--") && (onlyIdx < 0 || i != onlyIdx + 1) => a
+      case (a, i) if !a.startsWith("--") &&
+        (onlyIdx < 0 || i != onlyIdx + 1) &&
+        (scaleOpIdx < 0 || i != scaleOpIdx + 1) => a
     }.getOrElse("scale10")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_PROOF.md")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -381,7 +395,10 @@ object ScaleStress {
       require(scaleIdx + 1 < args.length && args(scaleIdx + 1).toIntOption.exists(_ > 1),
         s"--scale requires an integer factor > 1, got: ${args.mkString(" ")}")
       val n = args(scaleIdx + 1).toInt
-      scaleMode(spark, oneX, n,
+      // the 10x dir resolves through the SAME args/env lookup as the
+      // regular path (round-9 advice: a hardcoded "scale10" ignored a
+      // user-provided fixture dir and regenerated a duplicate beside it)
+      scaleMode(spark, oneX, tenX, n,
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"SCALE_PROOF_${n}X.md"))
       return
     }

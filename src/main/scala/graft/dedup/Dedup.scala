@@ -52,7 +52,9 @@ object Dedup {
   // min_by-carried structs). A change to the star semantics must land in
   // all three — DedupSkewGuardSpec pins each generator's guard separately,
   // so a forked edit fails the suite rather than shipping silently.
-  private def oversizedKeys(bk: DataFrame, keyCols: Seq[String], maxBucket: Int,
+  // private[graft]: the vector-side candidate generators (VectorOps /
+  // sd1's cell pair join) reuse the same detection pass
+  private[graft] def oversizedKeys(bk: DataFrame, keyCols: Seq[String], maxBucket: Int,
       what: String): Option[DataFrame] = {
     val sizes = bk.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
@@ -411,6 +413,17 @@ object Dedup {
       iter += 1
       if (!converged && iter >= 2 && churn > churnDecay * prevChurn) route = true
       prevChurn = churn
+    }
+    // Loop exhaustion without convergence is ALSO a route trigger: churn
+    // decaying by just over (1 - churnDecay) per round on a component with
+    // diameter > maxIter would otherwise exit with route=false and silently
+    // return non-converged (wrong) labels — the exact silent-truncation flaw
+    // the router exists to fix. The star finish below is exact regardless of
+    // how propagation stopped, so it always completes the labeling.
+    if (!converged && !route) {
+      log.warn(s"CC router: propagation exhausted $maxIter rounds without " +
+        s"converging (last churn $prevChurn) — finishing with star rounds")
+      route = true
     }
     if (!route)
       (labels.select(col("node").as("doc_id"), col("label").as("cluster")), false)

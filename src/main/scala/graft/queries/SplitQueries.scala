@@ -52,7 +52,9 @@ object SplitQueries {
     "spl2_leakage_safe_split" -> ((s, d) => {
       val pairs = leakagePairs(s, d)
       val labeled = Tables.documents(s, d).select("doc_id")
-        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        // adaptive resolver (result-identical to plain propagation,
+        // O(log n) on chains — CcRouteSpec) for the production split face
+        .join(Dedup.connectedComponentsAuto(pairs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       val b = md5Bucket(concat(lit("split|"), col("cluster").cast("string")), 1000)
       labeled.select(col("doc_id"), col("cluster"), splitLabel(b).as("split"))

@@ -129,6 +129,11 @@ object TextQueries {
 
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
+    // INTENTIONALLY on plain min-label propagation, not the auto-router:
+    // d6 is the ORACLE face for the clustering itself — it pins the
+    // reference algorithm the routed faces (d7/d10/d12/d13/spl2/v8/sd1/
+    // pipeline_corpus) must stay result-identical to, so it must not share
+    // the router's re-route machinery it exists to check.
     "d6_dedup_clusters" -> ((s, d) => {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
@@ -524,7 +529,10 @@ object TextQueries {
     "d10_dedup_best_survivor" -> ((s, d) => {
       val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
       val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
-      val clusters = Dedup.connectedComponents(pairs)
+      // production face: the adaptive resolver (min-label with the star
+      // re-route) — result-identical to d6's plain propagation (CcRouteSpec),
+      // O(log n) on chain-shaped components
+      val clusters = Dedup.connectedComponentsAuto(pairs)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val labeled = docs.join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chars"),
@@ -694,7 +702,9 @@ object TextQueries {
       // stage 2: near-dup survivorship among the gated corpus
       val sigs = Dedup.withMinhashSig(
         corpus.filter(col("sh").isNotNull), "sh", "sig").select("doc_id", "sig")
-      val dropped = Dedup.connectedComponents(
+      // adaptive resolver (result-identical to plain propagation, O(log n)
+      // on chains — CcRouteSpec) for the production pipeline face
+      val dropped = Dedup.connectedComponentsAuto(
           Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id"))
         .filter(col("cluster") =!= col("doc_id")).select("doc_id")
       val survivors = corpus.join(dropped, Seq("doc_id"), "left_anti")
@@ -847,12 +857,33 @@ object TextQueries {
   private val bpeIters = 3
   private val bpeWords = 2000
 
-  /** BPE merge training (shared by bpe1/bpe2): `bpeIters` rounds of corpus-
-    * wide weighted adjacent-pair counting over the top-`bpeWords` alpha
-    * words, each round merging the globally most frequent pair everywhere
-    * (1-row driver argmax per round — the scalar-only pattern of
-    * connectedComponents/pageRank-tol). Returns the merges in training
-    * order plus the final merged training frame (word, n, seq).
+  /** BPE merge training (shared by bpe1/bpe2/bpe3): `bpeIters` rounds of
+    * weighted adjacent-pair counting over the top-`bpeWords` alpha words,
+    * each round merging the globally most frequent pair everywhere.
+    * Returns the merges in training order plus the final merged training
+    * frame (word, n, seq).
+    *
+    * DRIVER-SIDE training over the collected word-count table (round-9
+    * advice #4): the r9 form ran one distributed argmax JOB per merge —
+    * 32k driver jobs at a production vocab. The standard production shape
+    * trains on the weighted DISTINCT-word dictionary instead: the only
+    * corpus-scaled stage is the word count (one distributed groupBy +
+    * top-`bpeWords`, exactly as before); the dictionary itself is
+    * vocab-sized (bounded by the `bpeWords` constant, ≪ corpus at any
+    * scale), so every merge round is a local fold over ≤ `bpeWords`
+    * short strings — total driver jobs per training run: 1 (the vocab
+    * collect), independent of merge count. The merge list then broadcasts
+    * into the encode faces as before.
+    *
+    * Exactness: pair counting replays the distributed form verbatim
+    * (split on trimmed seq, adjacent pairs, weight n, argmax by
+    * (cnt DESC, pair ASC) — ASCII-only symbols, so Scala/UTF8/DuckDB
+    * orderings agree), and merges apply via
+    * [[graft.text.TextAnalysis.mergePairStr]] — the property-pinned JVM
+    * twin of the `mergePair` Column (Spark's regexp_replace IS
+    * java.util.regex). The per-iteration oracle CTEs are unchanged: the
+    * physical route moved, the computation didn't — bpe1/2/3 hashes pin
+    * that.
     */
   private def trainBpeMerges(s: SparkSession, d: String): (Seq[String], DataFrame) = {
     val words = Tables.documents(s, d)
@@ -860,24 +891,33 @@ object TextQueries {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(bpeWords)
-    var seqs = words.withColumn("seq",
-      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-      .trackedCheckpoint()
+    val vocab = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    // seq init replays concat(" ", regexp_replace(word, "(.)", "$1 "))
+    var seqs = vocab.map { case (w, n) =>
+      (w, n, " " + w.map(ch => s"$ch ").mkString)
+    }
     val merges = Seq.newBuilder[String]
     (1 to bpeIters).foreach { _ =>
-      val top = seqs
-        .select(col("n"), split(trim(col("seq")), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("n"), explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("pair"))
-        .groupBy("pair").agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
-        .collect().head.getString(0)
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      seqs.foreach { case (_, n, seq) =>
+        val t = seq.trim.split(" ")
+        var i = 0
+        while (i < t.length - 1) {
+          val p = t(i) + " " + t(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val top = counts.min(Ordering.by[(String, Long), (Long, String)] {
+        case (p, c) => (-c, p)
+      })._1
       merges += top
-      seqs = seqs.withColumn("seq", graft.text.TextAnalysis.mergePair(col("seq"), top))
+      seqs = seqs.map { case (w, n, seq) =>
+        (w, n, graft.text.TextAnalysis.mergePairStr(seq, top))
+      }
     }
-    (merges.result(), seqs)
+    import s.implicits._
+    (merges.result(), seqs.toSeq.toDF("word", "n", "seq"))
   }
 
   /** Shared bpe1/bpe2 training CTEs: it{j} applies the argmax pair of p{j}

@@ -616,26 +616,106 @@ object VectorOps {
       round(mse, 12).as("mse"))
   }
 
+  /** Corpus-adaptive hyperplane count for the LSH dedup generators. A FIXED
+    * plane count is the vector-side scale-killer: buckets grow linearly with
+    * the corpus, so within-bucket all-pairs volume grows quadratically BY
+    * HYPERPARAMETER CHOICE. Deriving p from the corpus size keeps the
+    * EXPECTED bucket near `targetBucket` members (2^p ≈ n/targetBucket), so
+    * candidate volume stays ~n·targetBucket — linear — at any scale.
+    *
+    * p = clamp(minPlanes, maxPlanes, bits(ceilDiv(n, targetBucket) − 1)),
+    * i.e. the smallest p with 2^p ≥ n/targetBucket. Pure integer arithmetic
+    * so the DuckDB oracle derives the IDENTICAL count closed-form
+    * (`length(bin(...))` — see VectorQueries' pp CTE); the floor keeps the
+    * verify fixtures (≤ 2048 vectors at targetBucket 32) at the historical
+    * 6 planes, so fixture results are byte-identical to the fixed-plane
+    * form. The recall trade of deeper hashes (collision prob (1-θ/π)^p) is
+    * the standard LSH S-curve move; a production deployment wanting recall
+    * back at high p adds OR-tables, which multiply candidates by L without
+    * changing this derivation.
+    */
+  val LshTargetBucket = 32L
+  val MaxAdaptivePlanes = 24
+
+  def adaptivePlaneCount(n: Long, targetBucket: Long = LshTargetBucket,
+      minPlanes: Int = 6, maxPlanes: Int = MaxAdaptivePlanes): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))
+    math.max(minPlanes, math.min(maxPlanes, bits))
+  }
+
+  /** The guarded within-bucket pair expansion shared by the vector-side
+    * candidate generators ([[cosineDupPairsLsh]]'s hyperplane buckets and
+    * sd1's k-means cells): all-pairs inside each `key` group, cosine
+    * ≥ threshold. SKEW GUARD (the [[graft.dedup.Dedup.oversizedKeys]]
+    * pattern, round-9's text-side template): groups above `maxBucket`
+    * members — a degenerate embedding (all-zero docs, a template vector)
+    * puts a million corpus vectors in ONE bucket on a real crawl — switch
+    * to the STAR expansion: every member pairs with the group's minimum id
+    * only (its vector carried via min_by, so the cosine verify still runs
+    * per star pair — identical vectors pass at cos 1.0). Bounds pair count
+    * (n−1 vs n(n−1)/2 per group) and task memory (groupBy-min + broadcast
+    * joins; no buffer ever holds an oversized group). Connectivity through
+    * the group is preserved for the true-duplicate pathology (all members
+    * verify against the representative); the recall trade on MIXED giant
+    * groups is logged, never silent. With no oversized group (every
+    * fixture here) results are EXACTLY the unguarded all-pairs form.
+    *
+    * `bucketed` must carry (`key`, n_id, nv, nn); it is checkpointed so the
+    * size pass and the pair pass share one evaluation of the upstream
+    * lineage (for sd1 that lineage is the whole Lloyd pipeline).
+    */
+  private[graft] def guardedCosinePairs(bucketed: DataFrame, key: String,
+      threshold: Double, maxBucket: Int, what: String): DataFrame = {
+    val bk = graft.ops.Checkpoints.tracked(
+      bucketed.select(col(key), col("n_id"), col("nv"), col("nn")))
+    def pairsOf(in: DataFrame): DataFrame = {
+      val a = in.select(col(key), col("n_id").as("a"), col("nv").as("va"),
+        col("nn").as("na"))
+      val b = in.select(col(key), col("n_id").as("b"), col("nv").as("vb"),
+        col("nn").as("nb"))
+      a.join(b, key).filter(col("a") < col("b"))
+        .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }
+    graft.dedup.Dedup.oversizedKeys(bk, Seq(key), maxBucket, what) match {
+      case None => pairsOf(bk)
+      case Some(over) =>
+        val small = pairsOf(bk.join(broadcast(over), Seq(key), "left_anti"))
+        val reps = bk.join(broadcast(over), Seq(key), "left_semi")
+          .groupBy(key)
+          .agg(min_by(struct(col("n_id").as("id"), col("nv").as("v"),
+            col("nn").as("n")), col("n_id")).as("rep"))
+        val stars = bk.join(broadcast(reps), Seq(key))
+          .filter(col("rep.id") < col("n_id"))
+          .withColumn("cos",
+            cosineWithNorms(col("rep.v"), col("nv"), col("rep.n"), col("nn")))
+          .filter(col("cos") >= threshold)
+          .select(col("rep.id").as("a"), col("n_id").as("b"),
+            round(col("cos"), 6).as("cos"))
+        small.unionByName(stars)
+    }
+  }
+
   /** All pairs above a cosine threshold over LSH bucket candidates — the
     * scale path for embedding near-dup detection. Candidate generation is an
     * equi-join on the hyperplane bucket id (each vector lives in exactly one
     * bucket, so a pair joins at most once and never twice); only same-bucket
     * pairs pay a dot product. Recall vs the exact [[cosineDupPairs]] is the
     * LSH collision probability (1 - θ/π per plane) — measured in the spec.
+    * Callers pass corpus-scaled planes ([[adaptivePlaneCount]]) so bucket
+    * volume stays linear; oversized buckets star-collapse (the guard in
+    * [[guardedCosinePairs]]).
     */
-  def cosineDupPairsLsh(
-      vectors: DataFrame, planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+  def cosineDupPairsLsh(vectors: DataFrame, planes: Seq[Array[Double]],
+      threshold: Double,
+      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     val bucketed = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bucket", lshBucket(col("nv"), planes))
-    val a = bucketed.select(col("n_id").as("a"), col("nv").as("va"),
-      col("nn").as("na"), col("bucket"))
-    val b = bucketed.select(col("n_id").as("b"), col("nv").as("vb"),
-      col("nn").as("nb"), col("bucket"))
-    a.join(b, "bucket").filter(col("a") < col("b"))
-      .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    guardedCosinePairs(bucketed, "bucket", threshold, maxBucket,
+      "LSH cosineDupPairs")
   }
 
   /** All pairs above a cosine threshold (embedding near-dup detection).
