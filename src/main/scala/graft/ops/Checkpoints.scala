@@ -44,6 +44,24 @@ object Checkpoints {
     c
   }
 
+  /** [[tracked]] with an explicit storage level. The default localCheckpoint
+    * level holds deserialized unsafe rows in memory first — fine for the
+    * fixture-sized intermediates most faces materialize, but a 100x graph
+    * edge frame is GBs of rows, and in LOCAL mode driver and executors
+    * share one heap (the round-9 run note: pr1's 100x leg OOM'd the 8g
+    * default). Graph-scale frames checkpoint SERIALIZED
+    * (MEMORY_AND_DISK_SER) so blocks hold compact bytes and spill to disk
+    * under pressure instead of OOMing; the deserialization cost on re-read
+    * is noise next to the joins that consume them.
+    */
+  def tracked(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val c = df.localCheckpoint(true, level)
+    val buf = scope.get()
+    if (buf != null) buf += c
+    c
+  }
+
   /** `df.trackedCheckpoint()` — [[tracked]] as postfix syntax, so a long
     * transformation chain converts from `.localCheckpoint()` in place.
     */

@@ -61,9 +61,20 @@ object GraphQueries {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = GraphQueries.damping,
                tol: Option[Double] = None, checkpointEvery: Int = 5,
                hasDanglingNodes: Boolean = true): DataFrame = {
-    val both = edges.trackedCheckpoint()
-    val deg = both.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .trackedCheckpoint()
+    // DISK-backed checkpoint level for the graph-scale frames: a 100x edge
+    // list is GBs of rows, and local mode shares one heap between driver
+    // and executors. MEMORY_AND_DISK_SER was measured to still OOM an 8g
+    // heap — on READ of an evicted block Spark re-inflates the disk bytes
+    // into a memory ChunkedByteBuffer (BlockManager.
+    // maybeCacheDiskBytesInMemory), so eviction doesn't actually bound the
+    // footprint. DISK_ONLY has no memory half to re-cache into; the OS
+    // page cache serves the re-reads, and the fixture-scale cost is noise
+    // next to the joins that consume the frame (round-9 advice #5 — the
+    // 100x pr1 leg now completes at the default 8g heap).
+    val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val both = graft.ops.Checkpoints.tracked(edges, ser)
+    val deg = graft.ops.Checkpoints.tracked(
+      both.groupBy("src").agg(count(lit(1)).as("outdeg")), ser)
     // outdeg rides each edge so iterations never re-join the degree frame;
     // the contribution stays pr/outdeg (NOT a premultiplied 1/outdeg —
     // that would change the float rounding vs the oracle's division).
@@ -71,11 +82,20 @@ object GraphQueries {
     // re-deriving the (broadcast) degree join lazily beats paying a third
     // checkpoint job (measured 2.3s vs 2.9s warm at sf0.1, iters=3).
     val weighted0 = both.join(deg, "src")
-    val weighted = if (iters > 4) weighted0.trackedCheckpoint() else weighted0
+    val weighted =
+      if (iters > 4) graft.ops.Checkpoints.tracked(weighted0, ser) else weighted0
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("pr", lit(1.0))
     var i = 0
     var converged = false
+    // Superseded rank checkpoints are released as soon as a NEWER one has
+    // materialized past them (the connectedComponents pattern). The scope
+    // would only free them at face end — O(iters/checkpointEvery) full
+    // rank frames held at once, which is what pushed the 100x graph legs
+    // to a 64g driver heap in LOCAL mode (round-9 run note; driver and
+    // executors share one heap there). Release waits until after the tol
+    // delta check: that check joins the PREVIOUS ranks frame.
+    var prevCkpt: DataFrame = null
     while (i < iters && !converged) {
       i += 1
       val contrib = weighted
@@ -92,14 +112,19 @@ object GraphQueries {
           contrib.select(col("dst").as("node"), newPr.as("pr"))
       // A convergence check materializes the frame anyway, so checkpoint
       // on every checked iteration; otherwise only at the depth bound.
-      val bounded =
-        if (tol.isDefined || i % checkpointEvery == 0) next.trackedCheckpoint()
-        else next
+      val checkpointed = tol.isDefined || i % checkpointEvery == 0
+      val bounded = if (checkpointed) next.trackedCheckpoint() else next
       tol.foreach { t =>
         val delta = bounded
           .join(ranks.withColumnRenamed("pr", "prev"), "node")
           .agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
         if (delta < t) converged = true
+      }
+      if (checkpointed) {
+        // the new checkpoint is EAGER, so everything derived from the old
+        // one has materialized — its blocks can go now
+        if (prevCkpt != null) graft.ops.Checkpoints.release(prevCkpt)
+        prevCkpt = bounded
       }
       ranks = bounded
     }
@@ -117,7 +142,9 @@ object GraphQueries {
     */
   def bfs(edges: DataFrame, sourceFilter: Column, maxDepth: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin}
-    val both = edges.trackedCheckpoint()
+    // disk-backed level for the scale-sized edge frame (see pageRank)
+    val both = graft.ops.Checkpoints.tracked(edges,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var visited = both.select(col("src").as("node")).unionByName(
         both.select(col("dst").as("node"))).distinct()
       .filter(sourceFilter)

@@ -60,6 +60,25 @@ object SplitQueries {
       labeled.select(col("doc_id"), col("cluster"), splitLabel(b).as("split"))
     }),
 
+    // WS1: importance-WEIGHTED sampling — doc-level quality-weighted
+    // downsampling (the per-document cousin of mx1's per-language
+    // temperature): each doc keeps with probability proportional to its
+    // weight (n_chars as the quality proxy — longest doc always kept),
+    // applied as the deterministic content-hash Bernoulli the module's
+    // no-RNG rule requires: keep iff bucket(text) < (w / w_max) · 10^6.
+    // The threshold arithmetic is two IEEE exact-rounded ops in fixed
+    // order (divide, multiply), so DuckDB replays the comparison
+    // bit-for-bit. Scale shape: one |corpus|→1 max aggregation broadcast
+    // back + a pure map filter — no corpus shuffle.
+    "ws1_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxw = docs.agg(max(col("n_chars")).as("mw"))
+      docs.crossJoin(broadcast(maxw))
+        .filter(md5Bucket(col("text"), 1000000L).cast("double") <
+          col("n_chars").cast("double") / col("mw").cast("double") * lit(1000000.0))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // MX1: temperature-based language rebalancing (the multilingual-corpus
     // move: raise low-resource languages' share by downsampling the head).
     // Acceptance rate per language = sqrt(n_min / n_l) — alpha = 0.5
@@ -247,17 +266,26 @@ object SplitQueries {
     (base.join(broadcast(offsets), Seq("lang", "bucket")).count(), base.count())
   }
 
-  /** spl2's candidate-pair input — d6's MinHash→LSH pipeline verbatim.
-    * Public so SplitSpec can assert the leakage invariant (no candidate
-    * pair straddles a split) against the same pair set the query used.
+  /** spl2's candidate-pair input — d6's MinHash→LSH candidate semantics,
+    * read from the SHARED band-key index (TextQueries.bandKeyIndex: one
+    * Standing-gated signature pass serves d15/d14/spl2; values identical
+    * to the inline lineage). Public so SplitSpec can assert the leakage
+    * invariant (no candidate pair straddles a split) against the same pair
+    * set the query used.
     */
-  def leakagePairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = Dedup.withMinhashSig(TextQueries.shingled(s, d), "sh", "sig")
-      .select("doc_id", "sig")
-    Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
-  }
+  def leakagePairs(s: SparkSession, d: String): DataFrame =
+    Dedup.candidatePairs(TextQueries.bandKeyIndex(s, d), "doc_id",
+      materialize = false)
 
   val oracles: Map[String, String] = Map(
+    // same md5 bucket, same (divide, multiply) order — the comparison is
+    // IEEE-identical across engines
+    "ws1_weighted_sample" ->
+      """WITH mw AS (SELECT max(n_chars) AS mw FROM documents)
+         SELECT doc_id, lang, n_chars
+         FROM documents, mw
+         WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000)::DOUBLE
+               < n_chars::DOUBLE / mw::DOUBLE * 1000000.0""",
     "spl1_hash_split" ->
       """SELECT doc_id,
            CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split

@@ -29,6 +29,37 @@ object TextQueries {
       .filter(size(col("w")) >= 3)
       .withColumn("sh", Dedup.shingles(col("w")))
 
+  /** The corpus BAND-KEY INDEX — "one index, many consumers" (round-9
+    * advice #3). d15/d14/spl2 each rebuilt the full MinHash lineage that
+    * d3b already demonstrates persisting; this is that persisted source
+    * made shared: built ONCE per (session, fixture) (Standing.artifact —
+    * the v9b pattern) as a bucketed catalog table keyed on band_key (the
+    * pair-expansion grouping key, so every consumer's size pass and pair
+    * aggregation read the bucket layout exchange-free — pass
+    * `materialize = false` to candidatePairs, the d3b contract). At 100 TB
+    * this is the signatures-as-persisted-columns posture: the signature
+    * pass runs when the corpus changes, not once per consumer query.
+    * Values are identical to the inline lineage (the build is
+    * deterministic), so every consumer's full-rebuild oracle holds
+    * unchanged. Table name carries the sanitized fixture path (v9b
+    * round-9 rule) so a multi-fixture session never serves a stale index.
+    *
+    * d3b itself keeps its OWN un-cached build face: its job is to measure
+    * the build+exchange-free-read, so a Standing cache hit there would
+    * measure away the thing it exists to demonstrate.
+    */
+  private[queries] def bandKeyIndex(s: SparkSession, d: String): DataFrame = {
+    val table = "band_key_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Standing.artifact(s, d, "band_key_index") {
+      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig")
+        .select("doc_id", "sig")
+      graft.sources.Storage.replaceBucketed(
+        Dedup.lshBandKeys(sigs, "doc_id", "sig"), table, "band_key", 8)
+      java.lang.Boolean.TRUE
+    }
+    s.table(table)
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- text analysis -----
     "tx1_token_counts" -> ((s, d) =>
@@ -271,9 +302,15 @@ object TextQueries {
     // docs' distinct shingles on (doc, shingle) — pair-bounded work, and
     // the shingle explode is semi-join-restricted to candidate docs.
     "d15_containment" -> ((s, d) => {
-      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
+      // candidates come from the SHARED band-key index (bandKeyIndex) —
+      // "one index, many consumers": d15 was rebuilding the full MinHash
+      // lineage that d3b already demonstrates persisting; reading the
+      // Standing bucketed table cuts the query's dominant cost to the
+      // pair expansion + containment joins. materialize=false: both the
+      // guard's size pass and the pair pass read the bucket layout
+      // exchange-free (the d3b contract).
       val pairs = Dedup
-        .candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+        .candidatePairs(bandKeyIndex(s, d), "doc_id", materialize = false)
         .trackedCheckpoint()
       val cand = pairs.select(col("a").as("doc_id"))
         .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
@@ -293,6 +330,36 @@ object TextQueries {
             .as("containment"))
     }),
 
+    // D16: CHUNK-LEVEL exact dedup — the C4/CCNet line-level step in
+    // word-window form (fixture text has no line structure): every doc
+    // splits into consecutive 8-word chunks, chunks dedup EXACTLY by md5
+    // with first-occurrence-wins order (doc_id, chunk_idx), and the output
+    // is each doc's duplicated-chunk profile — the signal the pipeline
+    // uses to strip boilerplate shared across pages without dropping whole
+    // documents (d1-d15 dedup DOCS; this dedups WITHIN them). Scale shape:
+    // one explode pass, one hash-keyed window (the only shuffle — keyed on
+    // the chunk hash, so volume is corpus-linear), one doc-keyed
+    // aggregation. A boilerplate chunk shared by millions of docs lands in
+    // one hash partition: the window is a sort within that group — linear,
+    // no pair expansion, which is exactly why chunk dedup uses
+    // first-occurrence ranking instead of pairwise comparison.
+    "d16_chunk_dedup" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), ((size(col("w")) - 1) / 8).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
+          .as(Seq("chunk_idx", "chunk")))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    }),
+
     // D14: cluster resolution by large-star/small-star contraction — the
     // O(log n)-round CC (Kiveris et al., SoCC'14) next to d6's O(diameter)
     // min-label propagation. Near-dup clusters are usually shallow (d6's
@@ -302,8 +369,10 @@ object TextQueries {
     // Same pairs, same contract; oracle = d6's full-rebuild CC, so the
     // hash match proves the two algorithms agree on every cluster.
     "d14_cc_largestar" -> ((s, d) => {
-      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
-      val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // shared band-key index (see d15) — the algorithm under test here is
+      // the star contraction, not the signature pass
+      val pairs = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+        materialize = false)
       Dedup.connectedComponentsStar(pairs)
     }),
 
@@ -1383,6 +1452,21 @@ object TextQueries {
     // recomputing every cluster from scratch
     "d13_clusters_incremental" -> ccRebuildOracle,
     "d15_containment" -> containmentOracle,
+    // d16: same 8-word chunking, md5 identity, first-occurrence window
+    "d16_chunk_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT doc_id, i::BIGINT AS chunk_idx,
+             array_to_string(w[(i*8+1)::INT : (i*8+8)::INT], ' ') AS chunk
+           FROM ws, unnest(range((len(w) - 1) // 8 + 1)) u(i)),
+         ranked AS (
+           SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY md5(chunk)
+               ORDER BY doc_id, chunk_idx) AS rn
+           FROM chunks)
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+         FROM ranked GROUP BY doc_id""",
     "cc1_corpus_card" ->
       """WITH base AS (
            SELECT doc_id, lang, source,

@@ -55,7 +55,12 @@ class RegistryPlanSpec extends SparkSpec {
       "not a single join: same bounded probe/LUT/rerank"),
     "v12_knn_truncated_rerank" -> ("v1's bounded broadcast-query brute force " +
       "on 16-dim prefixes (one pass, 20-query side broadcast); the rerank " +
-      "touches only the |Q|*shortlist survivors by id"))
+      "touches only the |Q|*shortlist survivors by id"),
+    "v13_prototypicality_prune" -> ("km1's O(n*k) broadcast-centroid Lloyd " +
+      "assignment (its plan is NOT checkpoint-cut like sd1's); the prune " +
+      "itself is one cell-keyed window, nothing pairwise"),
+    "ws1_weighted_sample" -> ("cross join is a single broadcast scalar " +
+      "(the corpus max weight); the sample is a pure map filter"))
     // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
     // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
     // appears in it — the pair generation itself is the cluster-id equi-join.)
