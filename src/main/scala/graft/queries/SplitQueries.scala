@@ -60,6 +60,25 @@ object SplitQueries {
       labeled.select(col("doc_id"), col("cluster"), splitLabel(b).as("split"))
     }),
 
+    // STR1: BALANCED stratified sampling — a fixed-size per-stratum eval
+    // set (50 docs per language): rank each stratum's docs by the
+    // deterministic content-hash order (bucket, then doc_id) and keep the
+    // first 50. The hash order IS the "random" draw — auditable,
+    // re-runnable, and the balanced-eval-set shape (equal absolute size
+    // per stratum) that per-fraction sampling (spl1/ws1) can't give
+    // low-resource strata. One |strata|-keyed window — the corpus
+    // shuffles once on lang, no global sort.
+    "str1_balanced_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("b").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5Bucket(col("text"), 1000000L).as("b"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // WS1: importance-WEIGHTED sampling — doc-level quality-weighted
     // downsampling (the per-document cousin of mx1's per-language
     // temperature): each doc keeps with probability proportional to its
@@ -278,6 +297,14 @@ object SplitQueries {
       materialize = false)
 
   val oracles: Map[String, String] = Map(
+    "str1_balanced_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000,
+                        doc_id)::BIGINT AS rk
+           FROM documents)
+         WHERE rk <= 50""",
     // same md5 bucket, same (divide, multiply) order — the comparison is
     // IEEE-identical across engines
     "ws1_weighted_sample" ->

@@ -60,7 +60,10 @@ class RegistryPlanSpec extends SparkSpec {
       "assignment (its plan is NOT checkpoint-cut like sd1's); the prune " +
       "itself is one cell-keyed window, nothing pairwise"),
     "ws1_weighted_sample" -> ("cross join is a single broadcast scalar " +
-      "(the corpus max weight); the sample is a pure map filter"))
+      "(the corpus max weight); the sample is a pure map filter"),
+    "v14_recall_audit" -> ("the ground-truth side is v1's bounded " +
+      "broadcast-query brute force (20-query batch, one corpus pass); " +
+      "the LSH side and the hit join are equi-joins"))
     // (sd1_semdedup shares km1's assignment shape, but its registry-face plan
     // ends at the eagerly-checkpointed CC output, so the upstream BNLJ never
     // appears in it — the pair generation itself is the cluster-id equi-join.)
