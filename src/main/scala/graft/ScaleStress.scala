@@ -67,7 +67,8 @@ object ScaleStress {
     "sd1_semdedup", "v8_embedding_dedup",
     "v9e_knn_ivfpq_opq", "v12_knn_truncated_rerank",
     "sp2_length_bucketed_batches", "apx3_sketch_rollup",
-    "tx16_token_entropy", "ev4_spike_detection")
+    "tx16_token_entropy", "ev4_spike_detection",
+    "d16_chunk_dedup", "apx4_countmin_terms", "v13_prototypicality_prune")
 
   val ratioBound = 15.0
 

@@ -891,6 +891,47 @@ object AdvancedQueries {
             col("exact_distinct") * 0.05).as("rollup_ok"))
     }),
 
+    // APX4: COUNT-MIN heavy-hitter audit — the frequency sketch next to
+    // apx1/apx3's cardinality sketches. The sketch is 4 rows × 512
+    // counters built by mapping every token to one cell per row
+    // (seeded-md5 hash — the repo's portable 60-bit bucket, so BOTH
+    // engines compute the identical sketch: unlike HLL, this face is
+    // hash-EXACT, not tolerance-contracted) and counting per cell —
+    // map-side combine collapses the 4×|tokens| stream to 2048 cells, the
+    // fixed-memory shape that lets a 100 TB corpus track term frequencies
+    // without a full-vocabulary shuffle, and cell counts ADD, so
+    // per-shard sketches merge by elementwise sum (the apx3 rollup
+    // property, exactly). The audit estimates the top-50 exact terms
+    // through the sketch: est = min over rows of the term's cell, with
+    // the guaranteed-nonnegative overcount emitted (CMS never
+    // underestimates — pinned by the oracle hash).
+    "apx4_countmin_terms" -> ((s, d) => {
+      val (rows, cols) = (4, 512L)
+      def cell(term: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(r.cast("string"), lit("|"), term)
+          .cast("binary")), 1, 15), 16, 10).cast("bigint") % cols
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val cells = toks
+        .select(col("term"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
+        .select(col("r"), cell(col("term"), col("r")).as("c"))
+        .groupBy("r", "c").agg(count(lit(1)).as("cell_n"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term").asc).limit(50)
+      top
+        .select(col("term"), col("n_exact"),
+          explode(sequence(lit(0), lit(rows - 1))).as("r"))
+        .select(col("term"), col("n_exact"), col("r"),
+          cell(col("term"), col("r")).as("c"))
+        .join(cells, Seq("r", "c"))
+        .groupBy("term", "n_exact")
+        .agg(min(col("cell_n")).as("n_est"))
+        .select(col("term"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+    }),
+
     // Window-offset family: lag/lead plus a running total — sequential
     // accumulation order is the partition sort order in both engines, so
     // the doubles are bit-identical pre-round.
@@ -1384,6 +1425,29 @@ object AdvancedQueries {
            (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
               <= count(DISTINCT l_partkey) * 0.05) AS approx_ok
          FROM lineitem GROUP BY l_returnflag""",
+    // apx4: the identical seeded-md5 cells, cell counts, top-50 probe —
+    // hash-EXACT (no tolerance contract needed; both engines build the
+    // same sketch)
+    "apx4_countmin_terms" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         cells AS (
+           SELECT r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || term), 1, 15))::BIGINT % 512 AS c,
+             count(*)::BIGINT AS cell_n
+           FROM toks, unnest(range(4)) u(r)
+           GROUP BY 1, 2),
+         top AS (
+           SELECT term, count(*)::BIGINT AS n_exact FROM toks
+           GROUP BY term ORDER BY n_exact DESC, term LIMIT 50),
+         probes AS (
+           SELECT term, n_exact, r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || term), 1, 15))::BIGINT % 512 AS c
+           FROM top, unnest(range(4)) u(r))
+         SELECT p.term, p.n_exact, min(cells.cell_n) AS n_est,
+           min(cells.cell_n) - p.n_exact AS overcount
+         FROM probes p JOIN cells USING (r, c)
+         GROUP BY p.term, p.n_exact""",
     "w2_lag_lead_running" ->
       """SELECT o_custkey, o_orderkey,
            lag(o_totalprice) OVER w AS prev_price,

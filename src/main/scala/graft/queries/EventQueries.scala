@@ -102,6 +102,30 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("rate"))
     }),
 
+    // AS2: as-of join with a STALENESS BOUND — the feature-store variant
+    // of as1: a snapshot only counts if it is fresh enough (here: signup
+    // rate within 7 days of the purchase), else the feature is NULL while
+    // the raw staleness is still reported for monitoring. Same one-shuffle
+    // union+carry-forward composition as as1 with the snapshot timestamp
+    // carried as a second value column; the bound compares integer epoch
+    // milliseconds, so both engines agree exactly.
+    "as2_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val snaps = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("rate"),
+          col("ts").as("snap_ts"))
+      val tolMs = 7L * 86400000L
+      graft.ops.AsOfJoin.asof(probes, snaps, "user_id", "ts",
+          Seq("rate", "snap_ts"))
+        .select(col("event_id"), col("user_id"),
+          when(unix_millis(col("ts")) - unix_millis(col("snap_ts")) <= tolMs,
+            col("rate")).as("rate_fresh"),
+          (unix_millis(col("ts")) - unix_millis(col("snap_ts")))
+            .as("staleness_ms"))
+    }),
+
     // ST5: batch face of the flatMapGroupsWithState custom-state operator —
     // in batch each user is one group call over empty state, so the emitted
     // cumulative rows equal the plain grouped totals.
@@ -309,6 +333,14 @@ object EventQueries {
          FROM events GROUP BY user_id""",
     "as1_asof_join" ->
       """SELECT p.event_id, p.user_id, s.value AS rate
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts""",
+    "as2_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+           CASE WHEN epoch_ms(p.ts) - epoch_ms(s.ts) <= 604800000
+                THEN s.value END AS rate_fresh,
+           epoch_ms(p.ts) - epoch_ms(s.ts) AS staleness_ms
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND s.ts <= p.ts""",

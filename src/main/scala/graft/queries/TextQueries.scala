@@ -337,12 +337,15 @@ object TextQueries {
     // is each doc's duplicated-chunk profile — the signal the pipeline
     // uses to strip boilerplate shared across pages without dropping whole
     // documents (d1-d15 dedup DOCS; this dedups WITHIN them). Scale shape:
-    // one explode pass, one hash-keyed window (the only shuffle — keyed on
-    // the chunk hash, so volume is corpus-linear), one doc-keyed
-    // aggregation. A boilerplate chunk shared by millions of docs lands in
-    // one hash partition: the window is a sort within that group — linear,
-    // no pair expansion, which is exactly why chunk dedup uses
-    // first-occurrence ranking instead of pairwise comparison.
+    // one explode pass, then FIRST-OCCURRENCE VIA MIN-STRUCT AGGREGATION,
+    // not a hash-partitioned window: min(struct(doc_id, chunk_idx)) per
+    // chunk hash combines MAP-SIDE with a constant buffer, so a
+    // boilerplate chunk shared by millions of docs costs one tiny
+    // aggregate, where a window would sort the whole multi-million-row
+    // hash group inside one task (the skew the dedup star guards exist
+    // for). Two keyed exchanges (agg + join-back), both corpus-linear,
+    // nothing pairwise. The oracle replays the same first-occurrence
+    // order with a window — semantics identical, physical route free.
     "d16_chunk_dedup" -> ((s, d) => {
       val chunks = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -352,12 +355,14 @@ object TextQueries {
             i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
           .as(Seq("chunk_idx", "chunk")))
         .withColumn("h", md5(col("chunk").cast("binary")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("h").orderBy(col("doc_id").asc, col("chunk_idx").asc)
-      chunks.withColumn("rn", row_number().over(w))
+      val firsts = chunks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      chunks.join(firsts, "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+          sum(when(col("f.doc_id") =!= col("doc_id") ||
+              col("f.chunk_idx") =!= col("chunk_idx"), 1L).otherwise(0L))
+            .as("n_dup_chunks"))
     }),
 
     // D14: cluster resolution by large-star/small-star contraction — the
