@@ -252,7 +252,7 @@ object ScaleStress {
     * 6600) skips remaining queries with an explicit list.
     */
   private def scaleMode(spark: SparkSession, oneX: String, tenX: String,
-      n: Int, out: String): Unit = {
+      n: Int, out: String, only: Option[Seq[String]]): Unit = {
     val bigX = s"scale$n"
     if (!fixtureCurrent(tenX, oneX, reps)) {
       println(s"[scale] generating ${reps}x fixture at $tenX from $oneX")
@@ -329,10 +329,15 @@ object ScaleStress {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         md.toString.getBytes("UTF-8"))
     }
-    // SPARK_GRAFT_SCALE_ONLY: comma-separated subset (mechanics smoke /
-    // re-measuring a fix); the committed proof always runs the full list.
-    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").toSeq).getOrElse(heavy100)
+    // Subset selection: --only wins over SPARK_GRAFT_SCALE_ONLY (the
+    // regular path's flag must not be silently ignored here — round-10
+    // review); the committed proof always runs the full list. Validate
+    // BEFORE the sweep: a typo'd name must fail fast, not throw
+    // NoSuchElementException an hour in.
+    val names = only
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSeq))
+      .getOrElse(heavy100)
+    names.foreach(q => require(SparkEntry.queries.contains(q), s"unknown query $q"))
     names.foreach { name =>
       if (elapsed > budgetSec) { skipped += name; writeMd() }
       else {
@@ -400,7 +405,8 @@ object ScaleStress {
       // regular path (round-9 advice: a hardcoded "scale10" ignored a
       // user-provided fixture dir and regenerated a duplicate beside it)
       scaleMode(spark, oneX, tenX, n,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"SCALE_PROOF_${n}X.md"))
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"SCALE_PROOF_${n}X.md"),
+        only)
       return
     }
 

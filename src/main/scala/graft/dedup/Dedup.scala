@@ -425,11 +425,15 @@ object Dedup {
         s"converging (last churn $prevChurn) — finishing with star rounds")
       route = true
     }
+    val exhausted = route && !converged && iter >= maxIter
     if (!route)
       (labels.select(col("node").as("doc_id"), col("label").as("cluster")), false)
     else {
-      log.info(s"CC router: label churn stopped decaying after $iter rounds " +
-        s"(last $prevChurn) — contracting and finishing with star rounds")
+      // don't mis-diagnose the exhaustion trigger as churn-decay (it
+      // already warned above with the right cause)
+      if (!exhausted)
+        log.info(s"CC router: label churn stopped decaying after $iter rounds " +
+          s"(last $prevChurn) — contracting and finishing with star rounds")
       val la = labels.select(col("node").as("a"), col("label").as("la"))
       val lb = labels.select(col("node").as("b"), col("label").as("lb"))
       val contracted = p.join(la, "a").join(lb, "b")

@@ -911,9 +911,11 @@ object AdvancedQueries {
           r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         conv(substring(md5(concat(r.cast("string"), lit("|"), term)
           .cast("binary")), 1, 15), 16, 10).cast("bigint") % cols
-      val toks = Tables.documents(s, d)
+      // the sketch build and the exact top-50 both read the tokenization —
+      // checkpoint so the corpus explode runs once, not once per consumer
+      val toks = graft.ops.Checkpoints.tracked(Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(split(col("text"), " ")).as("term"))
+        .select(explode(split(col("text"), " ")).as("term")))
       val cells = toks
         .select(col("term"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
         .select(col("r"), cell(col("term"), col("r")).as("c"))

@@ -113,16 +113,20 @@ object EventQueries {
       val e = Tables.events(s, d)
       val probes = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // rate and its snapshot time ride ONE struct value column, so the
+      // carry-forward is atomic — per snapshot row, exactly the pair the
+      // ASOF oracle picks (two independent value columns could pair an
+      // older non-null rate with a newer snapshot's timestamp when a
+      // snapshot's value is NULL)
       val snaps = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("value").as("rate"),
-          col("ts").as("snap_ts"))
+        .select(col("user_id"), col("ts"),
+          struct(col("value").as("rate"), col("ts").as("sts")).as("snap"))
       val tolMs = 7L * 86400000L
-      graft.ops.AsOfJoin.asof(probes, snaps, "user_id", "ts",
-          Seq("rate", "snap_ts"))
+      graft.ops.AsOfJoin.asof(probes, snaps, "user_id", "ts", Seq("snap"))
         .select(col("event_id"), col("user_id"),
-          when(unix_millis(col("ts")) - unix_millis(col("snap_ts")) <= tolMs,
-            col("rate")).as("rate_fresh"),
-          (unix_millis(col("ts")) - unix_millis(col("snap_ts")))
+          when(unix_millis(col("ts")) - unix_millis(col("snap.sts")) <= tolMs,
+            col("snap.rate")).as("rate_fresh"),
+          (unix_millis(col("ts")) - unix_millis(col("snap.sts")))
             .as("staleness_ms"))
     }),
 

@@ -66,17 +66,24 @@ object SplitQueries {
     // first 50. The hash order IS the "random" draw — auditable,
     // re-runnable, and the balanced-eval-set shape (equal absolute size
     // per stratum) that per-fraction sampling (spl1/ws1) can't give
-    // low-resource strata. One |strata|-keyed window — the corpus
-    // shuffles once on lang, no global sort.
+    // low-resource strata. Reduction is the bounded-heap TopK Aggregator
+    // (the v5 pattern) with score = −bucket, so "top" = the 50 SMALLEST
+    // (bucket, doc_id) pairs: map-side partials keep at most 50 rows per
+    // (lang, partition) — a dominant language never sorts its whole
+    // stratum inside one window task (the skew a per-lang row_number
+    // would reintroduce; round-10 review). The oracle replays the same
+    // selection as a window — semantics identical, buckets < 2^53 are
+    // exact as negated doubles, ties break on doc_id asc in both.
     "str1_balanced_sample" -> ((s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(col("b").asc, col("doc_id").asc)
+      val topk = udaf(new graft.functions.Aggregators.TopK(50))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           md5Bucket(col("text"), 1000000L).as("b"))
-        .withColumn("rk", row_number().over(w).cast("bigint"))
-        .filter(col("rk") <= 50)
-        .select(col("doc_id"), col("lang"), col("rk"))
+        .groupBy("lang")
+        .agg(topk(-col("b").cast("double"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("col._2").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("bigint").as("rk"))
     }),
 
     // WS1: importance-WEIGHTED sampling — doc-level quality-weighted

@@ -355,6 +355,11 @@ object TextQueries {
             i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
           .as(Seq("chunk_idx", "chunk")))
         .withColumn("h", md5(col("chunk").cast("binary")))
+        // both the first-occurrence aggregate and the join probe side read
+        // this — checkpoint so the corpus-wide explode+md5 runs once, not
+        // once per consumer (the d15/sd1 convention)
+        .select(col("doc_id"), col("chunk_idx"), col("h"))
+        .trackedCheckpoint()
       val firsts = chunks.groupBy("h")
         .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
       chunks.join(firsts, "h")
@@ -601,8 +606,10 @@ object TextQueries {
     // dedup cluster keeps its LONGEST document (quality-aware survivorship),
     // tie-broken by id. One window over the cluster assignment.
     "d10_dedup_best_survivor" -> ((s, d) => {
-      val sigs = Dedup.withMinhashSig(shingled(s, d), "sh", "sig").select("doc_id", "sig")
-      val pairs = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // shared band-key index (see d15) — d10's subject is the survivor
+      // POLICY, not the signature pass
+      val pairs = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+        materialize = false)
       // production face: the adaptive resolver (min-label with the star
       // re-route) — result-identical to d6's plain propagation (CcRouteSpec),
       // O(log n) on chain-shaped components

@@ -15,34 +15,25 @@ class CurationOpsSpec extends SparkSpec {
   test("d16: planted shared chunk is counted against later docs only") {
     // doc 1 and doc 2 share their first 8 words exactly; doc 2's copy is
     // the duplicate (first-occurrence-wins by (doc_id, chunk_idx)); doc 3
-    // is unique. 9 words → 2 chunks (8 + 1).
+    // is unique. 9 words → 2 chunks (8 + 1). The planted docs are written
+    // as a real temp fixture and run through the REGISTERED face, so a
+    // drift in the shipped chunking/first-occurrence logic fails here —
+    // an inline re-implementation would keep passing (round-10 review).
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
     import spark.implicits._
-    val docs = Seq(
-      (1L, s"$eight tail1"),
-      (2L, s"$eight tail2"),
-      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
-    val byDoc = graft.queries.TextQueries.queries("d16_chunk_dedup")
-    // run the face's logic against the planted frame via a temp fixture:
-    // the face reads Tables.documents, so instead assert through the same
-    // expressions inline
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), ((size(col("w")) - 1) / 8).cast("int")),
-          i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
-        .as(Seq("chunk_idx", "chunk")))
-      .withColumn("h", md5(col("chunk").cast("binary")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy(col("doc_id").asc, col("chunk_idx").asc)
-    val out = chunks.withColumn("rn", row_number().over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val dir = java.nio.file.Files.createTempDirectory("d16fix").toString
+    Seq(
+      (1L, s"$eight tail1", "en", "s0", 0L),
+      (2L, s"$eight tail2", "en", "s0", 0L),
+      (3L, "a b c d e f g h i", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Checkpoints.scoped {
+      graft.queries.TextQueries.queries("d16_chunk_dedup")(spark, dir)
+        .collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 0L)),
       s"got ${out.toSeq}")
-    assert(byDoc != null) // face is registered
   }
 
   test("ws1: the max-weight doc is always kept; kept set respects the threshold") {
