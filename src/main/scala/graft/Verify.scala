@@ -145,6 +145,16 @@ object Verify {
       tasks.foreach(_.get())
     } finally pool.shutdown()
     writeStatus()
+    // Guard/oracle coupling check (round-10 advice): the DuckDB oracles for
+    // the skew-guarded generators replay the unguarded all-pairs expansion,
+    // so an engagement on a verify fixture means those comparisons are no
+    // longer apples-to-apples. Surface it as an explicit notice instead of
+    // letting it present as an unexplained hash mismatch.
+    val engaged = graft.dedup.Dedup.drainGuardEngagements()
+    if (engaged.nonEmpty)
+      System.err.println("[verify] NOTICE: skew guard engaged on this fixture for: " +
+        engaged.mkString(", ") + " — the affected oracles replay UNGUARDED " +
+        "all-pairs; any hash mismatch there is the guard, not a bug")
     System.err.println(f"[verify] done in $elapsed%.0fs")
     spark.stop()
   }

@@ -31,8 +31,31 @@ object Dedup {
     * Buckets above the cap switch to the star expansion (see
     * [[candidatePairs]]); the fixtures' buckets run tens of docs, so the
     * default never engages below a genuinely pathological corpus.
+    *
+    * ORACLE COUPLING (round-10 advice): the registry DuckDB oracles for the
+    * guarded generators (d3/d8/d9, v2b, v8, sd1) always replay the UNGUARDED
+    * all-pairs expansion — hash equivalence holds exactly while no
+    * verify-fixture bucket exceeds this cap. That invariant is surfaced, not
+    * assumed: every engagement registers in [[guardEngagements]], and
+    * `graft.Verify` drains it at end of run and prints a loud notice naming
+    * the engaged generators, so a future over-cap fixture (or a lowered cap)
+    * reads as "guard engaged → oracle not comparable", never as a bare hash
+    * mismatch.
     */
   val DefaultMaxBucket = 10000
+
+  /** Generator labels whose skew guard engaged in this JVM (see
+    * [[DefaultMaxBucket]]'s oracle-coupling note). Drained by Verify.
+    */
+  private val guardEngagements =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def drainGuardEngagements(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = guardEngagements.asScala.toSeq.sorted
+    guardEngagements.clear()
+    out
+  }
 
   /** The skew guard shared by the candidate generators: find bucket keys
     * whose member count exceeds `maxBucket`, loudly (the repo's
@@ -65,6 +88,7 @@ object Dedup {
       log.warn(s"$what skew guard engaged: ${st.getLong(0)} bucket(s) exceed " +
         s"$maxBucket members (largest ${st.getLong(2)}, ${st.getLong(1)} total rows); " +
         "oversized buckets use the linear star expansion instead of all-pairs")
+      guardEngagements.add(what)
       Some(sizes.select(keyCols.map(col): _*))
     }
   }
@@ -394,6 +418,11 @@ object Dedup {
     var iter = 0
     var converged = false
     var route = false
+    // Explicit trigger record: inferring the cause from `iter >= maxIter`
+    // after the loop mis-classified a churn-decay trigger that happened to
+    // fire on the final permitted round (round-10 advice) — that re-route
+    // ran with NO log line. Exactly one of these is set when route is.
+    var routedByDecay = false
     var prevChurn = Long.MaxValue
     while (iter < maxIter && !converged && !route) {
       val viaNeighbors = edges
@@ -411,7 +440,10 @@ object Dedup {
       labels = next.select("node", "label")
       converged = churn == 0
       iter += 1
-      if (!converged && iter >= 2 && churn > churnDecay * prevChurn) route = true
+      if (!converged && iter >= 2 && churn > churnDecay * prevChurn) {
+        route = true
+        routedByDecay = true
+      }
       prevChurn = churn
     }
     // Loop exhaustion without convergence is ALSO a route trigger: churn
@@ -425,13 +457,11 @@ object Dedup {
         s"converging (last churn $prevChurn) — finishing with star rounds")
       route = true
     }
-    val exhausted = route && !converged && iter >= maxIter
     if (!route)
       (labels.select(col("node").as("doc_id"), col("label").as("cluster")), false)
     else {
-      // don't mis-diagnose the exhaustion trigger as churn-decay (it
-      // already warned above with the right cause)
-      if (!exhausted)
+      // the exhaustion trigger already warned above with the right cause
+      if (routedByDecay)
         log.info(s"CC router: label churn stopped decaying after $iter rounds " +
           s"(last $prevChurn) — contracting and finishing with star rounds")
       val la = labels.select(col("node").as("a"), col("label").as("la"))

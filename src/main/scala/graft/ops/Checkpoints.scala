@@ -49,10 +49,13 @@ object Checkpoints {
     * fixture-sized intermediates most faces materialize, but a 100x graph
     * edge frame is GBs of rows, and in LOCAL mode driver and executors
     * share one heap (the round-9 run note: pr1's 100x leg OOM'd the 8g
-    * default). Graph-scale frames checkpoint SERIALIZED
-    * (MEMORY_AND_DISK_SER) so blocks hold compact bytes and spill to disk
-    * under pressure instead of OOMing; the deserialization cost on re-read
-    * is noise next to the joins that consume them.
+    * default). Graph-scale callers pass DISK_ONLY: any level with a memory
+    * half — including MEMORY_AND_DISK_SER, measured on pr1's 100x leg —
+    * still OOMs, because READING an evicted block re-inflates the whole
+    * serialized block into an in-memory ChunkedByteBuffer
+    * (`BlockManager.maybeCacheDiskBytesInMemory`: 32 concurrent readers ×
+    * ~75 MB blocks). DISK_ONLY has no memory half to re-cache into; see the
+    * GraphQueries checkpoint comment for the measured numbers.
     */
   def tracked(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel): DataFrame = {
