@@ -187,6 +187,54 @@ object EventQueries {
           round(col("prev_max"), 6).as("prev_max"))
     }),
 
+    // EV5: Markov TRANSITION MATRIX over per-user event sequences — the
+    // behavioral-model summary (and the sequence-dataset sanity check:
+    // degenerate transition mass is how template/bot traffic shows up).
+    // Shape: one user-keyed window (lead) to form (state, next) pairs, one
+    // keyed aggregation over (from, to) — |states|² result rows, so the
+    // normalizing window runs over a constant-size frame at any corpus
+    // scale. Tie-break on event_id makes the sequence order total, hence
+    // engine-exact.
+    "ev5_transition_matrix" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_state", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_state").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_state")
+      counts.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+    }),
+
+    // EV6: SESSION SEQUENCE construction — the behavioral-LM training-data
+    // shape: each 30-minute-gap session (the ev2 assignment) becomes one
+    // example: the ordered event-type sequence plus its terminal event as
+    // the label. Order inside a group is made explicit (array_sort over
+    // (ts, event_id, type) structs), never inherited from collect_list's
+    // arrival order — the property that survives any re-partitioning. Per-group
+    // buffer is bounded by session length (gap-bounded by construction).
+    "ev6_session_sequences" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val runFrame = byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(runFrame))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+            .as("seq"))
+        .withColumn("label", element_at(col("seq"), -1))
+    }),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
