@@ -214,11 +214,21 @@ object EventQueries {
     // example: the ordered event-type sequence plus its terminal event as
     // the label. Order inside a group is made explicit (array_sort over
     // (ts, event_id, type) structs), never inherited from collect_list's
-    // arrival order — the property that survives any re-partitioning. Per-group
-    // buffer is bounded by session length (gap-bounded by construction).
+    // arrival order — the property that survives any re-partitioning; the
+    // event_id tie-break makes the order TOTAL even if a user ever has two
+    // events at one timestamp (the fixture happens to have unique
+    // (user_id, ts), but determinism shouldn't lean on that). The sequence
+    // is serialized to a space-joined string (repo convention for
+    // list-valued results, cf. TextQueries tx4/ch1): a stable scalar the
+    // comparison harness can sort and hash. Per-group buffer is bounded by
+    // session length — which the gap rule bounds only when activity HAS
+    // gaps; a source firing forever inside every 30-minute window (bot
+    // traffic) yields one unbounded session, so a production run should cap
+    // sequence length upstream (e.g. split sessions at N events) before
+    // this collect. No silent cap is applied here.
     "ev6_session_sequences" -> ((s, d) => {
       val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts")
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val runFrame = byUser.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -231,8 +241,10 @@ object EventQueries {
         .groupBy("user_id", "sess_idx")
         .agg(count(lit(1)).as("n_events"),
           expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
-            .as("seq"))
-        .withColumn("label", element_at(col("seq"), -1))
+            .as("seq_arr"))
+        .select(col("user_id"), col("sess_idx"), col("n_events"),
+          array_join(col("seq_arr"), " ").as("seq"),
+          element_at(col("seq_arr"), -1).as("label"))
     }),
 
     "ev1_funnel" -> ((s, d) => {
@@ -383,6 +395,40 @@ object EventQueries {
     "st5_stateful_user_totals" ->
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
          FROM events GROUP BY user_id""",
+    // Same lead-over-(ts, event_id) total order as the Spark side; the
+    // normalizing window partitions the |states|² count rows, so it is
+    // constant-size at any corpus scale in both engines.
+    "ev5_transition_matrix" ->
+      """WITH p AS (
+           SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+           FROM events),
+         c AS (
+           SELECT from_state, to_state, count(*)::BIGINT AS n
+           FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
+         FROM c""",
+    // ev2's sessionization (strict > 1800s gap splits) with the (ts,
+    // event_id) tie-break, then an ORDER BY inside list() replays the
+    // Spark side's array_sort-over-structs order; array_to_string matches
+    // array_join(…, ' '), and [-1] the element_at(…, -1) label.
+    "ev6_session_sequences" ->
+      """WITH y AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         z AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM y)
+         SELECT user_id, sess_idx::BIGINT AS sess_idx, count(*)::BIGINT AS n_events,
+           array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq,
+           (list(event_type ORDER BY ts, event_id))[-1] AS label
+         FROM z GROUP BY user_id, sess_idx""",
     "as1_asof_join" ->
       """SELECT p.event_id, p.user_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
