@@ -99,6 +99,23 @@ object Bench {
     val med =
       if (prior.isEmpty) 0.0
       else prior.values.toSeq.sorted.apply(prior.size / 2)
+    // The prior record's WARM map alone (the `prior` map above keeps the
+    // LAST duplicate of each key — the "cold" entry — fine for ordering,
+    // wrong for a warm-vs-warm jitter trigger).
+    val priorWarm: Map[String, Double] = {
+      val f = new java.io.File("bench_full_latest.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        val qIdx = txt.indexOf("\"queries\":{")
+        if (qIdx < 0) Map.empty
+        else {
+          val seg = txt.substring(qIdx, txt.indexOf('}', qIdx) + 1)
+          val m = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
+          m.findAllMatchIn(seg).map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
+      }
+    }
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — measure just
     // those (local debug loop; the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -166,8 +183,18 @@ object Bench {
         // Warm-class only (round-9 advice): a median over (cold, warm0,
         // third) could literally ship the cold number as "warm" when
         // third < cold < warm0, mixing measurement classes in the record.
+        //
+        // Second trigger (round-11 advice): warm > 2x the PRIOR record's
+        // warm number. The warm>>cold check never fires below its 3s floor,
+        // so sub-second queries shipped 2-5x-inflated "regressions"
+        // (pv2 1.05s vs a true 0.56, sk1 1.29 vs 0.37) with remeasured=[]
+        // — every such row cost a judge re-measurement by hand. The 0.2s
+        // delta floor keeps 50ms->120ms scheduler noise from re-running the
+        // whole micro-query tail every round.
+        val jitterVsPrior = ok && priorWarm.get(name)
+          .exists(p => warm0 > 2.0 * p && warm0 - p > 0.2)
         val warm =
-          if (ok && warm0 > math.max(3.0, 2.0 * cold)) {
+          if (ok && (warm0 > math.max(3.0, 2.0 * cold) || jitterVsPrior)) {
             val (third, ok3) = timed(name, fn)
             // flag the row even when the third run FAILS (round-9 review):
             // the phantom warm0 is then shipped as the only honest option,

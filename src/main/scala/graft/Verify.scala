@@ -113,6 +113,18 @@ object Verify {
       Files.move(tmp, Paths.get(s"$outDir/verify_status.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // Sidecar, refreshed on every flush (round-11 advice): the skew-guard
+      // engagement record must survive a mid-run kill — "a failure must be a
+      // visible row", and an engaged guard means the affected oracles replay
+      // an expansion the Spark side didn't run (see Dedup.DefaultMaxBucket's
+      // oracle-coupling note). Empty list = every comparison is
+      // apples-to-apples.
+      val engaged = graft.dedup.Dedup.peekGuardEngagements
+      val gTmp = Paths.get(s"$outDir/.guard_engagements.json.tmp")
+      Files.writeString(gTmp, engaged.map(q).mkString("[", ",", "]"))
+      Files.move(gTmp, Paths.get(s"$outDir/guard_engagements.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {

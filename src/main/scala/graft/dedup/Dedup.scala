@@ -57,6 +57,17 @@ object Dedup {
     out
   }
 
+  /** Non-draining view, for mid-run persistence: Verify snapshots this into
+    * its guard_engagements.json sidecar after every query, so a JVM killed
+    * mid-sweep still leaves a machine-readable record of which oracles were
+    * non-comparable (round-11 advice — the end-of-run stderr notice alone
+    * died with the process).
+    */
+  def peekGuardEngagements: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    guardEngagements.asScala.toSeq.sorted
+  }
+
   /** The skew guard shared by the candidate generators: find bucket keys
     * whose member count exceeds `maxBucket`, loudly (the repo's
     * no-silent-caps rule — an overflow is logged with bucket count, member

@@ -117,4 +117,17 @@ class DedupSkewGuardSpec extends SparkSpec {
     assert(boiler.forall(p => p._1 == 1L && p._3 == 1.0),
       "identical signatures must estimate J=1 against the representative")
   }
+
+  test("engagement record: peek is non-destructive, drain clears") {
+    // Verify's mid-run sidecar depends on peek NOT draining — a draining
+    // peek would race the end-of-run notice and drop labels between flushes
+    Dedup.drainGuardEngagements() // isolate from earlier tests in this JVM
+    Dedup.candidatePairs(bandKeysOf(pathological), "doc_id", maxBucket = 64)
+      .queryExecution.toRdd.count()
+    val peeked = Dedup.peekGuardEngagements
+    assert(peeked.nonEmpty, "guard engagement must register on an oversized bucket")
+    assert(Dedup.peekGuardEngagements === peeked, "peek must not drain")
+    assert(Dedup.drainGuardEngagements() === peeked)
+    assert(Dedup.peekGuardEngagements.isEmpty, "drain must clear the record")
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** README's registry/sweep counts vs the code — these drifted silently in
+  * three consecutive rounds (180 vs 184 queries, 23 vs 26 heavy-sweep
+  * entries), each time flagged by review instead of a failing build. The
+  * counts stay human-readable prose in README; this spec makes them
+  * load-bearing: add a query without touching README and `sbt test` says
+  * exactly which number to bump.
+  */
+class DocsDriftSpec extends AnyFunSuite {
+  private lazy val readme =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+
+  private def statedCount(pattern: scala.util.matching.Regex, what: String): Int =
+    pattern.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+      .getOrElse(fail(s"README no longer states the $what count — " +
+        s"expected text matching $pattern"))
+
+  test("README's registry query count matches SparkEntry.queries") {
+    val stated = statedCount("""the registry: (\d+) queries""".r, "registry")
+    assert(stated === SparkEntry.queries.size,
+      s"README says $stated queries, registry has ${SparkEntry.queries.size}")
+  }
+
+  test("README's heavy-sweep count matches ScaleStress.heavy100") {
+    val stated = statedCount("""the (\d+) most expensive scale-free""".r, "heavy-sweep")
+    assert(stated === ScaleStress.heavy100.size,
+      s"README says $stated heavy queries, heavy100 has ${ScaleStress.heavy100.size}")
+  }
+
+  test("every registry query has an oracle (or a documented exemption)") {
+    // the round-11 regression class: a query landing without oracle SQL is
+    // exactly what turned 184/184 into 182/184 — keep the contract total
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"registry entries without oracle SQL: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+}
