@@ -247,6 +247,17 @@ object EventQueries {
           element_at(col("seq_arr"), -1).as("label"))
     }),
 
+    // EV6b: the SAME session-sequence semantics through the secondary-sort
+    // single-pass route (EventStreams.sessionSequences) — one exchange on
+    // user_id, per-partition sorted scan, one open-session buffer; the
+    // shape that survives a user history too large for a window frame.
+    // Pinned to the identical oracle as ev6: two physical routes, one
+    // semantics (the x1/x1b/x1c pattern). Its streaming sibling
+    // (sessionSequencesStream, watermark-final emission) is proven
+    // equivalent in StreamingSpec.
+    "ev6b_session_sequences_stateful" -> ((s, d) =>
+      EventStreams.sessionSequences(Tables.events(s, d)).toDF()),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
@@ -321,6 +332,29 @@ object EventQueries {
            list_filter(prev, x -> x.pdel IS NULL OR x.pdel >= created_at)[-k].pid
          ELSE NULL END AS response_to
        FROM w"""
+
+  // ev2's sessionization (strict > 1800s gap splits) with the (ts, event_id)
+  // tie-break, then an ORDER BY inside list() replays the Spark side's
+  // array_sort-over-structs order; array_to_string matches array_join(…, ' ')
+  // and [-1] the element_at(…, -1) label. Shared by ev6 (window form) and
+  // ev6b (secondary-sort single-pass form): two physical routes, one
+  // semantics, one oracle.
+  private lazy val ev6Oracle =
+    """WITH y AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         z AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM y)
+         SELECT user_id, sess_idx::BIGINT AS sess_idx, count(*)::BIGINT AS n_events,
+           array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq,
+           (list(event_type ORDER BY ts, event_id))[-1] AS label
+         FROM z GROUP BY user_id, sess_idx"""
 
   val oracles: Map[String, String] = Map(
     "ev3_retention_cohorts" ->
@@ -409,26 +443,9 @@ object EventQueries {
          SELECT from_state, to_state, n,
            round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
          FROM c""",
-    // ev2's sessionization (strict > 1800s gap splits) with the (ts,
-    // event_id) tie-break, then an ORDER BY inside list() replays the
-    // Spark side's array_sort-over-structs order; array_to_string matches
-    // array_join(…, ' '), and [-1] the element_at(…, -1) label.
-    "ev6_session_sequences" ->
-      """WITH y AS (
-           SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         z AS (
-           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
-           FROM y)
-         SELECT user_id, sess_idx::BIGINT AS sess_idx, count(*)::BIGINT AS n_events,
-           array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq,
-           (list(event_type ORDER BY ts, event_id))[-1] AS label
-         FROM z GROUP BY user_id, sess_idx""",
+    "ev6_session_sequences" -> ev6Oracle,
+    // identical semantics through the secondary-sort streaming-core route
+    "ev6b_session_sequences_stateful" -> ev6Oracle,
     "as1_asof_join" ->
       """SELECT p.event_id, p.user_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -107,6 +107,156 @@ object EventStreams {
         })
   }
 
+  // ----- session sequences (the ev6 operator, batch + streaming faces) -----
+
+  /** One event in sessionization order; ts carried as unix MICROS so the gap
+    * compare is exact long arithmetic — the same `unix_micros` the ev6 batch
+    * window form and its DuckDB oracle compute, no ms truncation at a
+    * boundary-exact 1800s gap.
+    */
+  case class SessEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+
+  /** One emitted session example: ordered event-type sequence + terminal
+    * label — identical schema to the ev6 registry query.
+    */
+  case class SessionRow(user_id: Long, sess_idx: Long, n_events: Long,
+      seq: String, label: String)
+
+  /** Streaming state per user: the next session index to assign plus the
+    * not-yet-watermark-closed tail of events. The pending buffer is bounded
+    * by (watermark horizon + open-session length); the index survives with
+    * an empty buffer (a handful of bytes per ever-seen user) so later
+    * sessions keep ev2's monotone numbering.
+    */
+  case class SessPending(nextIdx: Long, pending: Array[SessEv])
+
+  private val sessionGapUs = 1800L * 1000000L
+
+  /** Split a (ts_us, event_id)-sorted run of one user's events into sessions
+    * by the STRICT > gap rule (gap == 1800s does NOT split — ev2/ev6's
+    * semantics; note Spark's native session_window splits at >=, which is
+    * why the custom-state route exists). Shared verbatim by the batch and
+    * streaming faces, so the two cannot diverge at the boundary.
+    */
+  private[streaming] def splitSessions(sorted: IndexedSeq[SessEv],
+      gapUs: Long = sessionGapUs): Vector[Vector[SessEv]] = {
+    val out = Vector.newBuilder[Vector[SessEv]]
+    var cur = Vector.newBuilder[SessEv]
+    var n = 0
+    var lastTs = 0L
+    sorted.foreach { e =>
+      if (n > 0 && e.ts_us - lastTs > gapUs) { out += cur.result(); cur = Vector.newBuilder[SessEv] }
+      cur += e; n += 1; lastTs = e.ts_us
+    }
+    if (n > 0) out += cur.result()
+    out.result()
+  }
+
+  private def sessionRow(uid: Long, idx: Long, s: Vector[SessEv]): SessionRow =
+    SessionRow(uid, idx, s.length.toLong,
+      s.map(_.event_type).mkString(" "), s.last.event_type)
+
+  /** BATCH face of session-sequence construction (registry ev6b; same
+    * oracle as ev6): one exchange on user_id, per-partition sort by
+    * (user_id, ts_us, event_id) — the x1c secondary-sort route — then a
+    * single forward pass holding exactly ONE session buffer at a time.
+    * At 100 TB this never materializes a user's full history (the sort
+    * spills through Spark's UnsafeExternalSorter; the only JVM-heap buffer
+    * is the open session — same continuous-activity caveat as ev6: a
+    * gapless firehose user is one unbounded session, cap upstream).
+    */
+  def sessionSequences(events: DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SessEv]
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .mapPartitions(sessionRuns(_))
+  }
+
+  /** Per-partition pass of [[sessionSequences]]: input is consecutive user
+    * runs each sorted by (ts_us, event_id); emits a session when the next
+    * row proves its closing gap (or the run ends). The trailing `++` arm is
+    * non-strict, so the final open session flushes only after the iterator
+    * drains.
+    */
+  private[streaming] def sessionRuns(rows: Iterator[SessEv],
+      gapUs: Long = sessionGapUs): Iterator[SessionRow] = {
+    var curUser = Long.MinValue
+    var sessIdx = 0L
+    var lastTs = 0L
+    var buf = Vector.newBuilder[SessEv]
+    var n = 0
+    def flush(): SessionRow = {
+      val r = sessionRow(curUser, sessIdx, buf.result())
+      buf = Vector.newBuilder[SessEv]; n = 0
+      r
+    }
+    rows.flatMap { e =>
+      val closed =
+        if (e.user_id != curUser) {
+          val r = if (n > 0) Some(flush()) else None
+          curUser = e.user_id; sessIdx = 1L
+          r
+        } else if (e.ts_us - lastTs > gapUs) {
+          val r = Some(flush())
+          sessIdx += 1L
+          r
+        } else None
+      buf += e; n += 1; lastTs = e.ts_us
+      closed.iterator
+    } ++ (if (n > 0) Iterator.single(flush()) else Iterator.empty)
+  }
+
+  // private[streaming], not private: a bytecode-private class breaks the
+  // generated SafeProjection for its encoder
+  private[streaming] case class SessInput(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_id: Long, event_type: String)
+
+  /** STREAMING face: flatMapGroupsWithState + EventTimeTimeout. A session
+    * emits only once the watermark passes (last event + gap) — at that point
+    * any event that could extend or bridge it would be later than the
+    * watermark (delay = the gap) and dropped at the source, so emission is
+    * exactly once and FINAL, with no speculative output to retract. New
+    * events merge-sort into the pending tail (out-of-order arrival within
+    * the watermark is fine); the timeout re-arms at (pending last + gap) so
+    * an idle user's open session closes from the clock of the rest of the
+    * stream. Batch equivalence: StreamingSpec drives this over MemoryStream
+    * and pins its output to [[sessionSequences]] (= the ev6 oracle) on the
+    * same rows.
+    */
+  def sessionSequencesStream(events: DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SessInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[SessInput], state: GroupState[SessPending]) => {
+          val prev = state.getOption.getOrElse(SessPending(1L, Array.empty))
+          val merged = (prev.pending ++
+            it.map(e => SessEv(uid, e.ts_us, e.event_id, e.event_type)))
+            .sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val sessions = splitSessions(merged)
+          // sessions are time-ordered, so the closeable ones are a prefix
+          val (closed, open) = sessions.span(s => s.last.ts_us + sessionGapUs < wmUs)
+          var idx = prev.nextIdx
+          val out = closed.map { s => val r = sessionRow(uid, idx, s); idx += 1L; r }
+          val rest = open.flatten
+          state.update(SessPending(idx, rest.toArray))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(rest.last.ts_us / 1000L + sessionGapUs / 1000L + 1L)
+          out.iterator
+        })
+  }
+
   /** Streaming dedup bounded by watermark: duplicates of (user, type) within
     * the watermark horizon are dropped; state for expired keys is evicted.
     * Streaming-only (the batch face is dedupWithinWindow/st4).

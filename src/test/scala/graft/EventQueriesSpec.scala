@@ -93,6 +93,17 @@ class EventQueriesSpec extends SparkSpec {
     assert(rows.size === 5) // u1 x2, u2 x1, u3 x1, u4 x1
   }
 
+  test("ev6b: the secondary-sort single-pass route emits exactly ev6's rows") {
+    val window = run("ev6_session_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    val singlePass = run("ev6b_session_sequences_stateful").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(singlePass === window,
+      "two physical routes, one semantics — including the exact-1800s and same-ts edges")
+  }
+
   test("ev6: label is the last event by (ts, event_id); seq length matches n_events") {
     val rows = run("ev6_session_sequences").collect()
     rows.foreach { r =>

@@ -89,6 +89,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session sequences stream: watermark-final emission equals the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(id: Long, user: Long, at: String, typ: String) =
+      Ev(id, ts(at), user, typ, 1.0, "{}")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionSequencesStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 1 opens session 1
+      mem.addData(
+        uev(1, 1, "2024-01-01 10:00:00", "view"),
+        uev(2, 1, "2024-01-01 10:05:00", "click"))
+      q.processAllAvailable()
+      // batch 2: 11:00 opens session 2 (gap 3300s); 10:10 arrives OUT OF
+      // ORDER but inside the watermark — must merge-sort into session 1
+      mem.addData(
+        uev(3, 1, "2024-01-01 11:00:00", "purchase"),
+        uev(4, 1, "2024-01-01 10:10:00", "view"))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty,
+        "nothing may emit before the watermark proves a session closed")
+      // sentinel batches push the watermark past 11:30 (user 1's session-2
+      // close); the second sentinel batch gives the advanced watermark a
+      // batch in which to fire user 1's event-time timeout
+      mem.addData(uev(90, 99, "2024-01-01 13:00:00", "view"))
+      q.processAllAvailable()
+      mem.addData(uev(91, 99, "2024-01-01 13:01:00", "view"))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toSet
+      assert(got === Set(
+        (1L, 1L, 3L, "view click view", "view"),
+        (1L, 2L, 1L, "purchase", "purchase")),
+        "closed sessions must emit exactly once, in-order-merged and final")
+      // batch≡streaming: the batch face on the same rows agrees on every
+      // session the stream has closed (the sentinel user's session is still
+      // open — the batch face flushes it, the stream correctly holds it)
+      // tuples, not Ev: the inner-class Ev encoder can serialize (MemoryStream)
+      // but localSeqToDataset also resolves its deserializer, which fails
+      // without the defining scope
+      val allRows = Seq(
+        uev(1, 1, "2024-01-01 10:00:00", "view"), uev(2, 1, "2024-01-01 10:05:00", "click"),
+        uev(3, 1, "2024-01-01 11:00:00", "purchase"), uev(4, 1, "2024-01-01 10:10:00", "view"),
+        uev(90, 99, "2024-01-01 13:00:00", "view"), uev(91, 99, "2024-01-01 13:01:00", "view"))
+        .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchFace = EventStreams.sessionSequences(allRows).collect()
+        .map(r => (r.user_id, r.sess_idx, r.n_events, r.seq, r.label)).toSet
+      assert(got.subsetOf(batchFace))
+      assert((batchFace -- got).forall(_._1 == 99L),
+        "batch face may only add the still-open sentinel session")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops repeats inside the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
