@@ -209,6 +209,57 @@ object EventQueries {
         round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
     }),
 
+    // EV5b: per-cohort transition DIVERGENCE — the bot/template-traffic
+    // detector ev5's comment gestures at: for each signup cohort (ev3's
+    // first-seen ISO week), which transitions deviate most from the global
+    // matrix. Emits the top-5 cells per cohort by chi-square CONTRIBUTION
+    // (obs-exp)²/exp — deliberately per-cell, never a summed statistic: a
+    // cross-cell double sum would hang engine-exactness on fp summation
+    // order, while each cell here is a fixed three-op IEEE expression over
+    // integer counts, identical in both engines (the ev4 order-statistics
+    // principle applied to divergence). Shapes: one user-keyed lead window,
+    // user-keyed cohort join, (cohort, from, to)-keyed agg; the global
+    // matrix and its row totals are |states|²-sized broadcasts; the ranking
+    // window partitions by cohort over |states|² rows — nothing corpus².
+    "ev5b_transition_divergence" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      val trans = ev
+        .withColumn("to_state", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_state").isNotNull)
+        .select(col("user_id"), col("event_type").as("from_state"), col("to_state"))
+      val cc = trans.join(cohort, "user_id")
+        .groupBy("cohort_week", "from_state", "to_state")
+        .agg(count(lit(1)).as("n"))
+      val g = cc.groupBy("from_state", "to_state").agg(sum(col("n")).as("g_n"))
+      val gf = g.groupBy("from_state").agg(sum(col("g_n")).as("g_from"))
+      val cf = cc.groupBy("cohort_week", "from_state").agg(sum(col("n")).as("c_from"))
+      // expression shapes mirror the oracle token for token:
+      // exp = c_from * (g_n / g_from); contrib = (n - exp)² / exp
+      val joined = cc
+        .join(broadcast(g), Seq("from_state", "to_state"))
+        .join(broadcast(gf), Seq("from_state"))
+        .join(cf, Seq("cohort_week", "from_state"))
+        .withColumn("exp_n",
+          col("c_from").cast("double") * (col("g_n").cast("double") / col("g_from")))
+      val diff = col("n").cast("double") - col("exp_n")
+      val contrib = diff * diff / col("exp_n")
+      val byCohort = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_week")
+        .orderBy(contrib.desc, col("from_state"), col("to_state"))
+      joined
+        .withColumn("rk", row_number().over(byCohort).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .select(col("cohort_week").cast("date").as("cohort_week"),
+          col("from_state"), col("to_state"), col("n"),
+          round(col("exp_n"), 6).as("expected_n"),
+          round(contrib, 6).as("chi2_contrib"), col("rk"))
+    }),
+
     // EV6: SESSION SEQUENCE construction — the behavioral-LM training-data
     // shape: each 30-minute-gap session (the ev2 assignment) becomes one
     // example: the ordered event-type sequence plus its terminal event as
@@ -443,6 +494,45 @@ object EventQueries {
          SELECT from_state, to_state, n,
            round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
          FROM c""",
+    // per-cell divergence only — no cross-cell double sum, so every value
+    // is a fixed IEEE expression over integer counts in both engines; the
+    // rank window's (contrib desc, from, to) order compares those exact
+    // doubles pre-round, hence identically
+    "ev5b_transition_divergence" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type,
+             date_trunc('week', ts) AS wk FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+         tr AS (
+           SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+           FROM ev),
+         cc AS (
+           SELECT c.cohort_week, t.from_state, t.to_state, count(*)::BIGINT AS n
+           FROM tr t JOIN cohort c USING (user_id)
+           WHERE t.to_state IS NOT NULL
+           GROUP BY 1, 2, 3),
+         g AS (SELECT from_state, to_state, sum(n)::BIGINT AS g_n FROM cc GROUP BY 1, 2),
+         gf AS (SELECT from_state, sum(g_n)::BIGINT AS g_from FROM g GROUP BY 1),
+         cf AS (SELECT cohort_week, from_state, sum(n)::BIGINT AS c_from FROM cc GROUP BY 1, 2),
+         j AS (
+           SELECT cc.cohort_week, cc.from_state, cc.to_state, cc.n,
+             cf.c_from::DOUBLE * (g.g_n::DOUBLE / gf.g_from) AS exp_n
+           FROM cc
+           JOIN g USING (from_state, to_state)
+           JOIN gf USING (from_state)
+           JOIN cf ON cf.cohort_week = cc.cohort_week AND cf.from_state = cc.from_state),
+         k AS (
+           SELECT *,
+             (n::DOUBLE - exp_n) * (n::DOUBLE - exp_n) / exp_n AS contrib,
+             row_number() OVER (PARTITION BY cohort_week
+               ORDER BY (n::DOUBLE - exp_n) * (n::DOUBLE - exp_n) / exp_n DESC,
+                 from_state, to_state) AS rk
+           FROM j)
+         SELECT cohort_week::DATE AS cohort_week, from_state, to_state, n,
+           round(exp_n, 6) AS expected_n, round(contrib, 6) AS chi2_contrib,
+           rk::BIGINT AS rk
+         FROM k WHERE rk <= 5""",
     "ev6_session_sequences" -> ev6Oracle,
     // identical semantics through the secondary-sort streaming-core route
     "ev6b_session_sequences_stateful" -> ev6Oracle,

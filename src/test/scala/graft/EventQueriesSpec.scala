@@ -93,6 +93,24 @@ class EventQueriesSpec extends SparkSpec {
     assert(rows.size === 5) // u1 x2, u2 x1, u3 x1, u4 x1
   }
 
+  test("ev5b: a lone cohort matches the global matrix exactly (zero divergence)") {
+    // every fixture user first appears in the same ISO week -> one cohort
+    // whose counts ARE the global counts, so exp == obs per cell and all
+    // chi-square contributions are exactly 0; ranking then falls to the
+    // (from_state, to_state) tie-break — pinning the deterministic order
+    val rows = run("ev5b_transition_divergence").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.length === 5, "top-5 of the single cohort's 5 cells")
+    rows.foreach { case (from, to, n, exp, contrib, _) =>
+      assert(exp === n.toDouble, s"cohort==corpus must give exp=obs for $from->$to")
+      assert(contrib === 0.0)
+    }
+    assert(rows.sortBy(_._6).map(r => (r._1, r._2)).toSeq === Seq(
+      ("click", "error"), ("click", "view"), ("view", "click"),
+      ("view", "purchase"), ("view", "view")))
+  }
+
   test("ev6b: the secondary-sort single-pass route emits exactly ev6's rows") {
     val window = run("ev6_session_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
