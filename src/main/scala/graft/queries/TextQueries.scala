@@ -110,6 +110,51 @@ object TextQueries {
         .select(col("doc_id"), col("rank"), col("word"), round(col("score"), 6).as("score"))
     }),
 
+    // TX17: Okapi BM25 top-k retrieval for a fixed 3-term query — the
+    // ranking function actually used where tx9's raw tf-idf is the teaching
+    // form. Shapes: the tx9 token pipeline filtered to the query terms
+    // BEFORE any aggregation (so the tf shuffle carries only matching
+    // tokens), doc lengths as one keyed agg, corpus stats and per-term dfs
+    // as 1-row broadcasts, then TakeOrderedAndProject for the top-k — no
+    // global window, the o2 shape. Score determinism: each per-term BM25
+    // factor is one fixed parenthesized expression over integer counts
+    // (ln is engine-identical at round-6, the tx9 precedent), and the
+    // cross-term sum is THREE terms added in fixed left-assoc order — never
+    // a fold over a variable-length list, so fp order can't drift.
+    "tx17_bm25_topk" -> ((s, d) => {
+      val terms = Seq("hash", "join", "filter")
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tfCols = terms.map(t =>
+        sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tfs = words.filter(col("word").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(tfCols.head, tfCols.tail: _*)
+      val dfCols = terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val dfs = tfs.agg(dfCols.head, dfCols.tail: _*)
+      // one parenthesization, mirrored token for token in the oracle:
+      // idf(t) * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/(sum_dl/n_docs)))))
+      def bm25(t: String) =
+        log((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+          ((col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
+      tfs.join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(dfs))
+        .withColumn("score", bm25("hash") + bm25("join") + bm25("filter"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+    }),
+
     // ----- dedup -----
     // D1: exact dedup via hash-groupBy — one shuffle on the content hash.
     "d1_exact_dedup" -> ((s, d) =>
@@ -1308,6 +1353,38 @@ object TextQueries {
              round(score, 6) AS score
            FROM scored)
          WHERE rank <= 3""",
+    // one parenthesization per factor, mirrored from the Spark side; the
+    // cross-term sum is three fixed left-assoc additions (never a list fold)
+    "tx17_bm25_topk" ->
+      """WITH words AS (
+           SELECT doc_id, word
+           FROM documents,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) u(word)
+           WHERE word != ''),
+         lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM words GROUP BY 1),
+         stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens),
+         tfs AS (
+           SELECT doc_id,
+             sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END)::BIGINT AS tf_hash,
+             sum(CASE WHEN word = 'join' THEN 1 ELSE 0 END)::BIGINT AS tf_join,
+             sum(CASE WHEN word = 'filter' THEN 1 ELSE 0 END)::BIGINT AS tf_filter
+           FROM words WHERE word IN ('hash', 'join', 'filter') GROUP BY 1),
+         dfs AS (
+           SELECT sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)::BIGINT AS df_hash,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::BIGINT AS df_join,
+             sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END)::BIGINT AS df_filter
+           FROM tfs),
+         scored AS (
+           SELECT t.doc_id,
+             ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) *
+               ((tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+             + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) *
+               ((tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+             + ln((n_docs - df_filter + 0.5) / (df_filter + 0.5) + 1.0) *
+               ((tf_filter * 2.2) / (tf_filter + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs))))) AS score
+           FROM tfs t JOIN lens USING (doc_id) CROSS JOIN stats CROSS JOIN dfs)
+         SELECT doc_id, round(score, 6) AS bm25
+         FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
     "tx1_token_counts" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws,

@@ -61,6 +61,10 @@ class RegistryPlanSpec extends SparkSpec {
       "itself is one cell-keyed window, nothing pairwise"),
     "ws1_weighted_sample" -> ("cross join is a single broadcast scalar " +
       "(the corpus max weight); the sample is a pure map filter"),
+    "tx17_bm25_topk" -> ("the two crosses are 1-row broadcast scalars " +
+      "(corpus n_docs/sum_dl and the three query-term dfs); everything " +
+      "else is the tx9 token equi-agg pipeline, and the top-k is " +
+      "TakeOrderedAndProject, not a global window"),
     "v14_recall_audit" -> ("the ground-truth side is v1's bounded " +
       "broadcast-query brute force (20-query batch, one corpus pass); " +
       "the LSH side and the hit join are equi-joins"))
