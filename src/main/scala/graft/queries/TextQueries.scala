@@ -155,6 +155,24 @@ object TextQueries {
         .select(col("doc_id"), round(col("score"), 6).as("bm25"))
     }),
 
+    // JS1: JSONL round-trip — export the corpus as sharded JSONL
+    // (sources.JsonlCorpus), re-read it FAILFAST with the explicit schema,
+    // and return the re-read rows; the oracle reads the original parquet,
+    // so a hash match proves the JSON codec is byte-lossless for every
+    // value in the fixture (unicode text, embedded punctuation, nulls).
+    // The export runs once per (session, fixture) via Standing.artifact —
+    // concurrent Verify threads share one write.
+    "js1_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Standing.artifact(s, d, "js1_jsonl") {
+        val t = java.nio.file.Files.createTempDirectory("graft-js1").toString
+        graft.sources.JsonlCorpus.write(docs, t, shards = 4)
+        t
+      }
+      graft.sources.JsonlCorpus.readStrict(s, dir, docs.schema)
+        .select(docs.columns.map(col): _*)
+    }),
+
     // ----- dedup -----
     // D1: exact dedup via hash-groupBy — one shuffle on the content hash.
     "d1_exact_dedup" -> ((s, d) =>
@@ -1353,6 +1371,10 @@ object TextQueries {
              round(score, 6) AS score
            FROM scored)
          WHERE rank <= 3""",
+    // the oracle reads the ORIGINAL parquet — a hash match means the JSONL
+    // codec round-tripped every value losslessly
+    "js1_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // one parenthesization per factor, mirrored from the Spark side; the
     // cross-term sum is three fixed left-assoc additions (never a list fold)
     "tx17_bm25_topk" ->
