@@ -260,6 +260,51 @@ object EventQueries {
           round(contrib, 6).as("chi2_contrib"), col("rk"))
     }),
 
+    // EV5c: INCREMENTAL transition-matrix maintenance — the daily-append
+    // reality of ev5 at 100 TB: arrivals (ts >= the cutoff) must update the
+    // standing (from, to) counts WITHOUT re-scanning history. Because the
+    // cutoff is on event time, each user's arrivals are a strict suffix of
+    // their sequence, so the only missing transitions are those whose TO
+    // side is an arrival: lead over (arrivals + one boundary row per active
+    // user — their last standing event, a semi-join-scoped keyed max_by,
+    // the d12 scoping pattern) generates exactly that set. The standing
+    // counts are recomputed here as the face's baseline; in production they
+    // are the cdc2-style maintained aggregate, making the daily cost
+    // O(batch), not O(history). Oracle = ev5's full recompute: the hash
+    // match proves apply(standing, arrivals) ≡ recompute(all) — the
+    // d12/d13 incremental contract.
+    "ev5c_transition_incremental" -> ((s, d) => {
+      val cut = lit("2024-01-28 00:00:00").cast("timestamp")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val standing = ev.filter(col("ts") < cut)
+      val arrivals = ev.filter(col("ts") >= cut)
+      val oldCounts = standing
+        .withColumn("to_state", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_state").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val lastOld = standing
+        .join(arrivals.select("user_id").distinct(), "user_id")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
+      val deltaCounts = arrivals.unionByName(lastOld)
+        .withColumn("to_state", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_state").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val total = oldCounts.unionByName(deltaCounts)
+        .groupBy("from_state", "to_state").agg(sum(col("n")).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_state")
+      total.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+    }),
+
     // EV6: SESSION SEQUENCE construction — the behavioral-LM training-data
     // shape: each 30-minute-gap session (the ev2 assignment) becomes one
     // example: the ordered event-type sequence plus its terminal event as
@@ -384,6 +429,23 @@ object EventQueries {
          ELSE NULL END AS response_to
        FROM w"""
 
+  // Same lead-over-(ts, event_id) total order as the Spark side; the
+  // normalizing window partitions the |states|² count rows, so it is
+  // constant-size at any corpus scale in both engines. Shared by ev5 (full
+  // recompute) and ev5c (incremental maintenance): the incremental face
+  // must reproduce the recompute bit for bit.
+  private lazy val ev5Oracle =
+    """WITH p AS (
+         SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+         FROM events),
+       c AS (
+         SELECT from_state, to_state, count(*)::BIGINT AS n
+         FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+       SELECT from_state, to_state, n,
+         round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
+       FROM c"""
+
   // ev2's sessionization (strict > 1800s gap splits) with the (ts, event_id)
   // tie-break, then an ORDER BY inside list() replays the Spark side's
   // array_sort-over-structs order; array_to_string matches array_join(…, ' ')
@@ -480,20 +542,10 @@ object EventQueries {
     "st5_stateful_user_totals" ->
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
          FROM events GROUP BY user_id""",
-    // Same lead-over-(ts, event_id) total order as the Spark side; the
-    // normalizing window partitions the |states|² count rows, so it is
-    // constant-size at any corpus scale in both engines.
-    "ev5_transition_matrix" ->
-      """WITH p AS (
-           SELECT event_type AS from_state,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
-           FROM events),
-         c AS (
-           SELECT from_state, to_state, count(*)::BIGINT AS n
-           FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
-         SELECT from_state, to_state, n,
-           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
-         FROM c""",
+    "ev5_transition_matrix" -> ev5Oracle,
+    // the incremental face answers against the FULL recompute: a hash match
+    // proves apply(standing, arrivals) ≡ recompute(all)
+    "ev5c_transition_incremental" -> ev5Oracle,
     // per-cell divergence only — no cross-cell double sum, so every value
     // is a fixed IEEE expression over integer counts in both engines; the
     // rank window's (contrib desc, from, to) order compares those exact

@@ -111,6 +111,30 @@ class EventQueriesSpec extends SparkSpec {
       ("view", "purchase"), ("view", "view")))
   }
 
+  test("ev5c: incremental apply equals full recompute across the cutoff boundary") {
+    import spark.implicits._
+    // straddles the 2024-01-28 cutoff: user 10's boundary transition
+    // (standing click -> arrival view) and arrival-to-arrival pair, user 11
+    // entirely standing, user 12 arrivals-only (no boundary predecessor)
+    val rows = Seq(
+      ev(1, 10, "2024-01-27 23:50:00", "click"),
+      ev(2, 10, "2024-01-28 00:10:00", "view"),
+      ev(3, 10, "2024-01-28 00:20:00", "purchase"),
+      ev(4, 11, "2024-01-05 10:00:00", "view"),
+      ev(5, 11, "2024-01-05 10:05:00", "view"),
+      ev(6, 12, "2024-01-29 09:00:00", "signup"),
+      ev(7, 12, "2024-01-29 09:10:00", "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev5c").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def rowSet(name: String) = EventQueries.queries(name)(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = rowSet("ev5_transition_matrix")
+    val incr = rowSet("ev5c_transition_incremental")
+    assert(incr === full, "apply(standing, arrivals) must reproduce the recompute")
+    // and the boundary pair itself made it in
+    assert(full.exists(r => r._1 == "click" && r._2 == "view" && r._3 == 1L))
+  }
+
   test("ev6b: the secondary-sort single-pass route emits exactly ev6's rows") {
     val window = run("ev6_session_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
