@@ -129,13 +129,19 @@ object TextQueries {
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
         .filter(col("word") =!= "")
-      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tfCols = terms.map(t =>
+      // ONE pass over the token stream: dl and the per-term tfs come out of
+      // the same doc-keyed aggregate, checkpointed so the downstream stats/
+      // dfs/score consumers re-read doc-cardinality rows instead of
+      // re-exploding the corpus once each (the first cut scanned the text
+      // column four times; at 100 TB the explode IS the query's cost).
+      val aggCols = count(lit(1)).as("dl") +: terms.map(t =>
         sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-      val tfs = words.filter(col("word").isin(terms: _*))
-        .groupBy("doc_id")
-        .agg(tfCols.head, tfCols.tail: _*)
+      val perDoc = graft.ops.Checkpoints.tracked(
+        words.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*))
+      val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      // mirror the oracle's tfs CTE: only docs containing >= 1 query term
+      // are scored (a 0-tf doc scores 0 and must not pad a thin top-k)
+      val tfs = perDoc.filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       val dfCols = terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
       val dfs = tfs.agg(dfCols.head, dfCols.tail: _*)
@@ -146,7 +152,7 @@ object TextQueries {
           ((col(s"tf_$t") * lit(2.2)) /
             (col(s"tf_$t") + lit(1.2) *
               (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
-      tfs.join(lens, "doc_id")
+      tfs
         .crossJoin(broadcast(stats))
         .crossJoin(broadcast(dfs))
         .withColumn("score", bm25("hash") + bm25("join") + bm25("filter"))
