@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the at-rest half of the scale story.
@@ -89,6 +89,47 @@ object Storage {
     * StorageSpec (a box predicate touches fewer files than under a
     * single-column sort).
     */
+  /** Small-file COMPACTION — the table-maintenance op every long-lived
+    * 100 TB lakehouse table needs: streaming sinks and incremental appends
+    * shed thousands of KB-sized part files, and each one costs an open +
+    * a footer read + a task per query forever after. Rewrites `dir` into
+    * ceil(bytes / targetBytes) files:
+    *   - `sortCols` empty: `coalesce` — a shuffle-FREE merge of existing
+    *     splits (compaction shouldn't pay a shuffle to glue files);
+    *   - `sortCols` given: range-partition + in-partition sort, restoring
+    *     K4's clustered layout (min/max skipping) in the same rewrite.
+    * The rewrite lands in a sibling temp dir first and swaps in by rename,
+    * so a crash mid-compact leaves the original intact (never a
+    * half-written table); readers racing the swap see old-or-new, not a
+    * mix. Returns the output file count.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortCols.isEmpty) df.coalesce(n)
+      else df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + ".precompact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      // restore the original before failing — the table must stay readable
+      fs.rename(old, path)
+      sys.error(s"compact: cannot move $tmp into place; original restored")
+    }
+    fs.delete(old, true)
+    n
+  }
+
   def writeZOrdered(df: DataFrame, cx: String, cy: String, path: String,
       files: Int = 32): Unit = {
     val b = df.agg(

@@ -266,4 +266,51 @@ class StorageSpec extends SparkSpec {
       s"predicate must prune partitions:\n$scan")
     assert(q.count() > 0)
   }
+
+  private def partFiles(dir: String) =
+    new java.io.File(dir).listFiles.filter(f =>
+      f.isFile && f.getName.startsWith("part-"))
+
+  test("compact merges a small-file table shuffle-free and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    src.repartition(40).write.parquet(dir) // the streaming-sink pathology
+    assert(partFiles(dir).length === 40)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+
+    val bytes = partFiles(dir).map(_.length).sum
+    val n = Storage.compact(spark, dir, targetBytes = (bytes + 1) / 2)
+    assert(n === 2, s"ceil(bytes/target) must give 2 files, got $n")
+    assert(partFiles(dir).length === 2)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(after === before, "compaction must be a pure layout change")
+    // no leftover staging/backup dirs
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(!parent.exists(_.contains("compacting")) && !parent.exists(_.contains("precompact")))
+  }
+
+  test("compact with sortCols restores clustered min/max-skippable layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+      .repartition(20).write.parquet(dir) // key order destroyed
+    val bytes = partFiles(dir).map(_.length).sum
+    Storage.compact(spark, dir, targetBytes = (bytes + 3) / 4, sortCols = Seq("l_orderkey"))
+    val files = partFiles(dir)
+    assert(files.length === 4)
+    // range-partitioned + sorted: per-file key ranges must not overlap
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect().head
+      (keys.getLong(0), keys.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $hi > $lo2 — clustering lost")
+      case _ =>
+    }
+  }
 }
