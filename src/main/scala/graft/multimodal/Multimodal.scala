@@ -193,6 +193,27 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode a WAV payload's FULL PCM content through the real javax.sound
+    * codec: 16-bit signed little-endian mono samples as ints. The mm9 face
+    * computes sample-level features from this, so its oracle (which replays
+    * the synthesizeWav formula closed-form) only matches if the codec
+    * round-trips every sample bit-exactly — a stronger proof than mm5's
+    * header fields.
+    */
+  def wavSamples(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
   /** A real PNG payload with the given dimensions; pixel (0,0) carries
     * `rgb` (24-bit). Runs executor-side per row — the write half of the
     * codec round trip the mm4 oracle pins.

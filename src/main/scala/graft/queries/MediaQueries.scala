@@ -102,6 +102,39 @@ object MediaQueries {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // MM9: sample-level AUDIO FEATURES over the real codec — peak amplitude,
+    // RMS energy, zero-crossing count from the DECODED PCM (wavSamples), the
+    // speech/music/silence triage features an audio-corpus gate runs first.
+    // The oracle replays the synthesizeWav sample formula closed-form
+    // (generate_series), so a hash match proves the javax.sound round trip
+    // preserved every 16-bit sample — content-level, where mm5 pins only
+    // header fields. Integer-exact peak/zcr; rms is one sqrt over an exact
+    // integer sum (the apx/tx rounding contract). Per-row decode,
+    // shuffle-free.
+    "mm9_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "audio", Multimodal.synthesizeWav(
+            sampleRate = (8000 + (id % 8) * 1000).toInt,
+            nFrames = (id % 500 + 1).toInt))
+        }
+      media.map { m =>
+        val sm = Multimodal.wavSamples(m.payload)
+        var zcr = 0L; var sumSq = 0L; var peak = 0L; var i = 0
+        while (i < sm.length) {
+          val v = sm(i).toLong
+          if (i > 0 && ((v >= 0) != (sm(i - 1) >= 0))) zcr += 1
+          sumSq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          i += 1
+        }
+        (m.id, peak, math.sqrt(sumSq.toDouble / sm.length), zcr)
+      }.toDF("id", "peak", "rms", "zcr")
+        .select(col("id"), col("peak"), round(col("rms"), 6).as("rms"), col("zcr"))
+    }),
+
     // MM6: REAL video-container round trip — synthesize an animated GIF
     // with a closed-form frame count per doc (executor-side multi-frame
     // imageio write), decode dimensions AND the container's actual frame
@@ -194,6 +227,21 @@ object MediaQueries {
            1::BIGINT AS n_channels,
            (doc_id % 500 + 1)::BIGINT AS n_frames
          FROM documents WHERE doc_id < 200""",
+    // closed-form replay of the synthesizeWav sample stream: v_i =
+    // (i*257) % 65536 - 32768 — matches only if the real codec round-trips
+    // every sample
+    "mm9_audio_features" ->
+      """WITH f AS (SELECT doc_id AS id, (doc_id % 500 + 1)::BIGINT AS n
+                    FROM documents WHERE doc_id < 200),
+         u AS (SELECT id, unnest(generate_series(0, (n - 1)::INT)) AS i FROM f),
+         s AS (SELECT id, i, ((i * 257) % 65536 - 32768)::BIGINT AS v FROM u),
+         w AS (SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS prev FROM s)
+         SELECT id,
+           max(abs(v))::BIGINT AS peak,
+           round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
+           sum(CASE WHEN prev IS NOT NULL AND (v >= 0) != (prev >= 0)
+                    THEN 1 ELSE 0 END)::BIGINT AS zcr
+         FROM w GROUP BY id""",
     "mm6_gif_decode" ->
       """SELECT doc_id AS id,
            (doc_id % 32 + 1)::BIGINT AS width,
