@@ -227,6 +227,44 @@ object TextQueries {
         .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
     }),
 
+    // D17: LSH RECALL AUDIT — the dedup-family twin of v14's ANN recall
+    // audit: what fraction of TRUE near-dup pairs (exact n-gram Jaccard >=
+    // threshold) does the banded MinHash candidate generator (d3) actually
+    // surface, at the three thresholds a dedup rollout tunes against. The
+    // number that justifies (or indicts) the band/row configuration before
+    // a 100 TB run commits to it.
+    //
+    // Ground truth WITHOUT corpus²: any pair with J > 0 shares at least one
+    // shingle, so the complete truth set for every positive threshold is
+    // exact Jaccard over the shingle-keyed equi-join's distinct pairs — the
+    // tx15/df shape, never a cross join (fixture join volume: max shingle
+    // df 7; a crawl's stop-shingle hot keys would route through the
+    // Dedup.oversizedKeys guard before this audit ran). The audit itself is
+    // one left join + three filtered aggregates over the checkpointed
+    // truth frame.
+    "d17_lsh_recall_audit" -> ((s, d) => {
+      val t = shingled(s, d)
+      val ex = t.select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+      val sharing = ex.as("l").join(ex.as("r"), "g")
+        .filter(col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      val truth = sharing
+        .join(t.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(t.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
+      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
+      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      val f = graft.ops.Checkpoints.tracked(
+        truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+          .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit")))
+      def at(th: Double) = f.filter(col("jaccard") >= th)
+        .agg(lit(th).as("threshold"), count(lit(1)).as("n_true"),
+          sum(col("hit")).as("n_found"))
+        .withColumn("recall",
+          round(col("n_found").cast("double") / col("n_true"), 6))
+      at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
+    }),
+
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
     // INTENTIONALLY on plain min-label propagation, not the auto-router:
@@ -1236,6 +1274,44 @@ object TextQueries {
          WHERE l.doc_id < r.doc_id)
        SELECT DISTINCT a, b FROM pairs"""
 
+  // d17's oracle: exact-Jaccard truth over the shingle-sharing pairs (the
+  // complete set for any positive threshold) ⟕ d3's banded candidates
+  // (replayed verbatim from its oracle body), then one filtered aggregate
+  // per tuning threshold. recall is a single division, round-6.
+  private lazy val d17RecallOracle = {
+    def at(th: String) =
+      s"""SELECT $th::DOUBLE AS threshold, count(*)::BIGINT AS n_true,
+           sum(hit)::BIGINT AS n_found,
+           round(sum(hit)::DOUBLE / count(*), 6) AS recall
+         FROM f WHERE jaccard >= $th"""
+    s"""WITH t AS ($shingleCte),
+       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
+       sharing AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM e l JOIN e r USING (g) WHERE l.doc_id < r.doc_id),
+       truth AS (
+         SELECT s.a, s.b,
+           len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
+           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
+         FROM sharing s
+         JOIN t la ON la.doc_id = s.a
+         JOIN t lb ON lb.doc_id = s.b),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       f AS (
+         SELECT tr.jaccard, CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM truth tr LEFT JOIN cand c ON c.a = tr.a AND c.b = tr.b)
+       ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
+  }
+
   // Oracle mirror of the d5 simhash, as a reusable CTE body.
   private val simhashCte =
     """SELECT doc_id,
@@ -1510,6 +1586,7 @@ object TextQueries {
     "d3_lsh_candidate_pairs" -> lshPairsOracle,
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,
+    "d17_lsh_recall_audit" -> d17RecallOracle,
     "d7_dedup_survivors" -> survivorsOracle,
     // the stateful (flatMapGroupsWithState) route must match the batch
     // pipeline exactly — same SQL
