@@ -265,6 +265,31 @@ object TextQueries {
       at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
     }),
 
+    // D18: LSH PRECISION AUDIT — d17's other axis: of the candidate pairs
+    // the banded generator emits (= the pairs the verify stage must pay
+    // exact Jaccard for), what fraction are true near-dups at each
+    // threshold. Low precision means wasted verification compute at 100 TB;
+    // d17's recall means missed dups — together they ARE the band/row
+    // tuning curve. Every candidate doc has a shingle row (signatures come
+    // FROM the shingled frame), so the set join is inner and a pure
+    // signature collision simply scores J = 0.0 exactly.
+    "d18_lsh_precision_audit" -> ((s, d) => {
+      val t = shingled(s, d)
+      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
+      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      val withSets = cand
+        .join(t.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(t.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      val f = graft.ops.Checkpoints.tracked(
+        withSets.select(Dedup.jaccard(col("sha"), col("shb")).as("jaccard")))
+      def at(th: Double) = f
+        .agg(lit(th).as("threshold"), count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= th, 1L).otherwise(0L)).as("n_true"))
+        .withColumn("precision",
+          round(col("n_true").cast("double") / col("n_candidates"), 6))
+      at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
+    }),
+
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
     // INTENTIONALLY on plain min-label propagation, not the auto-router:
@@ -1312,6 +1337,35 @@ object TextQueries {
        ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
   }
 
+  // d18's oracle: d3's candidates joined back to their shingle sets; exact
+  // Jaccard per candidate, conditional count per threshold.
+  private lazy val d18PrecisionOracle = {
+    def at(th: String) =
+      s"""SELECT $th::DOUBLE AS threshold, count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN jaccard >= $th THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           round(sum(CASE WHEN jaccard >= $th THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS precision
+         FROM f"""
+    s"""WITH t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       f AS (
+         SELECT len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
+           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
+         FROM cand c
+         JOIN t la ON la.doc_id = c.a
+         JOIN t lb ON lb.doc_id = c.b)
+       ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
+  }
+
   // Oracle mirror of the d5 simhash, as a reusable CTE body.
   private val simhashCte =
     """SELECT doc_id,
@@ -1587,6 +1641,7 @@ object TextQueries {
     // same SQL: the bucketed layout must be invisible to results
     "d3b_lsh_candidates_persisted" -> lshPairsOracle,
     "d17_lsh_recall_audit" -> d17RecallOracle,
+    "d18_lsh_precision_audit" -> d18PrecisionOracle,
     "d7_dedup_survivors" -> survivorsOracle,
     // the stateful (flatMapGroupsWithState) route must match the batch
     // pipeline exactly — same SQL
