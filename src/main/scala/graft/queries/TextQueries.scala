@@ -243,15 +243,25 @@ object TextQueries {
     // one left join + three filtered aggregates over the checkpointed
     // truth frame.
     "d17_lsh_recall_audit" -> ((s, d) => {
-      val t = shingled(s, d)
-      val ex = t.select(col("doc_id"), explode(col("sh")).as("g")).distinct()
-      val sharing = ex.as("l").join(ex.as("r"), "g")
+      val t = graft.ops.Checkpoints.tracked(shingled(s, d))
+      val ex = graft.ops.Checkpoints.tracked(
+        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+      // exact Jaccard as pure AGGREGATION, never per-pair array ops:
+      // |A∩B| is the sharing join's group count, |A∪B| = |A|+|B|-|A∩B| from
+      // per-doc distinct counts — the same integers the oracle's
+      // list_intersect/list_distinct lengths produce, so the division is
+      // bit-identical, at a fraction of the cost (first cut intersected
+      // arrays per pair: 10.9s at sf0.1, the registry's most expensive row)
+      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val truth = ex.as("l").join(ex.as("r"), "g")
         .filter(col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-      val truth = sharing
-        .join(t.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(t.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
+        .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .agg(count(lit(1)).as("ninter"))
+        .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+        .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (col("ninter").cast("double") /
+            (col("na") + col("nb") - col("ninter"))).as("jaccard"))
       val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
       val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
       val f = graft.ops.Checkpoints.tracked(
