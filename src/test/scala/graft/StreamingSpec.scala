@@ -281,6 +281,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("session-sequence state survives a restart: pre-restart events flush post-restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, String)]
+    def start() = EventStreams.sinkEachBatch(
+      EventStreams.sessionSequencesStream(mem.toDF()).toDF(),
+      (batch, _) => {
+        val rows = batch.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        sunk.synchronized { sunk ++= rows }
+      })
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def uev(id: Long, user: Long, at: String, typ: String) =
+      Ev(id, ts(at), user, typ, 1.0, "{}")
+    val q1 = start()
+    try {
+      // an OPEN session rides entirely in the state store at shutdown
+      mem.addData(
+        uev(1, 1, "2024-01-01 10:00:00", "view"),
+        uev(2, 1, "2024-01-01 10:05:00", "click"))
+      q1.processAllAvailable()
+      assert(sunk.synchronized(sunk.isEmpty), "nothing may emit before the watermark closes it")
+    } finally q1.stop()
+
+    // restart on the SAME checkpoint: the pending buffer and session counter
+    // must recover, so the sentinel-advanced watermark flushes the
+    // PRE-restart session with its full sequence
+    val q2 = start()
+    try {
+      mem.addData(uev(90, 99, "2024-01-01 13:00:00", "view"))
+      q2.processAllAvailable()
+      mem.addData(uev(91, 99, "2024-01-01 13:01:00", "view"))
+      q2.processAllAvailable()
+      val rows = sunk.synchronized(sunk.toList)
+      assert(rows.contains((1L, 1L, 2L, "view click", "click")),
+        s"pre-restart session lost or mangled across the checkpoint: $rows")
+    } finally q2.stop()
+  }
+
   test("late event INSIDE the watermark counts; OUTSIDE it is dropped") {
     // The one lateness-policy edge the other tests don't pin: an event that
     // arrives out of order but with event time still ABOVE the watermark
