@@ -203,6 +203,14 @@ object Multimodal {
   def wavSamples(payload: Array[Byte]): Array[Int] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // The loop below interprets the raw stream as 16-bit LE mono PCM; any
+    // other encoding (8-bit, big-endian, stereo, float) would silently
+    // decode to garbage samples — fail loudly instead, since mm9's oracle
+    // match depends on exact sample interpretation.
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"wavSamples expects 16-bit little-endian mono PCM_SIGNED, got $fmt")
     val bytes = ais.readAllBytes()
     val n = bytes.length / 2
     val out = new Array[Int](n)

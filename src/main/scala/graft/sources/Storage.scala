@@ -98,25 +98,91 @@ object Storage {
     *     splits (compaction shouldn't pay a shuffle to glue files);
     *   - `sortCols` given: range-partition + in-partition sort, restoring
     *     K4's clustered layout (min/max skipping) in the same rewrite.
-    * The rewrite lands in a sibling temp dir first and swaps in by rename,
-    * so a crash mid-compact leaves the original intact (never a
-    * half-written table); readers racing the swap see old-or-new, not a
-    * mix. Returns the output file count.
+    * Hive-partitioned layouts (`k=v` subdirectories instead of flat part
+    * files) compact PER LEAF PARTITION — each leaf is its own
+    * self-contained flat table (the partition column lives in the
+    * directory name, not the files), so each gets its own size pass,
+    * rewrite, and swap, and a crash touches at most one partition. A dir
+    * with neither part files nor partition subdirectories fails loudly —
+    * silently coalescing an unrecognized layout into one file is the
+    * pathological rewrite this op exists to prevent.
+    *
+    * Durability contract (honest version): the rewrite lands in a staging
+    * dir first and swaps in via TWO renames (path → .precompact, staging →
+    * path), so a crash never leaves a half-written mix — but the swap is
+    * NOT atomic: a reader racing it can observe a brief path-not-found
+    * window between the renames, and a crash inside that window leaves the
+    * data only under the `.precompact` name. The next compact() call
+    * detects that state and restores it before proceeding (recovery is
+    * automatic, not manual). A true old-or-new atomic flip needs a
+    * metastore/manifest pointer, which plain directories don't have.
+    * Returns the output file count (summed across partitions).
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path).filter(_.isFile)
-      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    compactDir(spark, fs, path, new org.apache.hadoop.fs.Path(dir + ".compacting"),
+      new org.apache.hadoop.fs.Path(dir + ".precompact"), targetBytes, sortCols)
+  }
+
+  /** One directory level of [[compact]]: recovers a crashed swap, then
+    * either compacts a flat part-file layout in place or recurses into
+    * `k=v` partition subdirectories. Staging/backup names for leaf
+    * partitions are DOT-PREFIXED siblings inside the parent (`.k=v.…`):
+    * Hadoop/Spark readers ignore hidden paths, so a reader listing the
+    * table root mid-compact never mistakes the staging dir for a partition
+    * (a visible `k=v.compacting` sibling would parse as a partition value).
+    */
+  private def compactDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, targetBytes: Long, sortCols: Seq[String]): Int = {
+    // recovery-on-entry: a crash between the two swap renames left the data
+    // only under the backup name — restore before doing anything else
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        sys.error(s"compact: cannot restore crashed swap $old -> $path")
+    }
+    val entries = fs.listStatus(path)
+    val partFiles = entries.filter(e =>
+      e.isFile && e.getPath.getName.startsWith("part-"))
+    // visible leaf partitions, plus crashed-swap leaves that exist only as
+    // hidden backups (the visible name vanished mid-swap)
+    val leafNames = (entries.collect {
+      case e if e.isDirectory && e.getPath.getName.contains("=") => e.getPath.getName
+    } ++ entries.collect {
+      case e if e.isDirectory && e.getPath.getName.startsWith(".") &&
+        e.getPath.getName.endsWith(".precompact") &&
+        e.getPath.getName.contains("=") =>
+        e.getPath.getName.stripPrefix(".").stripSuffix(".precompact")
+    }).distinct.sorted
+    if (partFiles.nonEmpty) {
+      compactFlat(spark, fs, path, tmp, old, partFiles.map(_.getLen).sum,
+        targetBytes, sortCols)
+    } else if (leafNames.nonEmpty) {
+      leafNames.map { name =>
+        val leaf = new org.apache.hadoop.fs.Path(path, name)
+        compactDir(spark, fs, leaf,
+          new org.apache.hadoop.fs.Path(path, s".$name.compacting"),
+          new org.apache.hadoop.fs.Path(path, s".$name.precompact"),
+          targetBytes, sortCols)
+      }.sum
+    } else {
+      sys.error(s"compact: $path has no part-* files and no k=v partition " +
+        "subdirectories — refusing to rewrite an unrecognized layout")
+    }
+  }
+
+  private def compactFlat(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, bytes: Long, targetBytes: Long,
+      sortCols: Seq[String]): Int = {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(path.toString)
     val out =
       if (sortCols.isEmpty) df.coalesce(n)
       else df.repartitionByRange(n, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
-    val old = new org.apache.hadoop.fs.Path(dir + ".precompact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     out.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)

@@ -227,8 +227,21 @@ object EventStreams {
     * stream. Batch equivalence: StreamingSpec drives this over MemoryStream
     * and pins its output to [[sessionSequences]] (= the ev6 oracle) on the
     * same rows.
+    *
+    * STATE RETENTION (`idleEvictAfter`): once a user's sessions all close,
+    * what remains is SessPending(idx, empty) — a handful of bytes carrying
+    * ev2's monotone session NUMBERING. By default (None) that row lives
+    * forever: numbering continuity for returning users, at the cost of
+    * state growing with ever-seen user CARDINALITY — unbounded on an
+    * unbounded keyspace, so a production run over an open-ended user space
+    * should set a TTL. With Some(d), an event-time alarm re-arms at
+    * (watermark + d) whenever the pending buffer empties; if it fires with
+    * nothing new, the state row is REMOVED — a user returning after d of
+    * idleness restarts at sess_idx 1 (the documented trade-off; session
+    * CONTENTS are unaffected either way, StreamingSpec pins both modes).
     */
-  def sessionSequencesStream(events: DataFrame): Dataset[SessionRow] = {
+  def sessionSequencesStream(events: DataFrame,
+      idleEvictAfter: Option[java.time.Duration] = None): Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -240,19 +253,35 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, it: Iterator[SessInput], state: GroupState[SessPending]) => {
           val prev = state.getOption.getOrElse(SessPending(1L, Array.empty))
-          val merged = (prev.pending ++
-            it.map(e => SessEv(uid, e.ts_us, e.event_id, e.event_type)))
+          val news = it.map(e => SessEv(uid, e.ts_us, e.event_id, e.event_type)).toArray
+          val merged = (prev.pending ++ news)
             .sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
           val sessions = splitSessions(merged)
           // sessions are time-ordered, so the closeable ones are a prefix
           val (closed, open) = sessions.span(s => s.last.ts_us + sessionGapUs < wmUs)
           var idx = prev.nextIdx
           val out = closed.map { s => val r = sessionRow(uid, idx, s); idx += 1L; r }
           val rest = open.flatten
-          state.update(SessPending(idx, rest.toArray))
-          if (rest.nonEmpty)
+          if (rest.nonEmpty) {
+            state.update(SessPending(idx, rest.toArray))
             state.setTimeoutTimestamp(rest.last.ts_us / 1000L + sessionGapUs / 1000L + 1L)
+          } else idleEvictAfter match {
+            case Some(d) if news.isEmpty && closed.isEmpty =>
+              // the idle alarm fired with nothing pending and nothing new:
+              // evict — a returning user will restart at sess_idx 1
+              state.remove()
+            case Some(d) =>
+              // buffer just emptied: keep the numbering but arm the idle
+              // alarm (must be strictly past the current watermark)
+              state.update(SessPending(idx, Array.empty))
+              state.setTimeoutTimestamp(wmMs + 1L + d.toMillis)
+            case None =>
+              // retention-forever default: numbering continuity, state rows
+              // accumulate with ever-seen user cardinality
+              state.update(SessPending(idx, Array.empty))
+          }
           out.iterator
         })
   }

@@ -313,4 +313,63 @@ class StorageSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compact on a hive-partitioned layout compacts per leaf partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact3").toString + "/t"
+    // many small files INSIDE each partition directory — the round-12 bug
+    // summed a partitioned root to 0 bytes and coalesce(1)'d the whole table
+    Storage.writePartitioned(
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(8),
+      dir, "l_returnflag")
+    val leaves = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.contains("=")).map(_.getAbsolutePath).sorted
+    assert(leaves.length === 3)
+    leaves.foreach(l => assert(partFiles(l).length === 8))
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+
+    val n = Storage.compact(spark, dir) // leaf bytes << 128MB target -> 1 each
+    assert(n === 3, s"one output file per leaf partition, got $n")
+    leaves.foreach(l => assert(partFiles(l).length === 1,
+      s"leaf $l must be compacted to one file"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(after === before, "per-partition compaction must be a pure layout change")
+    // partition pruning still works on the compacted layout
+    val q = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(l_returnflag"))
+    // no visible staging/backup leftovers a root reader could misparse
+    val rootNames = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!rootNames.exists(n2 => !n2.startsWith(".") &&
+      (n2.contains("compacting") || n2.contains("precompact"))))
+  }
+
+  test("compact refuses an unrecognized layout instead of rewriting it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact4").toString + "/t"
+    new java.io.File(dir + "/not_a_partition").mkdirs()
+    val e = intercept[RuntimeException](Storage.compact(spark, dir))
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+  }
+
+  test("compact recovers a swap that crashed between the two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact5").toString + "/t"
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    src.repartition(5).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // simulate the crash window: dir was moved aside, the staging rename
+    // never happened — the table exists only under the backup name
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".precompact")))
+    val n = Storage.compact(spark, dir)
+    assert(n === 1)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(after === before, "recovery must restore then compact the original rows")
+    assert(!new java.io.File(dir + ".precompact").exists())
+  }
 }

@@ -146,6 +146,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session sequences stream: idle TTL evicts state (restart at 1); default retains numbering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(id: Long, user: Long, at: String, typ: String) =
+      Ev(id, ts(at), user, typ, 1.0, "{}")
+    // one feed, two retention modes — the documented trade-off, pinned
+    def drive(name: String, ttl: Option[java.time.Duration]): Set[(Long, Long, String)] = {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.sessionSequencesStream(mem.toDF(), ttl)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        def step(evs: Ev*): Unit = { mem.addData(evs: _*); q.processAllAvailable() }
+        step(uev(1, 1, "2024-01-01 10:00:00", "view"))
+        // sentinels push the watermark past 10:30 so user 1's session closes;
+        // the close (a no-new-data timeout with a nonempty buffer) arms the
+        // idle alarm at (watermark + ttl) in TTL mode
+        step(uev(90, 99, "2024-01-01 12:00:00", "view"))
+        step(uev(91, 99, "2024-01-01 12:01:00", "view"))
+        // push the watermark past (close-time watermark 11:30) + 1h TTL —
+        // the idle alarm fires with nothing pending and evicts in TTL mode
+        step(uev(92, 99, "2024-01-01 14:00:00", "view"))
+        step(uev(93, 99, "2024-01-01 14:01:00", "view"))
+        // user 1 returns; close their new session via more sentinels
+        step(uev(2, 1, "2024-01-01 15:00:00", "click"))
+        step(uev(94, 99, "2024-01-01 17:00:00", "view"))
+        step(uev(95, 99, "2024-01-01 17:01:00", "view"))
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+          .filter(_._1 == 1L).toSet
+      } finally q.stop()
+    }
+    val evicted = drive("sess_ttl_out", Some(java.time.Duration.ofHours(1)))
+    assert(evicted === Set((1L, 1L, "view"), (1L, 1L, "click")),
+      "after TTL eviction the returning user restarts at sess_idx 1")
+    val retained = drive("sess_nottl_out", None)
+    assert(retained === Set((1L, 1L, "view"), (1L, 2L, "click")),
+      "default retention keeps monotone numbering for returning users")
+  }
+
   test("dropDuplicatesWithinWatermark drops repeats inside the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
