@@ -354,6 +354,22 @@ object EventQueries {
     "ev6b_session_sequences_stateful" -> ((s, d) =>
       EventStreams.sessionSequences(Tables.events(s, d)).toDF()),
 
+    // EV6c: CAPPED session sequences — ev6's documented production
+    // mitigation for gapless bot traffic (EventQueries ev6 comment: "split
+    // sessions at N events") made an operator instead of a comment: a
+    // session that reaches ev6CapN events closes there and the next event
+    // starts a new one, so the open buffer any route holds is bounded by
+    // the cap even under continuous activity. Runs through the SAME
+    // splitSessions/sessionRuns core as ev6b and the streaming face (one
+    // cap parameter, three routes — they cannot diverge); sess_idx stays
+    // the dense time-ordered per-user numbering, now counting cap splits
+    // too. The oracle replays the cap relationally: within each gap
+    // session, chunks are consecutive groups of exactly ev6CapN by
+    // row_number, and the final index is a row_number over (gap session,
+    // chunk) — the same dense numbering.
+    "ev6c_session_sequences_capped" -> ((s, d) =>
+      EventStreams.sessionSequences(Tables.events(s, d), maxEvents = ev6CapN).toDF()),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
@@ -445,6 +461,46 @@ object EventQueries {
        SELECT from_state, to_state, n,
          round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
        FROM c"""
+
+  /** ev6c's split-at-N cap — ONE constant drives the Spark face and the
+    * generated oracle SQL (the sp1Shards pattern). 2 binds on the fixture's
+    * 3-event sessions while leaving the 1/2-event majority untouched.
+    */
+  val ev6CapN: Int = 2
+
+  // ev6c's oracle: the cap replayed RELATIONALLY rather than sequentially —
+  // gap boundaries don't depend on cap splits (the gap rule compares
+  // consecutive-event timestamps only), so ev6's gap sessionization stands
+  // unchanged, and within each gap session splitSessions' forward pass
+  // produces consecutive chunks of exactly ev6CapN events (only the last
+  // shorter) = (row_number - 1) // cap. The final sess_idx is the dense
+  // time-ordered per-user numbering over (gap session, chunk) — exactly
+  // sessionRuns' shared counter across gap and cap splits.
+  private lazy val ev6cOracle =
+    s"""WITH y AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         z AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gidx
+           FROM y),
+         ch AS (
+           SELECT *, (row_number() OVER (PARTITION BY user_id, gidx
+               ORDER BY ts, event_id) - 1) // $ev6CapN AS chunk
+           FROM z),
+         g AS (
+           SELECT user_id, gidx, chunk, count(*)::BIGINT AS n_events,
+             array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq,
+             (list(event_type ORDER BY ts, event_id))[-1] AS label
+           FROM ch GROUP BY user_id, gidx, chunk)
+         SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY gidx, chunk)::BIGINT AS sess_idx,
+           n_events, seq, label
+         FROM g"""
 
   // ev2's sessionization (strict > 1800s gap splits) with the (ts, event_id)
   // tie-break, then an ORDER BY inside list() replays the Spark side's
@@ -588,6 +644,7 @@ object EventQueries {
     "ev6_session_sequences" -> ev6Oracle,
     // identical semantics through the secondary-sort streaming-core route
     "ev6b_session_sequences_stateful" -> ev6Oracle,
+    "ev6c_session_sequences_capped" -> ev6cOracle,
     "as1_asof_join" ->
       """SELECT p.event_id, p.user_id, s.value AS rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

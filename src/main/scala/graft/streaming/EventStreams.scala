@@ -137,15 +137,25 @@ object EventStreams {
     * semantics; note Spark's native session_window splits at >=, which is
     * why the custom-state route exists). Shared verbatim by the batch and
     * streaming faces, so the two cannot diverge at the boundary.
+    *
+    * `maxEvents` is the SPLIT-AT-N CAP (ev6c; ev6's documented production
+    * mitigation for gapless bot traffic made an operator): a session that
+    * reaches N events closes there and the next event — gap or no gap —
+    * starts a new one, so within one gap-session the chunks are consecutive
+    * groups of exactly N (only the last may be shorter) and the open buffer
+    * every face holds is bounded by N even under continuous activity.
+    * Default Int.MaxValue = uncapped (ev6/ev6b semantics unchanged).
     */
   private[streaming] def splitSessions(sorted: IndexedSeq[SessEv],
-      gapUs: Long = sessionGapUs): Vector[Vector[SessEv]] = {
+      gapUs: Long = sessionGapUs, maxEvents: Int = Int.MaxValue): Vector[Vector[SessEv]] = {
     val out = Vector.newBuilder[Vector[SessEv]]
     var cur = Vector.newBuilder[SessEv]
     var n = 0
     var lastTs = 0L
     sorted.foreach { e =>
-      if (n > 0 && e.ts_us - lastTs > gapUs) { out += cur.result(); cur = Vector.newBuilder[SessEv] }
+      if (n > 0 && (e.ts_us - lastTs > gapUs || n == maxEvents)) {
+        out += cur.result(); cur = Vector.newBuilder[SessEv]; n = 0
+      }
       cur += e; n += 1; lastTs = e.ts_us
     }
     if (n > 0) out += cur.result()
@@ -165,7 +175,8 @@ object EventStreams {
     * is the open session — same continuous-activity caveat as ev6: a
     * gapless firehose user is one unbounded session, cap upstream).
     */
-  def sessionSequences(events: DataFrame): Dataset[SessionRow] = {
+  def sessionSequences(events: DataFrame,
+      maxEvents: Int = Int.MaxValue): Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -174,7 +185,7 @@ object EventStreams {
       .as[SessEv]
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "ts_us", "event_id")
-      .mapPartitions(sessionRuns(_))
+      .mapPartitions(sessionRuns(_, maxEvents = maxEvents))
   }
 
   /** Per-partition pass of [[sessionSequences]]: input is consecutive user
@@ -184,7 +195,7 @@ object EventStreams {
     * drains.
     */
   private[streaming] def sessionRuns(rows: Iterator[SessEv],
-      gapUs: Long = sessionGapUs): Iterator[SessionRow] = {
+      gapUs: Long = sessionGapUs, maxEvents: Int = Int.MaxValue): Iterator[SessionRow] = {
     var curUser = Long.MinValue
     var sessIdx = 0L
     var lastTs = 0L
@@ -201,7 +212,9 @@ object EventStreams {
           val r = if (n > 0) Some(flush()) else None
           curUser = e.user_id; sessIdx = 1L
           r
-        } else if (e.ts_us - lastTs > gapUs) {
+        } else if (e.ts_us - lastTs > gapUs || n == maxEvents) {
+          // the cap split shares sessIdx numbering with gap splits: indices
+          // stay the dense time-ordered count of emitted sessions per user
           val r = Some(flush())
           sessIdx += 1L
           r
@@ -241,7 +254,8 @@ object EventStreams {
     * CONTENTS are unaffected either way, StreamingSpec pins both modes).
     */
   def sessionSequencesStream(events: DataFrame,
-      idleEvictAfter: Option[java.time.Duration] = None): Dataset[SessionRow] = {
+      idleEvictAfter: Option[java.time.Duration] = None,
+      maxEvents: Int = Int.MaxValue): Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -258,7 +272,11 @@ object EventStreams {
             .sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
-          val sessions = splitSessions(merged)
+          // the SAME splitSessions as the batch faces (cap included), so the
+          // routes cannot diverge. Re-splitting only the pending tail keeps
+          // cap boundaries aligned: an emitted cap-chunk was exactly full,
+          // so the remaining chunks' boundaries shift by exactly maxEvents.
+          val sessions = splitSessions(merged, sessionGapUs, maxEvents)
           // sessions are time-ordered, so the closeable ones are a prefix
           val (closed, open) = sessions.span(s => s.last.ts_us + sessionGapUs < wmUs)
           var idx = prev.nextIdx

@@ -146,6 +146,31 @@ class EventQueriesSpec extends SparkSpec {
       "two physical routes, one semantics — including the exact-1800s and same-ts edges")
   }
 
+  test("ev6c: the split-at-N cap chunks gap sessions and renumbers densely") {
+    // ev6CapN = 2 on this fixture: user 1's 3-event gap session splits into
+    // [view click] + [view] (a cap split mid-gap-session — the purchase still
+    // opens its own gap session, now at sess_idx 3); users 2 and 3 sit at
+    // exactly the cap (no split); user 4 under it.
+    assert(EventQueries.ev6CapN === 2, "test enumerations assume cap = 2")
+    val rows = run("ev6c_session_sequences_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(rows === Map(
+      (1L, 1L) -> ((2L, "view click", "click")),
+      (1L, 2L) -> ((1L, "view", "view")),
+      (1L, 3L) -> ((1L, "purchase", "purchase")),
+      (2L, 1L) -> ((2L, "view view", "view")),
+      (3L, 1L) -> ((2L, "click error", "error")),
+      (4L, 1L) -> ((1L, "signup", "signup"))))
+    // the cap loses no events: per-user seq concatenation equals ev6's
+    val uncapped = run("ev6_session_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    def concat(rs: Seq[(Long, Long, String)]) =
+      rs.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(concat(rows.toSeq.map { case ((u, i), (_, s, _)) => (u, i, s) })
+      === concat(uncapped.toSeq))
+  }
+
   test("ev6: label is the last event by (ts, event_id); seq length matches n_events") {
     val rows = run("ev6_session_sequences").collect()
     rows.foreach { r =>

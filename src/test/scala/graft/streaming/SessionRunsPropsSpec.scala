@@ -81,4 +81,54 @@ object SessionRunsProps extends Properties("sessionRuns") {
         rows.map(_.sess_idx).sorted == (1L to rows.length.toLong).toVector
       } && got.forall(r => r.seq.split(" ").last == r.label)
     }
+
+  // ---- ev6c's split-at-N cap ----------------------------------------------
+
+  private val capGen = Gen.choose(1, 5)
+
+  private def viaSplitCapped(evs: Vector[SessEv], cap: Int) =
+    evs.groupBy(_.user_id).toVector.sortBy(_._1).flatMap { case (uid, g) =>
+      splitSessions(g.sortBy(e => (e.ts_us, e.event_id)), gapUs, cap)
+        .zipWithIndex.map { case (s, i) =>
+          (uid, i.toLong + 1L, s.length.toLong,
+            s.map(_.event_type).mkString(" "), s.last.event_type)
+        }
+    }
+
+  property("capped single pass equals per-user capped splitSessions") =
+    forAll(eventsGen, capGen) { (evs, cap) =>
+      val got = sessionRuns(sorted(evs).iterator, gapUs, cap).toVector
+        .map(r => (r.user_id, r.sess_idx, r.n_events, r.seq, r.label))
+      got == viaSplitCapped(evs, cap)
+    }
+
+  // THE cap-boundary law, and exactly what the ev6c oracle's
+  // (row_number - 1) // cap chunking assumes: gap boundaries are unchanged
+  // by the cap (the gap rule compares consecutive-event timestamps only),
+  // and within each gap session the cap splits at every cap-th event —
+  // so the capped split IS the uncapped split with each session regrouped
+  // into grouped(cap) chunks (all full except possibly the last).
+  property("capped split = uncapped split regrouped into grouped(cap) chunks") =
+    forAll(eventsGen, capGen) { (evs, cap) =>
+      val one = evs.filter(_.user_id == 1L).sortBy(e => (e.ts_us, e.event_id))
+      val uncapped = splitSessions(one, gapUs)
+      splitSessions(one, gapUs, cap) ==
+        uncapped.flatMap(_.grouped(cap).map(_.toVector))
+    }
+
+  property("cap = Int.MaxValue is exactly the uncapped semantics") =
+    forAll(eventsGen) { evs =>
+      sessionRuns(sorted(evs).iterator, gapUs, Int.MaxValue).toVector ==
+        sessionRuns(sorted(evs).iterator, gapUs).toVector
+    }
+
+  property("no capped session exceeds cap; short sessions are gap- or run-terminal") =
+    forAll(eventsGen, capGen) { (evs, cap) =>
+      val one = evs.filter(_.user_id == 1L).sortBy(e => (e.ts_us, e.event_id))
+      val ss = splitSessions(one, gapUs, cap)
+      ss.forall(_.length <= cap) && ss.zipWithIndex.forall { case (s, i) =>
+        s.length == cap || i == ss.length - 1 ||
+          ss(i + 1).head.ts_us - s.last.ts_us > gapUs
+      }
+    }
 }
