@@ -107,7 +107,20 @@ object Bench {
       if (!f.exists()) None
       else Some(scala.io.Source.fromFile(f, "UTF-8").mkString)
     }
-    val priorWarm: Map[String, Double] = priorTxt.map { txt =>
+    // Warm-map and warmup comparisons only make sense against a record at
+    // the SAME scale: the warmup includes a lineitem scan over sfDir, so a
+    // latest-record left by a different-SF sweep (SPARK_GRAFT_SF_DIR is
+    // env-configurable and the default outs always overwrite latest) would
+    // yield a host_factor reflecting data-size difference, not host speed,
+    // and a jitter trigger that re-measures (or suppresses) everything.
+    val priorSameSf: Option[String] = priorTxt.filter { txt =>
+      val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      val ok = priorSf.contains(sfDir)
+      if (!ok) System.err.println(s"[bench] prior record sf=$priorSf != " +
+        s"$sfDir — host_factor=1.0, jitter-vs-prior trigger disabled")
+      ok
+    }
+    val priorWarm: Map[String, Double] = priorSameSf.map { txt =>
       val qIdx = txt.indexOf("\"queries\":{")
       if (qIdx < 0) Map.empty[String, Double]
       else {
@@ -136,7 +149,7 @@ object Bench {
     // "host_factor" so the judge/driver can divide the totals by it before
     // calling anything a regression. Clamped: a sub-0.5/5x+ warmup reading
     // is JVM-init noise, not a credible uniform speed ratio.
-    val priorWarmup: Option[Double] = priorTxt.flatMap { txt =>
+    val priorWarmup: Option[Double] = priorSameSf.flatMap { txt =>
       """"warmup_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
     }

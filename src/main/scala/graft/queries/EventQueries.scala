@@ -358,8 +358,15 @@ object EventQueries {
     // mitigation for gapless bot traffic (EventQueries ev6 comment: "split
     // sessions at N events") made an operator instead of a comment: a
     // session that reaches ev6CapN events closes there and the next event
-    // starts a new one, so the open buffer any route holds is bounded by
-    // the cap even under continuous activity. Runs through the SAME
+    // starts a new one. Buffer bounds differ by route: the batch/ev6b
+    // per-partition open-session buffer is bounded by the cap even under
+    // continuous activity, while the STREAMING face's pending state is
+    // bounded by the watermark horizon (~watermark delay + gap of events),
+    // not by N — emission must stay watermark-gated because an out-of-order
+    // event inside the watermark can still sort into a full chunk, so
+    // chunks cannot be emitted early. The cap's win there is that a
+    // gapless user's state no longer grows without bound across
+    // micro-batches. Runs through the SAME
     // splitSessions/sessionRuns core as ev6b and the streaming face (one
     // cap parameter, three routes — they cannot diverge); sess_idx stays
     // the dense time-ordered per-user numbering, now counting cap splits

@@ -162,10 +162,16 @@ object Storage {
     } else if (leafNames.nonEmpty) {
       leafNames.map { name =>
         val leaf = new org.apache.hadoop.fs.Path(path, name)
+        // The partition column lives in the directory NAME, not the leaf
+        // files — a leaf read never has it, so sorting by it would throw
+        // AnalysisException mid-table (after some leaves already swapped).
+        // It is constant within a leaf anyway: stripping it preserves the
+        // requested order exactly.
+        val pcol = name.takeWhile(_ != '=')
         compactDir(spark, fs, leaf,
           new org.apache.hadoop.fs.Path(path, s".$name.compacting"),
           new org.apache.hadoop.fs.Path(path, s".$name.precompact"),
-          targetBytes, sortCols)
+          targetBytes, sortCols.filterNot(_.equalsIgnoreCase(pcol)))
       }.sum
     } else {
       sys.error(s"compact: $path has no part-* files and no k=v partition " +

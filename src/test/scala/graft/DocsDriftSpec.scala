@@ -32,6 +32,20 @@ class DocsDriftSpec extends AnyFunSuite {
       s"README says $stated heavy queries, heavy100 has ${ScaleStress.heavy100.size}")
   }
 
+  test("SyncDocs is a no-op on the committed README (counts generated, current)") {
+    // SyncDocs (round 14) is the zero-hand-edit fix for the count drift
+    // this spec kept catching: its regexes must stay in lockstep with the
+    // ones above, and the committed README must already be synced. Run on
+    // a temp COPY so a failing build never mutates the working tree.
+    val tmp = java.nio.file.Files.createTempFile("readme-drift", ".md")
+    try {
+      java.nio.file.Files.write(tmp, readme.getBytes("UTF-8"))
+      val changed = SyncDocs.sync(tmp)
+      assert(changed.isEmpty,
+        s"README counts stale — run `sbt \"runMain graft.SyncDocs\"`: $changed")
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("every registry query has an oracle (or a documented exemption)") {
     // the round-11 regression class: a query landing without oracle SQL is
     // exactly what turned 184/184 into 182/184 — keep the contract total

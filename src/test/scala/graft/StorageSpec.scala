@@ -347,6 +347,36 @@ class StorageSpec extends SparkSpec {
       (n2.contains("compacting") || n2.contains("precompact"))))
   }
 
+  test("compact on a hive layout tolerates sortCols containing the partition column") {
+    // Leaf DataFrames are read from inside the k=v directory, so the
+    // partition column is absent there — before round 14, sortCols
+    // containing it threw AnalysisException AFTER some leaves had already
+    // been rewritten. It is constant within a leaf, so stripping it
+    // preserves the requested order exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact6").toString + "/t"
+    Storage.writePartitioned(
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(4),
+      dir, "l_returnflag")
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    val n = Storage.compact(spark, dir,
+      sortCols = Seq("l_returnflag", "l_orderkey"))
+    assert(n === 3)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(after === before)
+    // within each leaf the surviving sort key is actually applied
+    val leaves = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .filter(_.getName.contains("=")).map(_.getAbsolutePath)
+    leaves.foreach { l =>
+      val keys = spark.read.parquet(l).select("l_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys === keys.sorted, s"leaf $l not sorted by l_orderkey")
+    }
+  }
+
   test("compact refuses an unrecognized layout instead of rewriting it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact4").toString + "/t"
     new java.io.File(dir + "/not_a_partition").mkdirs()
