@@ -17,6 +17,20 @@ import graft.text.TextAnalysis
 object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** tx18's retrieval workload: a (query_id, term) table — ONE Scala value
+    * drives both the Spark plan (a broadcast frame) and the oracle's VALUES
+    * literal (the plane/centroid-literal pattern), so the two engines score
+    * the identical query set by construction. Mixed shapes on purpose:
+    * 2- and 3-term queries, one shared term across queries (join), and one
+    * rare term (dup, df~5% of docs) so the idf spread actually exercises
+    * the ranking.
+    */
+  private[queries] val tx18QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "filter", 2L -> "scan", 2L -> "column",
+    3L -> "sort", 3L -> "merge",
+    4L -> "dup", 4L -> "stream", 4L -> "join")
+
   // Shared doc prep: words + 3-gram shingles, docs with >= 3 words.
   // Repartition first: the md5-minhash work downstream is CPU-bound, and the
   // small local fixture arrives as one split; real 100 TB inputs have many
@@ -161,6 +175,68 @@ object TextQueries {
         .select(col("doc_id"), round(col("score"), 6).as("bm25"))
     }),
 
+    // TX18: BM25 retrieval for a QUERY TABLE — the generalization round-12
+    // asked for: tx17's per-term-column form caps the workload at a
+    // compile-time term set, while real retrieval joins a (query_id, term)
+    // table against the token stream (tx17 stays as the fixed-term fast
+    // path). Shapes, scale-first:
+    //   - ONE pass over the exploded corpus into (doc_id, word) counts —
+    //     the inverted-index build (linear, one shuffle), checkpointed so
+    //     dl / tf / df consumers re-read (doc x distinct-word)-cardinality
+    //     rows instead of re-exploding the corpus each;
+    //   - the query table, per-term dfs, and corpus stats are broadcasts
+    //     (queries are human-authored — thousands, never corpus-scale);
+    //   - per-query top-k via the bounded TopK aggregator (v5's shape):
+    //     k rows per (query, partition) cross the wire, never a global
+    //     window sort of every matching doc on one reducer.
+    // Score determinism with a VARIABLE number of terms per query: the
+    // tx17 fixed-parenthesization trick doesn't survive a fold over a
+    // query-dependent term list (fp addition is order-sensitive), so each
+    // per-term contribution — itself one fixed expression both engines
+    // compute identically — is scaled to an integer (x 1e9, round) and the
+    // per-(query, doc) score is an exact LONG sum: order-free, engine-free.
+    // Magnitudes stay far below 2^53, so ranking on the long (desc, then
+    // doc_id) and dividing back out for display are both exact.
+    "tx18_bm25_query_table" -> ((s, d) => {
+      import s.implicits._
+      val qt = tx18QueryTerms.toDF("query_id", "term")
+      val terms = tx18QueryTerms.map(_._2).distinct
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val tc = graft.ops.Checkpoints.tracked(
+        words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")))
+      val lens = tc.groupBy("doc_id").agg(sum("cnt").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = tc.filter(col("word").isin(terms: _*))
+      val dfs = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        .withColumnRenamed("word", "df_word")
+      // same parenthesization as tx17, token for token in the oracle:
+      // idf(t) * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/(sum_dl/n_docs)))))
+      val contrib = tf
+        .join(broadcast(qt), col("word") === col("term"))
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfs), col("word") === col("df_word"))
+        .withColumn("c", round(
+          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            ((col("cnt") * lit(2.2)) /
+              (col("cnt") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
+          ) * lit(1e9)).cast("long"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(10))
+      contrib.groupBy("query_id", "doc_id").agg(sum("c").as("s_e9"))
+        .groupBy("query_id")
+        .agg(topk(col("s_e9").cast("double"), col("doc_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col._2").as("doc_id"),
+          round(col("col._1") / lit(1e9), 6).as("bm25"))
+    }),
+
     // JS1: JSONL round-trip — export the corpus as sharded JSONL
     // (sources.JsonlCorpus), re-read it FAILFAST with the explicit schema,
     // and return the re-read rows; the oracle reads the original parquet,
@@ -173,6 +249,25 @@ object TextQueries {
       val dir = graft.sources.Standing.artifact(s, d, "js1_jsonl") {
         val t = java.nio.file.Files.createTempDirectory("graft-js1").toString
         graft.sources.JsonlCorpus.write(docs, t, shards = 4)
+        t
+      }
+      graft.sources.JsonlCorpus.readStrict(s, dir, docs.schema)
+        .select(docs.columns.map(col): _*)
+    }),
+
+    // JS2: the COMPRESSED JSONL round-trip — corpora on disk are almost
+    // always gzip JSONL, and gzip is the codec with the scale trap: it is
+    // not line-splittable, so each shard is one read task forever (the
+    // consequence is measured and pinned in JsonlCorpusSpec — gzip shard
+    // = 1 partition regardless of split size, bzip2 shard still fans
+    // out). This face proves the codec path is byte-lossless end-to-end
+    // against the same parquet oracle as js1: same rows through
+    // deflate + base64-free JSON escaping and back.
+    "js2_jsonl_gzip_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Standing.artifact(s, d, "js2_jsonl_gz") {
+        val t = java.nio.file.Files.createTempDirectory("graft-js2").toString
+        graft.sources.JsonlCorpus.write(docs, t, shards = 4, codec = Some("gzip"))
         t
       }
       graft.sources.JsonlCorpus.readStrict(s, dir, docs.schema)
@@ -1700,6 +1795,10 @@ object TextQueries {
     // codec round-tripped every value losslessly
     "js1_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // same oracle as js1: the compressed round-trip must reproduce the
+    // original parquet rows exactly — the codec is pure transport
+    "js2_jsonl_gzip_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // one parenthesization per factor, mirrored from the Spark side; the
     // cross-term sum is three fixed left-assoc additions (never a list fold)
     "tx17_bm25_topk" ->
@@ -1732,6 +1831,39 @@ object TextQueries {
            FROM tfs t JOIN lens USING (doc_id) CROSS JOIN stats CROSS JOIN dfs)
          SELECT doc_id, round(score, 6) AS bm25
          FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    // the qt VALUES literal and the IN-list are emitted from the SAME
+    // tx18QueryTerms value the Spark plan broadcasts; per-term scores are
+    // integer-scaled (x 1e9) before the per-(query, doc) sum so the
+    // variable-length term sum is exact in both engines (see the query's
+    // comment), and ranking/rounding both derive from that integer
+    "tx18_bm25_query_table" ->
+      s"""WITH qt(query_id, term) AS (VALUES ${
+            tx18QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         words AS (
+           SELECT doc_id, word
+           FROM documents,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) u(word)
+           WHERE word != ''),
+         tc AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM words GROUP BY 1, 2),
+         lens AS (SELECT doc_id, sum(cnt)::BIGINT AS dl FROM tc GROUP BY 1),
+         stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens),
+         tf AS (SELECT doc_id, word, cnt FROM tc
+                WHERE word IN (${tx18QueryTerms.map(_._2).distinct
+                  .map(t => s"'$t'").mkString(", ")})),
+         dfs AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+               ((cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))) * 1e9)::BIGINT AS c
+           FROM tf JOIN qt ON qt.term = tf.word JOIN lens USING (doc_id)
+           CROSS JOIN stats JOIN dfs ON dfs.word = tf.word),
+         scores AS (SELECT query_id, doc_id, sum(c)::BIGINT AS s_e9 FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, s_e9,
+             row_number() OVER (PARTITION BY query_id ORDER BY s_e9 DESC, doc_id) AS rank
+           FROM scores)
+         SELECT query_id::BIGINT AS query_id, rank, doc_id, round(s_e9 / 1e9, 6) AS bm25
+         FROM ranked WHERE rank <= 10""",
     "tx1_token_counts" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws,

@@ -26,10 +26,22 @@ object JsonlCorpus {
 
   /** Sharded JSONL export. `shards > 0` fixes the output file count (one
     * round-robin exchange); 0 keeps the upstream partitioning (no shuffle).
+    *
+    * `codec` compresses the shards (gzip/bzip2/zstd/...). The parallelism
+    * consequence is the part that matters at 100 TB and is pinned in
+    * JsonlCorpusSpec: gzip (and zstd/deflate as Spark writes them —
+    * single-member streams) is NOT line-splittable, so each shard is
+    * exactly one read task no matter its size — shard count chosen at
+    * WRITE time is the read parallelism forever. bzip2 IS block-splittable
+    * (Hadoop's BZip2Codec reads from any 900k block boundary), so a big
+    * shard still fans out. Rule: compressed JSONL shards must be sized
+    * like tasks (~100-500 MB), or use a splittable codec.
     */
-  def write(df: DataFrame, dir: String, shards: Int = 0): Unit = {
+  def write(df: DataFrame, dir: String, shards: Int = 0,
+      codec: Option[String] = None): Unit = {
     val out = if (shards > 0) df.repartition(shards) else df
-    out.write.mode("overwrite").json(dir)
+    val w = out.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(dir)
   }
 
   /** Permissive read: rows whose line fails to parse (or whose fields

@@ -65,6 +65,10 @@ class RegistryPlanSpec extends SparkSpec {
       "(corpus n_docs/sum_dl and the three query-term dfs); everything " +
       "else is the tx9 token equi-agg pipeline, and the top-k is " +
       "TakeOrderedAndProject, not a global window"),
+    "tx18_bm25_query_table" -> ("the cross is the 1-row broadcast corpus " +
+      "stats scalar (tx17's shape); the query table, dfs, and doc lengths " +
+      "all join by equi-keys, and the per-query top-k is the bounded TopK " +
+      "Aggregator, not a global window"),
     "v14_recall_audit" -> ("the ground-truth side is v1's bounded " +
       "broadcast-query brute force (20-query batch, one corpus pass); " +
       "the LSH side and the hit join are equi-joins"))
