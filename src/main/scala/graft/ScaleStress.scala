@@ -68,7 +68,16 @@ object ScaleStress {
     "v9e_knn_ivfpq_opq", "v12_knn_truncated_rerank",
     "sp2_length_bucketed_batches", "apx3_sketch_rollup",
     "tx16_token_entropy", "ev4_spike_detection",
-    "d16_chunk_dedup", "apx4_countmin_terms", "v13_prototypicality_prune")
+    "d16_chunk_dedup", "apx4_countmin_terms", "v13_prototypicality_prune",
+    // round-14 additions: the sampled LSH audits shipped in round 13
+    // PRECISELY to replace the superlinear full-truth d17/d18 at corpus
+    // scale (fixed-count anchor set -> cost constant in anchors, linear in
+    // corpus) — this sweep is the measurement that claim was missing; ev6c
+    // rides the ev6b single-pass with an O(1) cap check, and tx18 is the
+    // query-table BM25 (inverted-index build + broadcast query side), both
+    // expected flat-linear
+    "d19_lsh_recall_sampled", "d20_lsh_precision_sampled",
+    "ev6c_session_sequences_capped", "tx18_bm25_query_table")
 
   val ratioBound = 15.0
 

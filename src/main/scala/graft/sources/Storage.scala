@@ -144,6 +144,19 @@ object Storage {
         sys.error(s"compact: cannot restore crashed swap $old -> $path")
     }
     val entries = fs.listStatus(path)
+    // A streaming file sink's output carries a _spark_metadata transaction
+    // log whose entries name the exact part files the sink committed —
+    // readers of such a directory resolve files THROUGH the log, and the
+    // running sink keeps appending to it. Rewriting the part files would
+    // dangle every logged entry (and the swap would drop the log itself),
+    // so this is the one layout compact must refuse while it looks
+    // perfectly compactable: stop the stream and retire the log first, or
+    // compact a downstream table instead. (Plain directories have no such
+    // pointer, hence the documented non-atomic-window contract below.)
+    if (entries.exists(e => e.isDirectory && e.getPath.getName == "_spark_metadata"))
+      sys.error(s"compact: $path is a streaming file-sink output " +
+        "(_spark_metadata present) — compacting would dangle the sink's " +
+        "transaction log; stop the stream and retire the log first")
     val partFiles = entries.filter(e =>
       e.isFile && e.getPath.getName.startsWith("part-"))
     // visible leaf partitions, plus crashed-swap leaves that exist only as

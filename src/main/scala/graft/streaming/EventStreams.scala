@@ -142,8 +142,13 @@ object EventStreams {
     * mitigation for gapless bot traffic made an operator): a session that
     * reaches N events closes there and the next event — gap or no gap —
     * starts a new one, so within one gap-session the chunks are consecutive
-    * groups of exactly N (only the last may be shorter) and the open buffer
-    * every face holds is bounded by N even under continuous activity.
+    * groups of exactly N (only the last may be shorter). Buffer bounds
+    * differ by face: batch/ev6b's open-session buffer is bounded by N even
+    * under continuous activity, while the streaming face's pending state is
+    * bounded by the watermark horizon, not N — emission stays
+    * watermark-gated because an out-of-order event inside the watermark can
+    * still sort into a full chunk, so chunks can't close early (the cap's
+    * streaming win: a gapless user's state no longer grows without bound).
     * Default Int.MaxValue = uncapped (ev6/ev6b semantics unchanged).
     */
   private[streaming] def splitSessions(sorted: IndexedSeq[SessEv],

@@ -384,6 +384,84 @@ class StorageSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing"), e.getMessage)
   }
 
+  test("compact refuses a LIVE streaming file-sink directory (_spark_metadata)") {
+    // The round-12 stretch "compaction x running stream": the dangerous
+    // interaction isn't the rename race (plain readers get old-or-new, see
+    // the racing-reader spec below) — it's that a streaming sink's readers
+    // resolve part files THROUGH the _spark_metadata transaction log, and
+    // the running sink keeps appending to it. A rewrite would dangle every
+    // logged entry, so compact must refuse while the query is still live.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sinkc").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sinkc-ck").toString
+    val q = mem.toDF().toDF("id", "s").writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val e = intercept[RuntimeException](Storage.compact(spark, outDir))
+      assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
+      // the stream is unharmed: it keeps committing and its readers (who
+      // go through the log) still see every row
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 3)
+    } finally q.stop()
+  }
+
+  test("a reader racing compact sees old-or-new rows (not-found window retried)") {
+    // The durability contract in compactDir's scaladoc, exercised for real:
+    // a concurrent reader either sees the complete table (old or new
+    // layout — row content is identical by compact's row-preservation) or
+    // hits the documented brief not-found window between the two renames
+    // and retries. What must NEVER happen: a successful read returning a
+    // partial mix (half old files, half new).
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").toString + "/t"
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    src.repartition(6).write.parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+
+    @volatile var stop = false
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val windowHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val goodReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    def isNotFoundWindow(t: Throwable): Boolean = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      chain.exists {
+        case _: java.io.FileNotFoundException => true
+        case e => val m = Option(e.getMessage).getOrElse("")
+          m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+            m.contains("FAILED_READ_FILE")
+      }
+    }
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = spark.read.parquet(dir).count()
+          if (n == expected) goodReads.incrementAndGet()
+          else anomalies.add(s"read $n rows, expected $expected")
+        } catch {
+          case t: Throwable if isNotFoundWindow(t) => windowHits.incrementAndGet()
+          case t: Throwable => anomalies.add(s"unexpected: ${t.getClass}: ${t.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      // repeated full swaps while the reader hammers the path — each
+      // compact is two renames, so every iteration re-opens the window
+      (1 to 6).foreach(_ => Storage.compact(spark, dir))
+    } finally { stop = true; reader.join(30000) }
+    assert(anomalies.isEmpty, s"racing reader anomalies: ${anomalies}")
+    assert(goodReads.get() > 0, "the race never produced a successful read " +
+      "— the spec lost its subject")
+    assert(spark.read.parquet(dir).count() === expected)
+  }
+
   test("compact recovers a swap that crashed between the two renames") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact5").toString + "/t"
     val src = Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -186,6 +186,84 @@ class StreamingSpec extends SparkSpec {
       "default retention keeps monotone numbering for returning users")
   }
 
+  test("ev6c streaming end-to-end: cap splits and idle TTL compose in one run") {
+    // Round-13 shipped the split-at-N cap and the idle-state TTL as
+    // separately-spec'd features; this drives BOTH through one query —
+    // the production configuration for an open-ended user space with
+    // gapless-bot traffic. Cap 3, TTL 1h.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(id: Long, user: Long, at: String, typ: String) =
+      Ev(id, ts(at), user, typ, 1.0, "{}")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionSequencesStream(mem.toDF(),
+        idleEvictAfter = Some(java.time.Duration.ofHours(1)), maxEvents = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_cap_ttl").start()
+    try {
+      def step(evs: Ev*): Unit = { mem.addData(evs: _*); q.processAllAvailable() }
+      def user1: Set[(Long, Long, Long, String, String)] =
+        spark.table("sess_cap_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+          .filter(_._1 == 1L).toSet
+      // 5 gapless events for user 1, one OUT OF ORDER inside the watermark
+      // (id 4 at 10:02 arrives after id 3 at 10:03) — the cap must apply to
+      // the time-sorted order, chunking [10:00 10:01 10:02][10:03 10:04]
+      step(uev(1, 1, "2024-01-01 10:00:00", "view"),
+           uev(2, 1, "2024-01-01 10:01:00", "click"))
+      step(uev(3, 1, "2024-01-01 10:03:00", "view"),
+           uev(4, 1, "2024-01-01 10:02:00", "click"),
+           uev(5, 1, "2024-01-01 10:04:00", "purchase"))
+      assert(user1.isEmpty, "a full cap chunk must still wait for the " +
+        "watermark — a late event inside it could re-sort the chunk")
+      // sentinels close user 1's chunks (wm 11:30+) and arm the idle alarm
+      step(uev(90, 99, "2024-01-01 12:00:00", "view"))
+      step(uev(91, 99, "2024-01-01 12:01:00", "view"))
+      assert(user1 === Set(
+        (1L, 1L, 3L, "view click click", "click"),
+        (1L, 2L, 2L, "view purchase", "purchase")),
+        "cap splits the gapless run at 3 in event-time order")
+      // push the watermark past (close wm 11:30) + 1h — the idle alarm
+      // fires with nothing pending: state evicted
+      step(uev(92, 99, "2024-01-01 14:00:00", "view"))
+      step(uev(93, 99, "2024-01-01 14:01:00", "view"))
+      // user 1 returns with 4 gapless events -> capped chunks [3][1],
+      // RE-numbered from 1 (the TTL trade-off)
+      step(uev(6, 1, "2024-01-01 15:00:00", "view"),
+           uev(7, 1, "2024-01-01 15:01:00", "click"),
+           uev(8, 1, "2024-01-01 15:02:00", "view"),
+           uev(9, 1, "2024-01-01 15:03:00", "click"))
+      step(uev(94, 99, "2024-01-01 17:00:00", "view"))
+      step(uev(95, 99, "2024-01-01 17:01:00", "view"))
+      val got = user1
+      assert(got === Set(
+        (1L, 1L, 3L, "view click click", "click"),
+        (1L, 2L, 2L, "view purchase", "purchase"),
+        (1L, 1L, 3L, "view click view", "view"),
+        (1L, 2L, 1L, "click", "click")),
+        "post-eviction sessions restart at sess_idx 1; cap still applies")
+      // batch≡streaming on CONTENT: the capped batch face (= the ev6c
+      // oracle's semantics) over the same user-1 rows yields the same
+      // session contents; only the numbering differs (batch never evicts,
+      // so its indices run 1..4) — the documented divergence, pinned
+      val allRows = Seq(
+        uev(1, 1, "2024-01-01 10:00:00", "view"), uev(2, 1, "2024-01-01 10:01:00", "click"),
+        uev(3, 1, "2024-01-01 10:03:00", "view"), uev(4, 1, "2024-01-01 10:02:00", "click"),
+        uev(5, 1, "2024-01-01 10:04:00", "purchase"),
+        uev(6, 1, "2024-01-01 15:00:00", "view"), uev(7, 1, "2024-01-01 15:01:00", "click"),
+        uev(8, 1, "2024-01-01 15:02:00", "view"), uev(9, 1, "2024-01-01 15:03:00", "click"))
+        .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batch = EventStreams.sessionSequences(allRows, maxEvents = 3).collect()
+        .map(r => (r.user_id, r.sess_idx, r.n_events, r.seq, r.label)).toSet
+      assert(batch.map(t => (t._1, t._3, t._4, t._5)) ===
+        got.map(t => (t._1, t._3, t._4, t._5)),
+        "session contents agree with the capped batch face")
+      assert(batch.map(_._2) === Set(1L, 2L, 3L, 4L),
+        "the batch face numbers continuously — eviction is stream-only")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops repeats inside the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
