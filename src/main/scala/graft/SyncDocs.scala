@@ -20,13 +20,18 @@ object SyncDocs {
     ("""(the registry: )(\d+)( queries)""".r, SparkEntry.queries.size, "registry"),
     ("""(the )(\d+)( most expensive scale-free)""".r, ScaleStress.heavy100.size, "heavy-sweep"))
 
-  def sync(readmePath: java.nio.file.Path): Seq[String] = {
-    val before = new String(java.nio.file.Files.readAllBytes(readmePath), "UTF-8")
-    val (after, changed) = rewrites.foldLeft((before, List.empty[String])) {
+  /** COVERAGE.md's count uses different prose; same mechanism. */
+  def coverageRewrites: Seq[(scala.util.matching.Regex, Int, String)] = Seq(
+    ("""(ALL )(\d+)( registry queries)""".r, SparkEntry.queries.size, "coverage-registry"))
+
+  def sync(path: java.nio.file.Path,
+      rules: Seq[(scala.util.matching.Regex, Int, String)]): Seq[String] = {
+    val before = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val (after, changed) = rules.foldLeft((before, List.empty[String])) {
       case ((txt, log), (pat, n, what)) =>
         pat.findFirstMatchIn(txt) match {
-          case None => sys.error(s"SyncDocs: README no longer contains the " +
-            s"$what count pattern $pat — fix the prose or the pattern")
+          case None => sys.error(s"SyncDocs: ${path.getFileName} no longer " +
+            s"contains the $what count pattern $pat — fix the prose or the pattern")
           case Some(m) if m.group(2).toInt == n => (txt, log)
           case Some(m) =>
             (pat.replaceFirstIn(txt,
@@ -35,13 +40,17 @@ object SyncDocs {
         }
     }
     if (changed.nonEmpty)
-      java.nio.file.Files.write(readmePath, after.getBytes("UTF-8"))
+      java.nio.file.Files.write(path, after.getBytes("UTF-8"))
     changed
   }
 
+  def sync(readmePath: java.nio.file.Path): Seq[String] =
+    sync(readmePath, rewrites)
+
   def main(args: Array[String]): Unit = {
-    val changed = sync(java.nio.file.Paths.get("README.md"))
-    if (changed.isEmpty) println("SyncDocs: README counts already current")
+    val changed = sync(java.nio.file.Paths.get("README.md"), rewrites) ++
+      sync(java.nio.file.Paths.get("COVERAGE.md"), coverageRewrites)
+    if (changed.isEmpty) println("SyncDocs: doc counts already current")
     else changed.foreach(c => println(s"SyncDocs: $c"))
   }
 }

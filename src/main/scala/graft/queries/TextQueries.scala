@@ -475,6 +475,60 @@ object TextQueries {
       at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
     }),
 
+    // D21: the sampled audit's STATISTICAL POWER face (round-13 verdict
+    // stretch #8) — d19 reports one pooled recall per threshold, but a
+    // rollout tuning anchor COUNT needs to know how much precision each
+    // anchor buys. The 120 anchors split into anchorStrataK interleaved
+    // md5-rank strata (each stratum is itself an unbiased md5-ordered
+    // sample, so the strata are 3 independent 40-anchor audits); per
+    // threshold the query reports the pooled estimate plus the mean and
+    // standard error ACROSS strata — se at 40 anchors, and se/sqrt(k)
+    // scaling tells you the anchor budget for a target confidence.
+    // Same linear anchor-rooted shapes as d19 (the strata ride the same
+    // 120-row broadcast); per-stratum recalls are exact integer ratios in
+    // both engines, and the cross-stratum mean/se aggregate 3 values.
+    "d21_lsh_recall_variance" -> ((s, d) => {
+      val t = graft.ops.Checkpoints.tracked(shingled(s, d))
+      val anchors = anchorStrata(t)
+      val ex = graft.ops.Checkpoints.tracked(
+        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+      val exA = ex.join(broadcast(anchors.select("doc_id")), "doc_id")
+      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val truth = exA.as("l").join(ex.as("r"), "g")
+        .filter(col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .agg(count(lit(1)).as("ninter"))
+        .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+        .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (col("ninter").cast("double") /
+            (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
+      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+        .join(broadcast(anchors.select(col("doc_id").as("a"))), "a")
+      val f = graft.ops.Checkpoints.tracked(
+        truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+          .join(broadcast(anchors.withColumnRenamed("doc_id", "a")), "a")
+          .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"),
+            col("stratum")))
+      def at(th: Double) = {
+        val per = f.filter(col("jaccard") >= th)
+          .groupBy("stratum")
+          .agg(count(lit(1)).as("n_true"), sum("hit").as("n_found"))
+          .select(col("n_true"), col("n_found"),
+            (col("n_found").cast("double") / col("n_true")).as("recall"))
+        per.agg(lit(th).as("threshold"), count(lit(1)).as("n_strata"),
+          round(sum("n_found").cast("double") / sum("n_true"), 6).as("pooled_recall"),
+          round(avg("recall"), 6).as("mean_recall"),
+          // guarded: stddev_samp of a single value is NaN in Spark but
+          // NULL in DuckDB — both sides emit NULL below 2 strata
+          when(count(lit(1)) > 1,
+            round(stddev_samp(col("recall")) /
+              sqrt(count(lit(1)).cast("double")), 6)).as("se_recall"))
+      }
+      at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
+    }),
+
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
     // INTENTIONALLY on plain min-label propagation, not the auto-router:
@@ -1512,6 +1566,38 @@ object TextQueries {
     s"""SELECT doc_id FROM t
        ORDER BY md5('audit|' || doc_id::VARCHAR), doc_id LIMIT $auditAnchors"""
 
+  /** d21's stratification width: the anchor set splits into this many
+    * interleaved md5-rank strata (each an independent unbiased sub-audit).
+    * ONE constant drives the Spark face and the oracle CTE.
+    */
+  val anchorStrataK: Int = 3
+
+  /** [[anchorDocs]] plus an interleaved stratum id ((md5-rank - 1) mod K):
+    * interleaving by the SAME hash order that selected the anchors makes
+    * each stratum its own unbiased md5-ordered sample. The row_number
+    * window runs over the already-limited 120-row frame (one partition by
+    * construction — broadcast-sized, the warning Spark emits is the point).
+    */
+  private def anchorStrata(t: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hk"), col("doc_id"))
+    t.select(col("doc_id"),
+        md5(concat(lit("audit|"), col("doc_id").cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("doc_id"))
+      .limit(auditAnchors)
+      .withColumn("stratum",
+        ((row_number().over(w) - 1) % anchorStrataK).cast("bigint"))
+      .select("doc_id", "stratum")
+  }
+
+  // Oracle twin of anchorStrata: row_number over ALL of t in the same md5
+  // order, then the LIMIT keeps exactly ranks 1..120 — identical strata.
+  private lazy val anchorStrataCte =
+    s"""SELECT doc_id,
+         ((row_number() OVER (ORDER BY md5('audit|' || doc_id::VARCHAR), doc_id)
+           - 1) % $anchorStrataK)::BIGINT AS stratum
+       FROM t
+       ORDER BY md5('audit|' || doc_id::VARCHAR), doc_id LIMIT $auditAnchors"""
+
   // d17's oracle: exact-Jaccard truth over the shingle-sharing pairs (the
   // complete set for any positive threshold) ⟕ d3's banded candidates
   // (replayed verbatim from its oracle body), then one filtered aggregate
@@ -1616,6 +1702,57 @@ object TextQueries {
        f AS (
          SELECT tr.jaccard, CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
          FROM truth tr LEFT JOIN cand c ON c.a = tr.a AND c.b = tr.b)
+       ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
+  }
+
+  // d21's oracle: d19's sampled-truth pipeline with the anchor's stratum
+  // carried through, per-stratum recalls as exact integer ratios, then the
+  // pooled/mean/se aggregate per threshold (se guarded NULL below 2 strata
+  // — Spark's single-value stddev_samp is NaN, DuckDB's is NULL).
+  private lazy val d21VarianceOracle = {
+    def at(th: String) =
+      s"""SELECT $th::DOUBLE AS threshold, count(*)::BIGINT AS n_strata,
+           round(sum(n_found)::DOUBLE / sum(n_true), 6) AS pooled_recall,
+           round(avg(recall), 6) AS mean_recall,
+           CASE WHEN count(*) > 1
+             THEN round(stddev_samp(recall) / sqrt(count(*)), 6) END AS se_recall
+         FROM (SELECT stratum, count(*)::BIGINT AS n_true,
+                 sum(hit)::BIGINT AS n_found,
+                 sum(hit)::DOUBLE / count(*) AS recall
+               FROM f WHERE jaccard >= $th GROUP BY stratum)"""
+    s"""WITH t AS ($shingleCte),
+       anchors AS ($anchorStrataCte),
+       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
+       sharing AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM e l JOIN e r USING (g)
+         WHERE l.doc_id < r.doc_id
+           AND l.doc_id IN (SELECT doc_id FROM anchors)),
+       truth AS (
+         SELECT s.a, s.b,
+           len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
+           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
+         FROM sharing s
+         JOIN t la ON la.doc_id = s.a
+         JOIN t lb ON lb.doc_id = s.b),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id
+           AND l.doc_id IN (SELECT doc_id FROM anchors)),
+       f AS (
+         SELECT tr.jaccard,
+           CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+           an.stratum
+         FROM truth tr
+         LEFT JOIN cand c ON c.a = tr.a AND c.b = tr.b
+         JOIN anchors an ON an.doc_id = tr.a)
        ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
   }
 
@@ -1964,6 +2101,7 @@ object TextQueries {
     "d17_lsh_recall_audit" -> d17RecallOracle,
     "d18_lsh_precision_audit" -> d18PrecisionOracle,
     "d19_lsh_recall_sampled" -> d19RecallOracle,
+    "d21_lsh_recall_variance" -> d21VarianceOracle,
     "d20_lsh_precision_sampled" -> d20PrecisionOracle,
     "d7_dedup_survivors" -> survivorsOracle,
     // the stateful (flatMapGroupsWithState) route must match the batch

