@@ -77,7 +77,11 @@ object ScaleStress {
     // query-table BM25 (inverted-index build + broadcast query side), both
     // expected flat-linear
     "d19_lsh_recall_sampled", "d20_lsh_precision_sampled",
-    "ev6c_session_sequences_capped", "tx18_bm25_query_table")
+    "ev6c_session_sequences_capped", "tx18_bm25_query_table",
+    // d21 shares d19's entire lineage (anchors, sampled truth, candidate
+    // join) plus a per-stratum aggregate over the same frame — measured
+    // alongside it from round 15 on
+    "d21_lsh_recall_variance")
 
   val ratioBound = 15.0
 
