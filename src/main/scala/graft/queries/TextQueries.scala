@@ -197,44 +197,14 @@ object TextQueries {
     // per-(query, doc) score is an exact LONG sum: order-free, engine-free.
     // Magnitudes stay far below 2^53, so ranking on the long (desc, then
     // doc_id) and dividing back out for display are both exact.
+    // (The operator itself is text.Retrieval.bm25TopK — this face binds it
+    // to the fixture corpus and the tx18QueryTerms workload; RetrievalSpec
+    // pins the operator against hand-computed scores and edge cases.)
     "tx18_bm25_query_table" -> ((s, d) => {
       import s.implicits._
-      val qt = tx18QueryTerms.toDF("query_id", "term")
-      val terms = tx18QueryTerms.map(_._2).distinct
-      val docs = Tables.documents(s, d)
-      val words = docs
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        .filter(col("word") =!= "")
-      val tc = graft.ops.Checkpoints.tracked(
-        words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")))
-      val lens = tc.groupBy("doc_id").agg(sum("cnt").as("dl"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val tf = tc.filter(col("word").isin(terms: _*))
-      val dfs = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        .withColumnRenamed("word", "df_word")
-      // same parenthesization as tx17, token for token in the oracle:
-      // idf(t) * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/(sum_dl/n_docs)))))
-      val contrib = tf
-        .join(broadcast(qt), col("word") === col("term"))
-        .join(lens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .join(broadcast(dfs), col("word") === col("df_word"))
-        .withColumn("c", round(
-          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            ((col("cnt") * lit(2.2)) /
-              (col("cnt") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))))
-          ) * lit(1e9)).cast("long"))
-      val topk = udaf(new graft.functions.Aggregators.TopK(10))
-      contrib.groupBy("query_id", "doc_id").agg(sum("c").as("s_e9"))
-        .groupBy("query_id")
-        .agg(topk(col("s_e9").cast("double"), col("doc_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
-          col("col._2").as("doc_id"),
-          round(col("col._1") / lit(1e9), 6).as("bm25"))
+      graft.text.Retrieval.bm25TopK(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        tx18QueryTerms.toDF("query_id", "term"), k = 10)
     }),
 
     // JS1: JSONL round-trip — export the corpus as sharded JSONL
