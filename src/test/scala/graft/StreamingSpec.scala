@@ -544,6 +544,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN index append: per-micro-batch encode equals the batch v9c face") {
+    // v9c's index-maintenance lifecycle driven as a STREAM: arrivals land
+    // in micro-batches, each encoded against the STANDING model (no
+    // retrain) inside foreachBatch and appended to the index. After the
+    // stream drains, search over (standing + streamed codes) must equal
+    // the batch append on the same rows — encoding is per-row against
+    // frozen centroids/codebook, so micro-batch boundaries cannot leak
+    // into the codes. This is the production shape: the trainer runs
+    // rarely, the encoder runs on every arrival batch forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val (m, dsub, ksub) = (4, 16, 16)
+    val c = Tables.embeddings(spark, d).select(col("vec_id").as("n_id"),
+      VectorOps.toDouble(col("embedding")).as("nv"))
+    val isNew = col("n_id") % 10 === 0
+    val trained = VectorOps.ivfpqTrain(c.filter(!isNew), nCells = 16,
+      m = m, dsub = dsub, ksub = ksub)
+    val model = VectorOps.IvfPqModel(trained.centroids.localCheckpoint(),
+      trained.codebook.localCheckpoint(), trained.index.localCheckpoint())
+
+    val arrivals = c.filter(isNew).as[(Long, Seq[Double])].collect()
+    assert(arrivals.length >= 20, "fixture must provide a real arrival set")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val q = mem.toDF().toDF("n_id", "nv").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          batches.synchronized {
+            batches += VectorOps.ivfpqEncode(batch.toDF(), model, m, dsub).localCheckpoint()
+          }
+        ()
+      }.start()
+    try {
+      // three micro-batches, deliberately uneven
+      val (b1, rest) = arrivals.splitAt(7)
+      val (b2, b3) = rest.splitAt(19)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamedIdx = batches.reduce(_ unionByName _)
+    val queries = c.filter(col("n_id") < 20)
+    def search(idx: org.apache.spark.sql.DataFrame) =
+      VectorOps.ivfpqSearch(queries,
+          VectorOps.IvfPqModel(model.centroids, model.codebook,
+            model.index.unionByName(idx)),
+          nProbe = 4, m = m, dsub = dsub, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchIdx = VectorOps.ivfpqEncode(c.filter(isNew), model, m, dsub)
+    // codes identical row-for-row, and the search over them agrees
+    val streamedCodes = streamedIdx.collect().map(_.toString).toSet
+    val batchCodes = batchIdx.select(streamedIdx.columns.map(col): _*)
+      .collect().map(_.toString).toSet
+    assert(streamedCodes === batchCodes,
+      "micro-batch boundaries must not change a single code")
+    assert(search(streamedIdx) === search(batchIdx))
+  }
+
   test("incremental LSH dedup over a document stream equals the batch pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
