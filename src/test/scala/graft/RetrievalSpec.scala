@@ -61,6 +61,50 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("matches an independent pure-Scala BM25 on a seeded random corpus") {
+    // the registry oracle pins the operator against DuckDB on the fixture;
+    // this pins it against a SECOND independent implementation on a corpus
+    // with controlled properties (repeats, multi-term overlaps, absent
+    // terms), exact to the integer-scaled contract
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val corpus = (1L to 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val qterms = Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (2L, "absent"), (3L, "eps"), (3L, "zeta"), (3L, "eta"))
+    val k = 4
+
+    // independent reference
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val dl = toks.view.mapValues(_.size.toLong).toMap
+    val nDocs = corpus.size.toLong
+    val sumDl = dl.values.sum
+    val tf: Map[(Long, String), Long] = toks.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong }
+    }.toMap
+    val termSet = qterms.map(_._2).distinct
+    val df = termSet.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val expected = qterms.groupBy(_._1).toSeq.flatMap { case (qid, ts2) =>
+      val scores = toks.keys.toSeq.flatMap { id =>
+        val e9 = ts2.map(_._2).filter(t => tf.contains((id, t))).map { t =>
+          bm25e9(tf((id, t)), df(t), dl(id), nDocs, sumDl)
+        }
+        if (e9.isEmpty) None else Some(id -> e9.sum)
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
+        case ((id, s), i) => (qid, (i + 1).toLong, id, score(s))
+      }
+    }.toSet
+
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        qterms.toDF("query_id", "term"), k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("docs with no query term never appear; unmatched terms contribute nothing") {
     val q = Seq((9L, "absentterm"), (9L, "filter")).toDF("query_id", "term")
     val got = Retrieval.bm25TopK(docs, q).collect()
