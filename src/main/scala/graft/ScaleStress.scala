@@ -78,10 +78,10 @@ object ScaleStress {
     // expected flat-linear
     "d19_lsh_recall_sampled", "d20_lsh_precision_sampled",
     "ev6c_session_sequences_capped", "tx18_bm25_query_table",
-    // d21 shares d19's entire lineage (anchors, sampled truth, candidate
-    // join) plus a per-stratum aggregate over the same frame — measured
-    // alongside it from round 15 on
-    "d21_lsh_recall_variance")
+    // d21/d22 share d19's lineage (anchors, sampled truth, candidate
+    // join) plus per-stratum aggregates (d22 runs candidate generation
+    // twice, once per banding) — measured alongside it from round 15 on
+    "d21_lsh_recall_variance", "d22_lsh_tuning_curve")
 
   val ratioBound = 15.0
 

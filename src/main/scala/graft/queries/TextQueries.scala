@@ -499,6 +499,68 @@ object TextQueries {
       at(0.5).unionByName(at(0.7)).unionByName(at(0.9))
     }),
 
+    // D22: the BAND/ROW TUNING CURVE measured — the stratified sampled
+    // recall audit (d21's machinery) run at TWO bandings of the same
+    // 8-hash signature: the production 4 bands x 2 rows (S-curve
+    // 1-(1-J²)⁴, centered near J≈0.5) and the coarser 2 bands x 4 rows
+    // (1-(1-J⁴)², centered near J≈0.8). The fixture's true-pair Jaccard
+    // distribution is bimodal (a mass at J≈0 from single shared shingles,
+    // a handful at J≈1 — measured via the truth CTE), so at the tuned
+    // thresholds BOTH configs recall 1.0; the curve's measurable point is
+    // BELOW the knee: threshold 0.05 admits the fixture's J≈0.1 pairs,
+    // which the bandings suppress by design (p≈0.04 for b4r2, ≈2e-4 for
+    // b2r4 at J=0.1) — recall there is sub-1 with a real cross-stratum
+    // spread, and the config DIFFERENCE is the selectivity a rollout
+    // trades against verify-join volume. Truth set and anchors are
+    // config-independent and computed once; only candidate generation
+    // differs per config.
+    "d22_lsh_tuning_curve" -> ((s, d) => {
+      val t = graft.ops.Checkpoints.tracked(shingled(s, d))
+      val anchors = anchorStrata(t)
+      val ex = graft.ops.Checkpoints.tracked(
+        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+      val exA = ex.join(broadcast(anchors.select("doc_id")), "doc_id")
+      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val truth = graft.ops.Checkpoints.tracked(
+        exA.as("l").join(ex.as("r"), "g")
+          .filter(col("l.doc_id") < col("r.doc_id"))
+          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .agg(count(lit(1)).as("ninter"))
+          .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+          .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+          .select(col("a"), col("b"),
+            (col("ninter").cast("double") /
+              (col("na") + col("nb") - col("ninter"))).as("jaccard")))
+      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
+      def face(label: String, rowsPerBand: Int, numBands: Int) = {
+        val cand = Dedup.candidatePairs(
+            Dedup.lshBandKeys(sigs, "doc_id", "sig", rowsPerBand, numBands), "doc_id")
+          .join(broadcast(anchors.select(col("doc_id").as("a"))), "a")
+        val f = graft.ops.Checkpoints.tracked(
+          truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+            .join(broadcast(anchors.withColumnRenamed("doc_id", "a")), "a")
+            .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"),
+              col("stratum")))
+        def at(th: Double) = {
+          val per = f.filter(col("jaccard") >= th)
+            .groupBy("stratum")
+            .agg(count(lit(1)).as("n_true"), sum("hit").as("n_found"))
+            .select(col("n_true"), col("n_found"),
+              (col("n_found").cast("double") / col("n_true")).as("recall"))
+          per.agg(lit(label).as("config"), lit(th).as("threshold"),
+            count(lit(1)).as("n_strata"),
+            round(sum("n_found").cast("double") / sum("n_true"), 6).as("pooled_recall"),
+            round(avg("recall"), 6).as("mean_recall"),
+            when(count(lit(1)) > 1,
+              round(stddev_samp(col("recall")) /
+                sqrt(count(lit(1)).cast("double")), 6)).as("se_recall"))
+        }
+        at(0.05).unionByName(at(0.5)).unionByName(at(0.9))
+      }
+      face("b4r2", rowsPerBand = 2, numBands = 4)
+        .unionByName(face("b2r4", rowsPerBand = 4, numBands = 2))
+    }),
+
     // D6: dedup cluster resolution — connected components over the LSH
     // candidate pairs (transitive duplicates collapse to min-id clusters).
     // INTENTIONALLY on plain min-label propagation, not the auto-router:
@@ -1726,6 +1788,65 @@ object TextQueries {
        ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
   }
 
+  // d22's oracle: d21's stratified chain with TWO band configurations over
+  // the same signatures — the band expression is generated per config from
+  // (rowsPerBand, numBands), matching lshBandKeys token for token.
+  private lazy val d22TuningOracle = {
+    def bandsCte(r: Int, nb: Int) =
+      s"""SELECT doc_id, i::VARCHAR || ':' || ${
+           (1 to r).map(j => s"sig[$r*i + $j]").mkString(" || '|' || ")} AS band_key
+         FROM sigs, unnest(range(0, $nb)) u(i)"""
+    def configSelects(label: String, r: Int, nb: Int) = {
+      def at(th: String) =
+        s"""SELECT '$label' AS config, $th::DOUBLE AS threshold,
+             count(*)::BIGINT AS n_strata,
+             round(sum(n_found)::DOUBLE / sum(n_true), 6) AS pooled_recall,
+             round(avg(recall), 6) AS mean_recall,
+             CASE WHEN count(*) > 1
+               THEN round(stddev_samp(recall) / sqrt(count(*)), 6) END AS se_recall
+           FROM (SELECT stratum, count(*)::BIGINT AS n_true,
+                   sum(hit)::BIGINT AS n_found,
+                   sum(hit)::DOUBLE / count(*) AS recall
+                 FROM f_$label WHERE jaccard >= $th GROUP BY stratum)"""
+      s"${at("0.05")} UNION ALL ${at("0.5")} UNION ALL ${at("0.9")}"
+    }
+    def configCtes(label: String, r: Int, nb: Int) =
+      s"""bands_$label AS (${bandsCte(r, nb)}),
+         cand_$label AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands_$label l JOIN bands_$label r USING (band_key)
+           WHERE l.doc_id < r.doc_id
+             AND l.doc_id IN (SELECT doc_id FROM anchors)),
+         f_$label AS (
+           SELECT tr.jaccard,
+             CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             an.stratum
+           FROM truth tr
+           LEFT JOIN cand_$label c ON c.a = tr.a AND c.b = tr.b
+           JOIN anchors an ON an.doc_id = tr.a)"""
+    s"""WITH t AS ($shingleCte),
+       anchors AS ($anchorStrataCte),
+       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
+       sharing AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM e l JOIN e r USING (g)
+         WHERE l.doc_id < r.doc_id
+           AND l.doc_id IN (SELECT doc_id FROM anchors)),
+       truth AS (
+         SELECT s.a, s.b,
+           len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
+           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
+         FROM sharing s
+         JOIN t la ON la.doc_id = s.a
+         JOIN t lb ON lb.doc_id = s.b),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       ${configCtes("b4r2", 2, 4)},
+       ${configCtes("b2r4", 4, 2)}
+       ${configSelects("b4r2", 2, 4)} UNION ALL ${configSelects("b2r4", 4, 2)}"""
+  }
+
   // d20's oracle: d18's candidate verification restricted to anchor-rooted
   // candidates.
   private lazy val d20PrecisionOracle = {
@@ -2072,6 +2193,7 @@ object TextQueries {
     "d18_lsh_precision_audit" -> d18PrecisionOracle,
     "d19_lsh_recall_sampled" -> d19RecallOracle,
     "d21_lsh_recall_variance" -> d21VarianceOracle,
+    "d22_lsh_tuning_curve" -> d22TuningOracle,
     "d20_lsh_precision_sampled" -> d20PrecisionOracle,
     "d7_dedup_survivors" -> survivorsOracle,
     // the stateful (flatMapGroupsWithState) route must match the batch
