@@ -111,7 +111,12 @@ object Bench {
       else {
         val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
         val m = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
-        m.findAllMatchIn(txt).map(g => g.group(1) -> g.group(2).toDouble).toMap
+        // the loose name:number parse also captures the record's scalar
+        // meta fields (value/warmup_sec/ckpt_sec/host_factor/budget_sec);
+        // drop them so `med` — the ordering slot for brand-new queries —
+        // is a median of QUERY timings only
+        m.findAllMatchIn(txt).map(g => g.group(1) -> g.group(2).toDouble).toMap --
+          Seq("value", "warmup_sec", "ckpt_sec", "host_factor", "budget_sec")
       }
     }
     val med =

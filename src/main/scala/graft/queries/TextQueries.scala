@@ -217,7 +217,7 @@ object TextQueries {
     "js1_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = graft.sources.Standing.artifact(s, d, "js1_jsonl") {
-        val t = java.nio.file.Files.createTempDirectory("graft-js1").toString
+        val t = graft.sources.JsonlCorpus.tempCorpusDir("graft-js1")
         graft.sources.JsonlCorpus.write(docs, t, shards = 4)
         t
       }
@@ -236,7 +236,7 @@ object TextQueries {
     "js2_jsonl_gzip_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = graft.sources.Standing.artifact(s, d, "js2_jsonl_gz") {
-        val t = java.nio.file.Files.createTempDirectory("graft-js2").toString
+        val t = graft.sources.JsonlCorpus.tempCorpusDir("graft-js2")
         graft.sources.JsonlCorpus.write(docs, t, shards = 4, codec = Some("gzip"))
         t
       }
@@ -386,22 +386,9 @@ object TextQueries {
     "d19_lsh_recall_sampled" -> ((s, d) => {
       val t = graft.ops.Checkpoints.tracked(shingled(s, d))
       val anchors = anchorDocs(t)
-      val ex = graft.ops.Checkpoints.tracked(
-        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
-      val exA = ex.join(broadcast(anchors), "doc_id")
-      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       // exact Jaccard as pure aggregation (the d17 form), over anchor-rooted
-      // pairs only: |A∩B| = sharing-join group count, |A∪B| from per-doc
-      // distinct counts — integer-identical to the oracle's list arithmetic
-      val truth = exA.as("l").join(ex.as("r"), "g")
-        .filter(col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-        .agg(count(lit(1)).as("ninter"))
-        .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-        .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
-        .select(col("a"), col("b"),
-          (col("ninter").cast("double") /
-            (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      // pairs only — the anchorTruth helper shared with d21/d22
+      val truth = anchorTruth(t, anchors)
       val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
       // candidates restricted to the same anchor-rooted pairs the truth set
       // holds (generation itself is the untouched production path)
@@ -460,19 +447,7 @@ object TextQueries {
     "d21_lsh_recall_variance" -> ((s, d) => {
       val t = graft.ops.Checkpoints.tracked(shingled(s, d))
       val anchors = anchorStrata(t)
-      val ex = graft.ops.Checkpoints.tracked(
-        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
-      val exA = ex.join(broadcast(anchors.select("doc_id")), "doc_id")
-      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val truth = exA.as("l").join(ex.as("r"), "g")
-        .filter(col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-        .agg(count(lit(1)).as("ninter"))
-        .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-        .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
-        .select(col("a"), col("b"),
-          (col("ninter").cast("double") /
-            (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      val truth = anchorTruth(t, anchors.select("doc_id"))
       val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
       val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
         .join(broadcast(anchors.select(col("doc_id").as("a"))), "a")
@@ -517,20 +492,9 @@ object TextQueries {
     "d22_lsh_tuning_curve" -> ((s, d) => {
       val t = graft.ops.Checkpoints.tracked(shingled(s, d))
       val anchors = anchorStrata(t)
-      val ex = graft.ops.Checkpoints.tracked(
-        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
-      val exA = ex.join(broadcast(anchors.select("doc_id")), "doc_id")
-      val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // checkpointed: both band configs consume the same truth set
       val truth = graft.ops.Checkpoints.tracked(
-        exA.as("l").join(ex.as("r"), "g")
-          .filter(col("l.doc_id") < col("r.doc_id"))
-          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .agg(count(lit(1)).as("ninter"))
-          .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-          .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
-          .select(col("a"), col("b"),
-            (col("ninter").cast("double") /
-              (col("na") + col("nb") - col("ninter"))).as("jaccard")))
+        anchorTruth(t, anchors.select("doc_id")))
       val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
       def face(label: String, rowsPerBand: Int, numBands: Int) = {
         val cand = Dedup.candidatePairs(
@@ -1630,6 +1594,31 @@ object TextQueries {
        FROM t
        ORDER BY md5('audit|' || doc_id::VARCHAR), doc_id LIMIT $auditAnchors"""
 
+  /** ONE anchor-rooted exact-Jaccard truth set, shared by d19/d21/d22
+    * (before round 14's review pass each face carried its own copy — a
+    * future fix to the Jaccard or the smaller-id-is-anchor asymmetry would
+    * have had to land three times): every shingle-sharing pair whose
+    * SMALLER-id endpoint is in `anchorIds`, scored as pure aggregation
+    * (|A∩B| = sharing-join group count, |A∪B| from per-doc distinct
+    * counts — the d17 integer arithmetic the oracles replay closed-form).
+    * Returns (a, b, jaccard).
+    */
+  private def anchorTruth(t: DataFrame, anchorIds: DataFrame): DataFrame = {
+    val ex = graft.ops.Checkpoints.tracked(
+      t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+    val exA = ex.join(broadcast(anchorIds), "doc_id")
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    exA.as("l").join(ex.as("r"), "g")
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+      .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+  }
+
   // d17's oracle: exact-Jaccard truth over the shingle-sharing pairs (the
   // complete set for any positive threshold) ⟕ d3's banded candidates
   // (replayed verbatim from its oracle body), then one filtered aggregate
@@ -1697,16 +1686,16 @@ object TextQueries {
        ${at("0.5")} UNION ALL ${at("0.7")} UNION ALL ${at("0.9")}"""
   }
 
-  // d19's oracle: d17's truth/candidate replay with both sides restricted
-  // to pairs whose smaller-id endpoint is in the deterministic anchor set.
-  private lazy val d19RecallOracle = {
-    def at(th: String) =
-      s"""SELECT $th::DOUBLE AS threshold, count(*)::BIGINT AS n_true,
-           sum(hit)::BIGINT AS n_found,
-           round(sum(hit)::DOUBLE / count(*), 6) AS recall
-         FROM f WHERE jaccard >= $th"""
-    s"""WITH t AS ($shingleCte),
-       anchors AS ($anchorsCte),
+  /** Shared WITH-prefix of the sampled-audit oracles (d19/d21/d22): the
+    * shingled corpus, the anchor set (parameterized — d19 plain ids,
+    * d21/d22 strata), the anchor-rooted exact-Jaccard truth, and the
+    * minhash signatures. ONE definition (review r14): editing the truth
+    * CTE in one audit's oracle but not another's would make two audits
+    * disagree on the same fixture.
+    */
+  private def sampledAuditCtes(anchorsSql: String): String =
+    s"""t AS ($shingleCte),
+       anchors AS ($anchorsSql),
        e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
        sharing AS (
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -1722,7 +1711,17 @@ object TextQueries {
          JOIN t lb ON lb.doc_id = s.b),
        sigs AS (
          SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-         FROM t),
+         FROM t)"""
+
+  // d19's oracle: d17's truth/candidate replay with both sides restricted
+  // to pairs whose smaller-id endpoint is in the deterministic anchor set.
+  private lazy val d19RecallOracle = {
+    def at(th: String) =
+      s"""SELECT $th::DOUBLE AS threshold, count(*)::BIGINT AS n_true,
+           sum(hit)::BIGINT AS n_found,
+           round(sum(hit)::DOUBLE / count(*), 6) AS recall
+         FROM f WHERE jaccard >= $th"""
+    s"""WITH ${sampledAuditCtes(anchorsCte)},
        bands AS (
          SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
          FROM sigs, unnest(range(0, 4)) u(i)),
@@ -1752,24 +1751,7 @@ object TextQueries {
                  sum(hit)::BIGINT AS n_found,
                  sum(hit)::DOUBLE / count(*) AS recall
                FROM f WHERE jaccard >= $th GROUP BY stratum)"""
-    s"""WITH t AS ($shingleCte),
-       anchors AS ($anchorStrataCte),
-       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
-       sharing AS (
-         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM e l JOIN e r USING (g)
-         WHERE l.doc_id < r.doc_id
-           AND l.doc_id IN (SELECT doc_id FROM anchors)),
-       truth AS (
-         SELECT s.a, s.b,
-           len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
-           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
-         FROM sharing s
-         JOIN t la ON la.doc_id = s.a
-         JOIN t lb ON lb.doc_id = s.b),
-       sigs AS (
-         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-         FROM t),
+    s"""WITH ${sampledAuditCtes(anchorStrataCte)},
        bands AS (
          SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
          FROM sigs, unnest(range(0, 4)) u(i)),
@@ -1796,7 +1778,7 @@ object TextQueries {
       s"""SELECT doc_id, i::VARCHAR || ':' || ${
            (1 to r).map(j => s"sig[$r*i + $j]").mkString(" || '|' || ")} AS band_key
          FROM sigs, unnest(range(0, $nb)) u(i)"""
-    def configSelects(label: String, r: Int, nb: Int) = {
+    def configSelects(label: String) = {
       def at(th: String) =
         s"""SELECT '$label' AS config, $th::DOUBLE AS threshold,
              count(*)::BIGINT AS n_strata,
@@ -1824,27 +1806,10 @@ object TextQueries {
            FROM truth tr
            LEFT JOIN cand_$label c ON c.a = tr.a AND c.b = tr.b
            JOIN anchors an ON an.doc_id = tr.a)"""
-    s"""WITH t AS ($shingleCte),
-       anchors AS ($anchorStrataCte),
-       e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM t),
-       sharing AS (
-         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM e l JOIN e r USING (g)
-         WHERE l.doc_id < r.doc_id
-           AND l.doc_id IN (SELECT doc_id FROM anchors)),
-       truth AS (
-         SELECT s.a, s.b,
-           len(list_distinct(list_intersect(la.sh, lb.sh)))::DOUBLE /
-           len(list_distinct(la.sh || lb.sh))::DOUBLE AS jaccard
-         FROM sharing s
-         JOIN t la ON la.doc_id = s.a
-         JOIN t lb ON lb.doc_id = s.b),
-       sigs AS (
-         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-         FROM t),
+    s"""WITH ${sampledAuditCtes(anchorStrataCte)},
        ${configCtes("b4r2", 2, 4)},
        ${configCtes("b2r4", 4, 2)}
-       ${configSelects("b4r2", 2, 4)} UNION ALL ${configSelects("b2r4", 4, 2)}"""
+       ${configSelects("b4r2")} UNION ALL ${configSelects("b2r4")}"""
   }
 
   // d20's oracle: d18's candidate verification restricted to anchor-rooted

@@ -59,4 +59,21 @@ object JsonlCorpus {
   /** Fail-fast read for ingest gates: any malformed line aborts the job. */
   def readStrict(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+
+  /** Temp directory deleted on JVM exit — for session-scoped corpus
+    * exports (the js1/js2 registry faces write a full corpus copy per
+    * session; without cleanup, repeated bench/verify sessions accumulate
+    * orphaned copies under /tmp).
+    */
+  def tempCorpusDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
 }

@@ -2,48 +2,47 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** README's registry/sweep counts vs the code — these drifted silently in
-  * three consecutive rounds (180 vs 184 queries, 23 vs 26 heavy-sweep
-  * entries), each time flagged by review instead of a failing build. The
-  * counts stay human-readable prose in README; this spec makes them
-  * load-bearing: add a query without touching README and `sbt test` says
-  * exactly which number to bump.
+/** README/COVERAGE counts vs the code — these drifted silently in three
+  * consecutive rounds (180 vs 184 queries, 23 vs 26 heavy-sweep entries),
+  * each time flagged by review instead of a failing build. The counts stay
+  * human-readable prose; `graft.SyncDocs` REWRITES them from the code and
+  * this spec consumes SyncDocs's OWN pattern tables (single source of
+  * truth — a prose/pattern change that breaks one breaks both visibly):
+  * add a query without running SyncDocs and `sbt test` says exactly which
+  * command to run.
   */
 class DocsDriftSpec extends AnyFunSuite {
-  private lazy val readme =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("README.md")), "UTF-8")
+  private def read(p: String) =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+  private lazy val readme = read("README.md")
+  private lazy val cov = read("COVERAGE.md")
 
-  private def statedCount(pattern: scala.util.matching.Regex, what: String): Int =
-    pattern.findFirstMatchIn(readme)
-      .map(_.group(1).toInt)
-      .getOrElse(fail(s"README no longer states the $what count — " +
-        s"expected text matching $pattern"))
-
-  test("README's registry query count matches SparkEntry.queries") {
-    val stated = statedCount("""the registry: (\d+) queries""".r, "registry")
-    assert(stated === SparkEntry.queries.size,
-      s"README says $stated queries, registry has ${SparkEntry.queries.size}")
+  test("stated doc counts match the code (the exact patterns SyncDocs rewrites)") {
+    Seq(("README.md", readme, SyncDocs.rewrites),
+        ("COVERAGE.md", cov, SyncDocs.coverageRewrites)).foreach {
+      case (doc, txt, rules) => rules.foreach { case (pat, n, what) =>
+        val stated = pat.findFirstMatchIn(txt).map(_.group(2).toInt)
+          .getOrElse(fail(s"$doc no longer states the $what count — " +
+            s"expected text matching $pat"))
+        assert(stated === n, s"$doc $what: says $stated, code has $n" +
+          " — run `sbt \"runMain graft.SyncDocs\"`")
+      }
+    }
   }
 
-  test("README's heavy-sweep count matches ScaleStress.heavy100") {
-    val stated = statedCount("""the (\d+) most expensive scale-free""".r, "heavy-sweep")
-    assert(stated === ScaleStress.heavy100.size,
-      s"README says $stated heavy queries, heavy100 has ${ScaleStress.heavy100.size}")
-  }
-
-  test("SyncDocs is a no-op on the committed README (counts generated, current)") {
-    // SyncDocs (round 14) is the zero-hand-edit fix for the count drift
-    // this spec kept catching: its regexes must stay in lockstep with the
-    // ones above, and the committed README must already be synced. Run on
-    // a temp COPY so a failing build never mutates the working tree.
-    val tmp = java.nio.file.Files.createTempFile("readme-drift", ".md")
-    try {
-      java.nio.file.Files.write(tmp, readme.getBytes("UTF-8"))
-      val changed = SyncDocs.sync(tmp)
-      assert(changed.isEmpty,
-        s"README counts stale — run `sbt \"runMain graft.SyncDocs\"`: $changed")
-    } finally java.nio.file.Files.delete(tmp)
+  test("SyncDocs is a no-op on the committed docs (counts generated, current)") {
+    // belt-and-braces with the test above through the actual rewrite code
+    // path. Runs on temp COPIES so a failing build never mutates the tree.
+    Seq((readme, SyncDocs.rewrites), (cov, SyncDocs.coverageRewrites)).foreach {
+      case (txt, rules) =>
+        val tmp = java.nio.file.Files.createTempFile("docs-drift", ".md")
+        try {
+          java.nio.file.Files.write(tmp, txt.getBytes("UTF-8"))
+          val changed = SyncDocs.sync(tmp, rules)
+          assert(changed.isEmpty,
+            s"doc counts stale — run `sbt \"runMain graft.SyncDocs\"`: $changed")
+        } finally java.nio.file.Files.delete(tmp)
+    }
   }
 
   test("COVERAGE.md lists every registry query (name, short prefix, or range)") {
@@ -52,8 +51,6 @@ class DocsDriftSpec extends AnyFunSuite {
     // appear three ways in the table: in full (d19_lsh_recall_sampled),
     // as a short prefix token ("tx1, tx2, tx3"), or inside a range
     // ("st1–st4") — accept any, fail on none.
-    val cov = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
     val ranges = """\b([a-z]+)(\d+)[–-]\1?(\d+)\b""".r.findAllMatchIn(cov)
       .map(m => (m.group(1), m.group(2).toInt, m.group(3).toInt)).toSeq
     def covered(name: String): Boolean = {
@@ -73,13 +70,6 @@ class DocsDriftSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet.toSeq.sorted.filterNot(covered)
     assert(missing.isEmpty,
       s"registry queries absent from COVERAGE.md: ${missing.mkString(", ")}")
-
-    val stated = """ALL (\d+) registry queries""".r.findFirstMatchIn(cov)
-      .map(_.group(1).toInt)
-      .getOrElse(fail("COVERAGE.md no longer states the registry count"))
-    assert(stated === SparkEntry.queries.size,
-      s"COVERAGE.md says $stated queries, registry has ${SparkEntry.queries.size}" +
-        " — run `sbt \"runMain graft.SyncDocs\"`")
   }
 
   test("every registry query has an oracle (or a documented exemption)") {
