@@ -81,7 +81,12 @@ object ScaleStress {
     // d21/d22 share d19's lineage (anchors, sampled truth, candidate
     // join) plus per-stratum aggregates (d22 runs candidate generation
     // twice, once per banding) — measured alongside it from round 15 on
-    "d21_lsh_recall_variance", "d22_lsh_tuning_curve")
+    "d21_lsh_recall_variance", "d22_lsh_tuning_curve",
+    // d23 substring spans: k-gram ownership is the d16/tx15 shape (min
+    // aggregate + join-back) plus a per-doc islands window — expected
+    // linear; in the sweep because span detection is THE exact-dedup step
+    // a 100 TB curation run pays per snapshot
+    "d23_substring_spans")
 
   val ratioBound = 15.0
 

@@ -330,6 +330,62 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
 
+  /** EXACT SUBSTRING SPANS — the ExactSubstr dedup of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): per document, the maximal verbatim token spans
+    * whose every length-`k` window also occurs in an EARLIER document
+    * (first-occurrence-wins, the d16 convention). The paper builds one
+    * corpus-wide suffix array — a single-machine design. The distributed
+    * form: slide a k-token window over every doc (stride 1, where d16's
+    * chunks are disjoint), key windows by md5, resolve each window's first
+    * owner with a map-side-combining min() aggregate (never a per-hash
+    * window sort — the d16 skew argument: a boilerplate k-gram shared by
+    * millions of docs costs one tiny aggregate buffer), join back, and
+    * merge consecutive duplicated positions into maximal spans with one
+    * per-doc gaps-and-islands window (per-partition work bounded by doc
+    * length). Two keyed exchanges over corpus-linear rows; nothing
+    * pairwise, no global structure.
+    *
+    * Semantics note: within a merged span, different windows may match
+    * DIFFERENT earlier documents — the guarantee is "every length-k
+    * substring of this span occurs earlier", the k-gram relaxation of the
+    * suffix array's true maximal matches, and exactly the criterion
+    * span-removal pipelines act on (a span none of whose k-grams are novel
+    * carries no new text at granularity k).
+    *
+    * Output: one row per surviving span — (id, start_pos, span_len), both
+    * token-indexed; spans shorter than `minSpan` tokens are dropped.
+    */
+  def substringSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, minSpan: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpan >= k, s"a span is at least one window: minSpan >= k")
+    val wins = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))).cast("binary"))))
+        .as(Seq("pos", "h")))
+      // read twice (owner aggregate + probe side) — run the corpus-wide
+      // explode+md5 once, not once per consumer (the d16 convention)
+      .trackedCheckpoint()
+    val owners = wins.groupBy("h").agg(min(col(idCol)).as("first_id"))
+    val dupPos = wins.join(owners, "h")
+      .filter(col("first_id") < col(idCol))
+      .select(col(idCol), col("pos"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // pos - row_number(); each island is one maximal span
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).cast("bigint").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + k).cast("bigint").as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col(idCol), col("start_pos"), col("span_len"))
+  }
+
   /** Dedup cluster resolution: connected components over candidate pairs by
     * iterative min-label propagation. Candidates alone don't dedup a corpus —
     * transitive duplicates (a~b, b~c) must collapse to one survivor, so each

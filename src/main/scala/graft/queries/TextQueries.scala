@@ -737,6 +737,20 @@ object TextQueries {
             .as("n_dup_chunks"))
     }),
 
+    // D23: EXACT SUBSTRING SPANS — the one headline dedup modality d1–d16
+    // don't cover: Lee et al. 2021's ExactSubstr (arXiv:2107.06499), which
+    // removes VERBATIM token spans (>= minSpan tokens) repeated from earlier
+    // docs — finer than doc-level near-dup (d2/d3), sliding where d16's
+    // chunk grid is disjoint (a span straddling a chunk boundary is
+    // invisible to d16). Design + scale shape in Dedup.substringSpans: the
+    // paper's corpus-wide suffix array is single-machine; the distributed
+    // form is k-gram ownership (min-owner aggregate, the d16/tx15 shape) +
+    // per-doc gaps-and-islands — corpus-linear, nothing pairwise. Output:
+    // one row per maximal duplicated span (doc_id, start_pos, span_len).
+    "d23_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism))),
+
     // D14: cluster resolution by large-star/small-star contraction — the
     // O(log n)-round CC (Kiveris et al., SoCC'14) next to d6's O(diameter)
     // min-label propagation. Near-dup clusters are usually shallow (d6's
@@ -2234,6 +2248,27 @@ object TextQueries {
          SELECT doc_id, count(*)::BIGINT AS n_chunks,
            sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
          FROM ranked GROUP BY doc_id""",
+    // d23: same sliding 5-gram md5 windows, min-owner earlier-doc test,
+    // gaps-and-islands span merge, spans >= 8 tokens
+    "d23_substring_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wins AS (
+           SELECT doc_id, i::BIGINT AS pos,
+             md5(array_to_string(w[(i+1)::INT : (i+5)::INT], ' ')) AS h
+           FROM ws, unnest(range(len(w) - 5 + 1)) u(i)
+           WHERE len(w) >= 5),
+         own AS (SELECT h, min(doc_id) AS first_id FROM wins GROUP BY h),
+         dup AS (
+           SELECT wins.doc_id, wins.pos FROM wins JOIN own USING (h)
+           WHERE own.first_id < wins.doc_id),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM dup)
+         SELECT doc_id, min(pos)::BIGINT AS start_pos,
+           (max(pos) - min(pos) + 5)::BIGINT AS span_len
+         FROM isl GROUP BY doc_id, grp
+         HAVING (max(pos) - min(pos) + 5) >= 8""",
     "cc1_corpus_card" ->
       """WITH base AS (
            SELECT doc_id, lang, source,

@@ -36,6 +36,33 @@ class CurationOpsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("d23: planted verbatim span is found; sub-threshold repeat is dropped") {
+    // doc 2 repeats a 12-token passage from doc 1 verbatim (mid-text, NOT
+    // aligned to d16's 8-word chunk grid — the case d16 cannot see) and a
+    // separate 6-token passage (span_len 6 < minSpan 8 → dropped). doc 1
+    // is the first occurrence so it reports nothing; doc 3 is unique.
+    // Run through the REGISTERED face (the d16 rule: an inline
+    // re-implementation would keep passing after a drift in the shipped
+    // windowing/ownership/island logic).
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q = (1 to 6).map(i => s"q$i").mkString(" ")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d23fix").toString
+    Seq(
+      (1L, s"$p $q", "en", "s0", 0L),
+      (2L, s"a1 a2 $p b1 b2 b3 $q c1 c2", "en", "s0", 0L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Checkpoints.scoped {
+      graft.queries.TextQueries.queries("d23_substring_spans")(spark, dir)
+        .collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the p-passage occupies doc-2 token positions 2..13; fully-contained
+    // 5-gram windows start at 2..9 → one island, span_len 9-2+5 = 12
+    assert(out == Seq((2L, 2L, 12L)), s"got $out")
+  }
+
   test("ws1: the max-weight doc is always kept; kept set respects the threshold") {
     val out = graft.queries.SplitQueries.queries("ws1_weighted_sample")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
