@@ -310,7 +310,9 @@ object TextQueries {
     "d17_lsh_recall_audit" -> ((s, d) => {
       val t = graft.ops.Checkpoints.tracked(shingled(s, d))
       val ex = graft.ops.Checkpoints.tracked(
-        t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+        // per-doc dedup is row-local (array_distinct) — no distinct
+        // shuffle; see the tx15 note
+        t.select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
       // exact Jaccard as pure AGGREGATION, never per-pair array ops:
       // |A∩B| is the sharing join's group count, |A∪B| = |A|+|B|-|A∩B| from
       // per-doc distinct counts — the same integers the oracle's
@@ -682,7 +684,9 @@ object TextQueries {
       val cand = pairs.select(col("a").as("doc_id"))
         .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
       val sh = shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+        // per-doc dedup is row-local (array_distinct) — no distinct
+        // shuffle; see the tx15 note
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
         .join(cand, Seq("doc_id"), "left_semi")
         .trackedCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -818,14 +822,23 @@ object TextQueries {
     // equi-join back, the tf-idf df shape (the 100 TB posture: the join is
     // keyed on the shingle, never a cross-join).
     "tx15_ngram_novelty" -> ((s, d) => {
-      // first-seen owner via a per-shingle window min instead of a
-      // groupBy + self-join: the shingle pipeline executes ONCE and the
-      // plan is two keyed exchanges (g, then doc_id) instead of the
-      // aggregate+join re-executing the explode on both sides.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
-        .withColumn("first_doc", min(col("doc_id")).over(w))
+      // first-seen owner via checkpoint + map-side-combining min aggregate
+      // + join-back (the d16/d23 shape). This replaced the round-11
+      // window-min form in round 14 (measured at sf0.1: 5.3 s -> 1.6 s
+      // warm): the window executed the shingle pipeline once but needed a
+      // corpus-wide distinct SHUFFLE plus WindowExec's sort of every
+      // (doc_id, g) row; the owner aggregate combines map-side instead
+      // (the d16 skew argument: a boilerplate shingle costs one buffer,
+      // not a sorted million-row hash group).
+      // "distinct (doc_id, g)" is a PER-DOC property — array_distinct
+      // dedups inside the row before exploding, so the corpus never pays
+      // a distinct shuffle at all (the old form exchanged every exploded
+      // row just to dedup within documents)
+      val e = shingled(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+        .trackedCheckpoint()
+      val owners = e.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      e.join(owners, "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
@@ -1014,7 +1027,9 @@ object TextQueries {
     "d11_decontaminate" -> ((s, d) => {
       // per-doc DISTINCT grams first: repeated shingles inside a doc would
       // otherwise fan the join out by occurrence count, and the final agg
-      // becomes a plain count instead of a count-distinct expand.
+      // becomes a plain count instead of a count-distinct expand. The
+      // dedup is row-local (array_distinct) — no distinct shuffle; see
+      // the tx15 note.
       // explode_OUTER deliberately: plain explode lets Catalyst infer a
       // pre-Generate `size(sh)>0 AND isnotnull(sh)` filter that inlines the
       // whole (interpreted, codegen-fallback) shingle lambda a second and
@@ -1022,9 +1037,8 @@ object TextQueries {
       // blocks that inference; the cheap null filter lands on the exploded
       // column instead.
       val grams = shingled(s, d)
-        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .select(col("doc_id"), explode_outer(array_distinct(col("sh"))).as("g"))
         .filter(col("g").isNotNull)
-        .distinct()
       val bench = grams.filter(col("doc_id") < 20).select("g").distinct()
       grams.filter(col("doc_id") >= 20)
         .join(bench, "g")
@@ -1176,8 +1190,9 @@ object TextQueries {
         .select(explode_outer(col("sh")).as("g"))
         .filter(col("g").isNotNull).distinct()
       val contaminated = survivors
-        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
-        .filter(col("g").isNotNull).distinct()
+        // row-local per-doc dedup (array_distinct) — see the tx15 note
+        .select(col("doc_id"), explode_outer(array_distinct(col("sh"))).as("g"))
+        .filter(col("g").isNotNull)
         .join(benchGrams, "g").select("doc_id").distinct()
       survivors.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_words"))

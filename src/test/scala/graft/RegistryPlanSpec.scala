@@ -56,9 +56,12 @@ class RegistryPlanSpec extends SparkSpec {
     "v12_knn_truncated_rerank" -> ("v1's bounded broadcast-query brute force " +
       "on 16-dim prefixes (one pass, 20-query side broadcast); the rerank " +
       "touches only the |Q|*shortlist survivors by id"),
-    "v13_prototypicality_prune" -> ("km1's O(n*k) broadcast-centroid Lloyd " +
-      "assignment (its plan is NOT checkpoint-cut like sd1's); the prune " +
-      "itself is one cell-keyed window, nothing pairwise"),
+    // (v13_prototypicality_prune consumed km1's Lloyd shape inline until
+    // round 14; it now reads the SHARED standing cell assignment — built
+    // once per (session, fixture), localCheckpointed — so its registry-face
+    // plan is checkpoint-cut like sd1's: one cell-keyed window over the
+    // assignment scan, no quadratic stage. The Lloyd BNLJ lives in the
+    // artifact build, whose shape km1's un-cached face still pins.)
     "ws1_weighted_sample" -> ("cross join is a single broadcast scalar " +
       "(the corpus max weight); the sample is a pure map filter"),
     "tx17_bm25_topk" -> ("the two crosses are 1-row broadcast scalars " +
