@@ -453,6 +453,41 @@ object AdvancedQueries {
         .select(col("doc_id"), col("lang"), col("dim").cast("bigint").as("dim"))
     }),
 
+    // Dynamic partition pruning — the through-a-join twin of static
+    // partition pruning and the #1 scan-avoidance lever on a partitioned
+    // 100 TB fact table: the filter lives on a DIMENSION attribute
+    // (category), not on the fact's partition column, so no static prune
+    // applies — Catalyst instead reuses the dim's broadcast exchange as a
+    // runtime IN-filter on the fact scan's partition values
+    // (DynamicPruningExpression; asserted in RegistryPlanSpec), and only
+    // the 2 conversion partitions of 5 are ever read. Without DPP this
+    // plan scans the full fact table and drops 60% of it post-join. The
+    // partitioned layout is a per-session Standing artifact (the layout IS
+    // the operator's precondition, like b1's bucketed tables).
+    "dpp1_partition_pruned_join" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.sources.Standing.artifact(s, d, "dpp1_events_parted") {
+        val t = graft.sources.JsonlCorpus.tempCorpusDir("graft-dpp1")
+        Tables.events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(s"$t/fact")
+        // the dim must be a real datasource, not a LocalRelation: Catalyst
+        // folds a filter over an inline Seq INTO the relation
+        // (ConvertToLocalRelation), and with no Filter node left the DPP
+        // rule sees no selective predicate to push through the join
+        Seq("view" -> "engagement", "click" -> "engagement",
+            "purchase" -> "conversion", "signup" -> "conversion",
+            "error" -> "ops").toDF("et", "category")
+          .coalesce(1).write.mode("overwrite").parquet(s"$t/dim")
+        t
+      }
+      val fact = s.read.parquet(s"$dir/fact")
+      val dim = s.read.parquet(s"$dir/dim")
+      fact.join(broadcast(dim.filter(col("category") === "conversion")),
+          col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }),
+
     // CDC snapshot diff — the incremental-corpus-update shape: full outer
     // join of two snapshots on the PK, classify each key as insert / delete
     // / update, drop the unchanged majority. One co-partitioned shuffle;
@@ -1240,6 +1275,15 @@ object AdvancedQueries {
     "b1_bucketed_join" ->
       """SELECT doc_id, lang, len(embedding)::BIGINT AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id""",
+    "dpp1_partition_pruned_join" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events
+         JOIN (VALUES ('view', 'engagement'), ('click', 'engagement'),
+                      ('purchase', 'conversion'), ('signup', 'conversion'),
+                      ('error', 'ops')) m(et, category)
+           ON event_type = m.et
+         WHERE m.category = 'conversion'
+         GROUP BY event_type""",
     "w5_median_window" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
            round(quantile_cont(l_quantity, 0.5) OVER (

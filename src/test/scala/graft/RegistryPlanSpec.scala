@@ -204,4 +204,34 @@ class RegistryPlanSpec extends SparkSpec {
     assert(q7.contains("In(n_name, [NATION_1,NATION_2])"),
       s"q7 lost the nation IN pushdown:\n$q7")
   }
+
+  test("dpp1 runtime-prunes the partitioned fact scan through the dim join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("dpp1_partition_pruned_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the dim filter is on `category`, which the fact doesn't have — the
+    // only way the fact scan can skip partitions is the runtime DPP filter
+    // fed from the dim's broadcast exchange
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan lost dynamic partition pruning:\n$plan")
+    // and the pruning is real: after execution the fact scan's metrics
+    // report 2 of the 5 static partitions read (AQE hides scans inside
+    // materialized query stages, so walk through them)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case r: ReusedExchangeExec => r +: allNodes(r.child)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val factScan = allNodes(df.queryExecution.executedPlan)
+      .find(n => n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+        n.toString.contains("dynamicpruningexpression")).get
+    def metric(k: String): Option[Long] = factScan.metrics.get(k).map(_.value)
+    assert(metric("numPartitions").contains(2L) && metric("staticFilesNum").contains(5L),
+      s"expected 2 of 5 partitions read, got ${factScan.metrics.view.mapValues(_.value).toMap}")
+  }
 }
