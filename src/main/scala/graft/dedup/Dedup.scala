@@ -104,6 +104,52 @@ object Dedup {
     }
   }
 
+  /** Flag each batch row with whether its key is POSSIBLY in the prior
+    * snapshot, via a Bloom filter built over the prior's keys (distributed
+    * partial filters OR-merged on the driver, then broadcast once — not
+    * re-serialized into every task closure).
+    *
+    * Contract: no false negatives (a key present in prior always flags
+    * true — BloomFilter's guarantee), false positives at ~`fpp`. So the
+    * flag is a PREFILTER, never an answer: `false` rows are definitely new
+    * and can skip any confirm join entirely; `true` rows still need the
+    * exact check. Output correctness therefore never depends on `fpp` —
+    * a fp only costs extra confirm-join traffic.
+    *
+    * 100 TB posture: bits ≈ -n·ln(fpp)/ln²2 — 1e9 prior keys at 1% is
+    * ~1.2 GB, broadcast once per executor (NOT per task). Beyond driver/
+    * executor memory, shard the filter by key range and map each batch
+    * partition against its shard — the flag semantics are unchanged.
+    * `expectedItems` comes from a `count()` pass here; a production prior
+    * is a standing table whose row count is metadata.
+    */
+  def bloomMaybeSeen(prior: DataFrame, batch: DataFrame, keyCol: String,
+      flagCol: String, fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(prior.count(), 1L)
+    val bf = prior.stat.bloomFilter(col(keyCol), expected, fpp)
+    val bfB = prior.sparkSession.sparkContext.broadcast(bf)
+    val maybe = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    batch.withColumn(flagCol, maybe(col(keyCol)))
+  }
+
+  /** Incremental exact dedup against a prior snapshot, Bloom-prefiltered:
+    * rows whose key the filter has never seen bypass the confirm join
+    * (zero shuffle for them — at a typical crawl's ~90% new-rate that is
+    * 90% of the batch), and only the maybe-seen sliver anti-joins the
+    * prior to rescue Bloom false positives. Result is EXACTLY the plain
+    * `batch ANTI JOIN prior` — the bloom changes cost, not semantics
+    * (that equivalence is the bf1 oracle and BloomGateSpec's property).
+    */
+  def bloomNewRows(prior: DataFrame, batch: DataFrame, keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val flag = "__maybe_seen"
+    val flagged = bloomMaybeSeen(prior, batch, keyCol, flag, fpp)
+    val definitelyNew = flagged.filter(!col(flag))
+    val confirmed = flagged.filter(col(flag))
+      .join(prior.select(col(keyCol)), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(confirmed).drop(flag)
+  }
+
   /** Word n-gram shingles (0-based `getItem`); input must have >= n words. */
   def shingles(words: Column, n: Int = 3): Column =
     transform(sequence(lit(0), size(words) - n),

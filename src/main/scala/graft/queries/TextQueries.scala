@@ -251,6 +251,19 @@ object TextQueries {
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
 
+    // BF1: incremental exact dedup against a prior snapshot (yesterday's
+    // crawl = docs with doc_id % 3 != 0), Bloom-prefiltered: definitely-new
+    // rows skip the confirm join entirely, only the maybe-seen sliver
+    // shuffles. The output is exactly `batch ANTI JOIN prior` on the
+    // content hash (the oracle) — the Bloom filter moves cost, never rows.
+    "bf1_bloom_incremental" -> ((s, d) => {
+      val withH = Tables.documents(s, d)
+        .withColumn("h", md5(col("text").cast("binary")))
+      val prior = withH.filter(col("doc_id") % 3 =!= 0)
+      Dedup.bloomNewRows(prior.select("h"), withH, "h")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // D2: MinHash signatures (8 portable hash functions over 3-gram shingles).
     "d2_minhash_signature" -> ((s, d) =>
       Dedup.withMinhashSig(shingled(s, d), "sh", "sig")
@@ -2119,6 +2132,10 @@ object TextQueries {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
          FROM documents GROUP BY 1""",
+    "bf1_bloom_incremental" ->
+      """SELECT doc_id, lang, n_chars FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents p
+                           WHERE p.doc_id % 3 != 0 AND md5(p.text) = md5(d.text))""",
     "d2_minhash_signature" ->
       s"""WITH t AS ($shingleCte)
          SELECT doc_id, $minhashSigExpr AS sig FROM t""",
