@@ -766,6 +766,18 @@ object AdvancedQueries {
           levenshtein(col("pa"), col("pb")).cast("bigint").as("dist"))
     }),
 
+    // LD2: the SCALE path for ld1's semantics — the full-corpus fuzzy
+    // self-join (no id cap) via pigeonhole segment blocking
+    // (Dedup.editDistanceJoin): O(n·d) keys, candidate equi-join, exact
+    // levenshtein verify. The oracle replays the quadratic cross-join in
+    // DuckDB over the WHOLE corpus, so the blocking's losslessness is
+    // hash-checked, not argued.
+    "ld2_fuzzy_join_blocked" -> ((s, d) =>
+      graft.dedup.Dedup.editDistanceJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("pre")),
+        "doc_id", "pre", maxDist = 2, strLen = 20)),
+
     // Salted two-phase aggregation: identical results to the direct groupBy
     // (that IS the oracle), resilient to hot keys that AQE can't rebalance.
     "sk1_salted_agg" -> ((s, d) =>
@@ -1275,6 +1287,12 @@ object AdvancedQueries {
     "b1_bucketed_join" ->
       """SELECT doc_id, lang, len(embedding)::BIGINT AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id""",
+    "ld2_fuzzy_join_blocked" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 20) AS pre FROM documents)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           levenshtein(a.pre, b.pre)::BIGINT AS dist
+         FROM p a, p b
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.pre, b.pre) <= 2""",
     "dpp1_partition_pruned_join" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events
