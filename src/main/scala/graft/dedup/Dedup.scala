@@ -216,6 +216,108 @@ object Dedup {
         levenshtein(col("__pa"), col("__pb")).cast("bigint").as("dist"))
   }
 
+  /** Variable-length [[editDistanceJoin]] — the production PassJoin shape:
+    * no fixed-length contract, strings are banded by length (a true pair
+    * satisfies |len(a)−len(b)| <= d, so only d+1 source lengths need keys).
+    *
+    * Two lossless candidate routes, unioned then exact-verified:
+    *
+    * LONG route (both strings >= 2·(d+1) chars): the ld2 pigeonhole, with
+    * segment boundaries now RUNTIME expressions of the source length La —
+    * the seg side keys (i, La, exact segment of a); the window side, for
+    * each source length La in [Lb−d, Lb+d] it could pair with, keys
+    * (i, La, ±d-shifted window of b cut to La's segment geometry). Same
+    * lemma as ld2 per (La, Lb) pair; enumerating La costs a (2d+1)× row
+    * factor on the window side only.
+    *
+    * SHORT route (any pair whose shorter string < 2·(d+1) chars — segments
+    * would shrink below the d-shift resolution, and a pair can spend one
+    * edit per nonempty segment): all-pairs within a length band, keyed by
+    * target length (probe emits [L, L+d], anchor emits L, so each pair
+    * meets exactly once at the longer length — an equi-join, never a
+    * cartesian). Deliberately exhaustive: a corpus that fuzzy-joins on
+    * keys this short is degenerate by construction (callers key on
+    * prefixes or fingerprints long enough to discriminate). Bucket sizes
+    * are
+    * per-length string counts — the one shape here a pathological corpus
+    * could make hot, and the reason the long route exists at all.
+    *
+    * Pairs with both strings in the overlap band [2(d+1), 2(d+1)+d−1] are
+    * found by both routes; the normalize-distinct collapses them. The ld3
+    * oracle replays the full quadratic join in DuckDB, so losslessness is
+    * hash-checked at fixture scale, not argued.
+    */
+  def editDistanceJoinVarLen(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val k = d + 1
+    val minLong = 2 * k           // long-route floor: every segment >= 2 chars
+    val shortMax = minLong + d - 1 // any partner of a sub-minLong string
+
+    val rows = df.select(col(idCol).as("__id"), col(strCol).as("__str"))
+      .where(col(strCol).isNotNull && length(col(strCol)) >= 1)
+      .withColumn("__len", length(col("__str")))
+
+    // ---- short route: per-length-band all-pairs (equi-join on target len)
+    val shorts = rows.filter(col("__len") <= shortMax)
+    val probe = shorts.select(col("__id").as("__pid"), col("__len").as("__pl"),
+      explode(sequence(col("__len"), col("__len") + d)).as("__bkt"))
+    val anchor = shorts.select(col("__id").as("__aid"), col("__len").as("__bkt"))
+    val shortCand = probe.join(anchor, "__bkt")
+      .filter(col("__pid") =!= col("__aid"))
+      .select(least(col("__pid"), col("__aid")).as("a"),
+        greatest(col("__pid"), col("__aid")).as("b"))
+
+    // ---- long route: runtime-geometry pigeonhole segments
+    // segment i of a length-La string: len = La/k (+1 for i < La%k),
+    // start = 1 + i·(La/k) + min(i, La%k) — exact integer arithmetic
+    def segLen(la: Column, i: Column): Column =
+      (((la - la % k) / k).cast("int") + when(i < la % k, 1).otherwise(0))
+        .cast("int")
+    def segStart(la: Column, i: Column): Column =
+      (lit(1) + i * ((la - la % k) / k).cast("int") + least(i, la % k))
+        .cast("int")
+    val iSeq = sequence(lit(0), lit(d))
+    val longs = rows.filter(col("__len") >= minLong)
+    val segSide = longs.select(col("__id").as("__sid"),
+        explode(transform(iSeq, i => struct(i.as("i"),
+          col("__len").as("la"),
+          col("__str").substr(segStart(col("__len"), i),
+            segLen(col("__len"), i)).as("s")))).as("e"))
+      .select(col("__sid"), col("e.i").as("__i"), col("e.la").as("__la"),
+        col("e.s").as("__s"))
+    // window side: one row per candidate source length La (>= minLong keeps
+    // sequence() ascending — shorter partners belong to the short route),
+    // then every segment index × ±d shift, clamped into the string
+    val winSide = longs
+      .select(col("__id").as("__wid"), col("__str"), col("__len"),
+        explode(sequence(greatest(lit(minLong), col("__len") - d),
+          col("__len") + d)).as("__la"))
+      .select(col("__wid"), col("__la"), explode(flatten(transform(iSeq,
+        i => transform(sequence(lit(-d), lit(d)), sh => {
+          val l = segLen(col("__la"), i)
+          val p = least(greatest(segStart(col("__la"), i) + sh, lit(1)),
+            (col("__len") - l + 1).cast("int"))
+          struct(i.as("i"), col("__str").substr(p, l).as("s"))
+        })))).as("e"))
+      .select(col("__wid"), col("__la"), col("e.i").as("__i"),
+        col("e.s").as("__s"))
+      .dropDuplicates("__wid", "__la", "__i", "__s")
+    val longCand = segSide.join(winSide, Seq("__i", "__la", "__s"))
+      .filter(col("__sid") =!= col("__wid"))
+      .select(least(col("__sid"), col("__wid")).as("a"),
+        greatest(col("__sid"), col("__wid")).as("b"))
+
+    // ---- union, dedup, exact verify
+    shortCand.unionByName(longCand).distinct()
+      .join(rows.select(col("__id").as("a"), col("__str").as("__pa")), "a")
+      .join(rows.select(col("__id").as("b"), col("__str").as("__pb")), "b")
+      .filter(levenshtein(col("__pa"), col("__pb")) <= d)
+      .select(col("a"), col("b"),
+        levenshtein(col("__pa"), col("__pb")).cast("bigint").as("dist"))
+  }
+
   /** Word n-gram shingles (0-based `getItem`); input must have >= n words. */
   def shingles(words: Column, n: Int = 3): Column =
     transform(sequence(lit(0), size(words) - n),

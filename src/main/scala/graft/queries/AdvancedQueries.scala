@@ -778,6 +778,20 @@ object AdvancedQueries {
           .select(col("doc_id"), substring(col("text"), 1, 20).as("pre")),
         "doc_id", "pre", maxDist = 2, strLen = 20)),
 
+    // LD3: variable-length fuzzy join — ld2 without the equal-length
+    // contract (runtime segment geometry keyed by source length; short
+    // keys fall back to a bounded per-length band). Keyed on each doc's
+    // first two words (lengths 3..15 on the fixtures, so both routes and
+    // the overlap band are exercised). Oracle = full quadratic replay.
+    "ld3_fuzzy_join_varlen" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      graft.dedup.Dedup.editDistanceJoinVarLen(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(element_at(w, 1), lit(" "),
+            coalesce(element_at(w, 2), lit(""))).as("key")),
+        "doc_id", "key", maxDist = 2)
+    }),
+
     // Salted two-phase aggregation: identical results to the direct groupBy
     // (that IS the oracle), resilient to hot keys that AQE can't rebalance.
     "sk1_salted_agg" -> ((s, d) =>
@@ -1293,6 +1307,14 @@ object AdvancedQueries {
            levenshtein(a.pre, b.pre)::BIGINT AS dist
          FROM p a, p b
          WHERE a.doc_id < b.doc_id AND levenshtein(a.pre, b.pre) <= 2""",
+    "ld3_fuzzy_join_varlen" ->
+      """WITH p AS (SELECT doc_id,
+             split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS key
+           FROM documents)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           levenshtein(a.key, b.key)::BIGINT AS dist
+         FROM p a, p b
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 2""",
     "dpp1_partition_pruned_join" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events
