@@ -86,7 +86,25 @@ object ScaleStress {
     // aggregate + join-back) plus a per-doc islands window — expected
     // linear; in the sweep because span detection is THE exact-dedup step
     // a 100 TB curation run pays per snapshot
-    "d23_substring_spans")
+    "d23_substring_spans",
+    // bf1: Bloom prefilter + anti-join sliver — the incremental-ingest
+    // fast path; expected linear (one bloom build over prior, one
+    // might_contain scan, sliver-sized join)
+    "bf1_bloom_incremental",
+    // ld3: blocked fuzzy join, variable-length route. NOTE on replicated
+    // fixtures: replicas of a doc differ only in the per-word ~r suffix,
+    // so same-digit-width replicas of the SAME doc sit at edit distance 2
+    // of each other — the TRUE pair set (and hence output) grows ~quadratic
+    // in the replication factor by construction. That's output semantics,
+    // not blocking overhead: the candidate equi-join stays linear in input
+    // rows, which is what the ratio gate sees as long as verify cost on
+    // the true pairs doesn't dominate. ld2 (fixed-length face, same
+    // candidate machinery on a 20-char prefix) is left out as subsumed;
+    // dpp1 is excluded because its Standing partitioned-layout rewrite
+    // would measure parquet write throughput, not pruning (its scale story
+    // is the plan+metric assertion in the spec); qc1 is a broadcast
+    // dot-product map — trivially linear, no distributed shape to stress.
+    "ld3_fuzzy_join_varlen")
 
   val ratioBound = 15.0
 

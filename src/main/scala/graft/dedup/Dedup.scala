@@ -150,6 +150,74 @@ object Dedup {
     definitelyNew.unionByName(confirmed).drop(flag)
   }
 
+  /** Per-key candidate-pair ceiling for the fuzzy joins' segment⋈window
+    * equi-joins (ld2/ld3). Unlike [[DefaultMaxBucket]] (member count of one
+    * bucket), the explosive quantity in a two-sided blocking join is the
+    * PRODUCT of the two sides' bucket sizes — a low-entropy segment shared
+    * by s seg rows and w window rows emits s·w candidates. Measured: the
+    * sf0.1 fixture's worst key product is ~37k (short 2-char segments of
+    * short keys), while 100x-replicated corpora produce suffix-free shared
+    * segments at 10^7–10^8 (the round-14 OOM that motivated this guard) —
+    * 1e6 sits 25x above everything any verify fixture reaches and ~100x
+    * below the pathology. Same oracle-coupling contract as
+    * [[DefaultMaxBucket]]: engagement registers in [[guardEngagements]]
+    * and makes the oracle non-comparable for that run.
+    */
+  val DefaultMaxJoinPairs = 1000000L
+
+  /** The fuzzy joins' guarded candidate join: equi-join `segSide` (id =
+    * `sidCol`) against `winSide` (id = `widCol`) on `keys`, except keys
+    * whose pair product exceeds `maxPairs` switch to the star expansion —
+    * every member (either side) links to the key's min seg-side id instead
+    * of all-pairs. Star pairs still pass through the caller's EXACT
+    * levenshtein verify, so an engaged bucket contributes hub-verified
+    * pairs only (the d8 contract: transitive duplicates reach the hub;
+    * arbitrary pairs inside a boilerplate bucket are not enumerated).
+    * Returns normalized (a, b) with a < b; caller dedups/verifies.
+    *
+    * Both sides are checkpoint-tracked (consumed twice: size pass + join);
+    * the size pass is two map-side-combinable counts, so DETECTING an
+    * explosive key never materializes its pairs. Oversized keys number at
+    * most |candidates|/maxPairs — broadcastable by construction.
+    */
+  private def guardedSegWinJoin(segSide: DataFrame, winSide: DataFrame,
+      keys: Seq[String], sidCol: String, widCol: String, what: String,
+      maxPairs: Long): DataFrame = {
+    val kc = keys.map(col)
+    val seg = graft.ops.Checkpoints.tracked(segSide)
+    val win = graft.ops.Checkpoints.tracked(winSide)
+    def norm(df: DataFrame, a: String, b: String): DataFrame = df
+      .filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("a"), greatest(col(a), col(b)).as("b"))
+    val over = seg.groupBy(kc: _*).agg(count(lit(1)).as("__ns"))
+      .join(win.groupBy(kc: _*).agg(count(lit(1)).as("__nw")), keys)
+      .withColumn("__np", col("__ns") * col("__nw"))
+      .filter(col("__np") > maxPairs)
+    val st = over.agg(count(lit(1)).as("k"), sum(col("__np")).as("m"),
+      max(col("__np")).as("big")).collect()(0)
+    if (st.getLong(0) == 0L) norm(seg.join(win, keys), sidCol, widCol)
+    else {
+      log.warn(s"$what pair-volume guard engaged: ${st.getLong(0)} join key(s) " +
+        s"exceed $maxPairs candidate pairs (largest ${st.getLong(2)}, " +
+        s"${st.getLong(1)} total); oversized keys star-link to the min " +
+        "seg-side id instead of expanding the product")
+      guardEngagements.add(what)
+      val overKeys = over.select(kc: _*)
+      val clean = norm(
+        seg.join(broadcast(overKeys), keys, "left_anti").join(win, keys),
+        sidCol, widCol)
+      val reps = seg.join(broadcast(overKeys), keys, "left_semi")
+        .groupBy(kc: _*).agg(min(col(sidCol)).as("__rep"))
+      val starsSeg = norm(
+        seg.join(broadcast(reps), keys).select(col("__rep"), col(sidCol)),
+        "__rep", sidCol)
+      val starsWin = norm(
+        win.join(broadcast(reps), keys).select(col("__rep"), col(widCol)),
+        "__rep", widCol)
+      clean.unionByName(starsSeg).unionByName(starsWin)
+    }
+  }
+
   /** Scalable edit-distance self-join via pigeonhole segment blocking
     * (the PassJoin shape): O(n·d) blocking keys replace the O(n²)
     * cross-join, and the exact `levenshtein` runs only on candidates.
@@ -174,11 +242,13 @@ object Dedup {
     * <= (d+1)·(2d+1)·n rows (deduped per doc), joined on (i, substring) —
     * equi-join, no cross-join anywhere (RegistryPlanSpec's registry-wide
     * gate sees this plan). A boilerplate-heavy corpus can still make one
-    * 7-char segment hot; the d3-style [[DefaultMaxBucket]] star guard is
-    * the known remedy if a real crawl's bucket histogram demands it.
+    * 7-char segment hot — the [[DefaultMaxJoinPairs]] pair-volume guard
+    * star-links such keys (measured necessary: the 100x-replicated sweep
+    * OOM'd an 8g heap on suffix-free shared segments before the guard).
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, strLen: Int): DataFrame = {
+      maxDist: Int, strLen: Int,
+      maxJoinPairs: Long = DefaultMaxJoinPairs): DataFrame = {
     require(maxDist >= 1 && strLen >= (maxDist + 1) * 2,
       s"need strLen >= ${(maxDist + 1) * 2} for $maxDist-edit segments")
     val k = maxDist + 1
@@ -203,11 +273,8 @@ object Dedup {
           substring(col(strCol), p, l).as("s")) }: _*)).as("e"))
       .select(col("__wid"), col("e.i").as("__i"), col("e.s").as("__s"))
       .dropDuplicates("__wid", "__i", "__s")
-    val cand = segSide.join(winSide, Seq("__i", "__s"))
-      .filter(col("__sid") =!= col("__wid"))
-      .select(least(col("__sid"), col("__wid")).as("a"),
-        greatest(col("__sid"), col("__wid")).as("b"))
-      .distinct()
+    val cand = guardedSegWinJoin(segSide, winSide, Seq("__i", "__s"),
+      "__sid", "__wid", "editDistanceJoin segments", maxJoinPairs).distinct()
     cand
       .join(rows.select(col(idCol).as("a"), col(strCol).as("__pa")), "a")
       .join(rows.select(col(idCol).as("b"), col(strCol).as("__pb")), "b")
@@ -248,7 +315,7 @@ object Dedup {
     * hash-checked at fixture scale, not argued.
     */
   def editDistanceJoinVarLen(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxJoinPairs: Long = DefaultMaxJoinPairs): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val d = maxDist
     val k = d + 1
@@ -264,10 +331,8 @@ object Dedup {
     val probe = shorts.select(col("__id").as("__pid"), col("__len").as("__pl"),
       explode(sequence(col("__len"), col("__len") + d)).as("__bkt"))
     val anchor = shorts.select(col("__id").as("__aid"), col("__len").as("__bkt"))
-    val shortCand = probe.join(anchor, "__bkt")
-      .filter(col("__pid") =!= col("__aid"))
-      .select(least(col("__pid"), col("__aid")).as("a"),
-        greatest(col("__pid"), col("__aid")).as("b"))
+    val shortCand = guardedSegWinJoin(probe, anchor, Seq("__bkt"),
+      "__pid", "__aid", "editDistanceJoinVarLen short band", maxJoinPairs)
 
     // ---- long route: runtime-geometry pigeonhole segments
     // segment i of a length-La string: len = La/k (+1 for i < La%k),
@@ -304,10 +369,8 @@ object Dedup {
       .select(col("__wid"), col("__la"), col("e.i").as("__i"),
         col("e.s").as("__s"))
       .dropDuplicates("__wid", "__la", "__i", "__s")
-    val longCand = segSide.join(winSide, Seq("__i", "__la", "__s"))
-      .filter(col("__sid") =!= col("__wid"))
-      .select(least(col("__sid"), col("__wid")).as("a"),
-        greatest(col("__sid"), col("__wid")).as("b"))
+    val longCand = guardedSegWinJoin(segSide, winSide, Seq("__i", "__la", "__s"),
+      "__sid", "__wid", "editDistanceJoinVarLen segments", maxJoinPairs)
 
     // ---- union, dedup, exact verify
     shortCand.unionByName(longCand).distinct()

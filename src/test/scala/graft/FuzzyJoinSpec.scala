@@ -83,6 +83,30 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L), s"false pair on 7: $got")
   }
 
+  test("pair-volume guard: oversized join keys star-link, exact elsewhere") {
+    import spark.implicits._
+    // one boilerplate cluster (shared 20-char string -> every segment key's
+    // product explodes past the tiny cap) + one clean pair elsewhere
+    val hot = (1L to 8L).map(i => i -> "aaaaaaaaaaaaaaaaaaaa")
+    val clean = Seq(100L -> "zyxwvutsrqponmlkjihg",
+      101L -> "zyxwvutsrqponmlkjiXg")
+    val df = (hot ++ clean).toDF("id", "s")
+    val guarded = Dedup.editDistanceJoin(df, "id", "s", 2, 20, maxJoinPairs = 10L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hub semantics: every hot member links to the min id (1), and the
+    // exact verify keeps them all (identical strings, distance 0)
+    assert((2L to 8L).forall(i => guarded.contains((1L, i))),
+      s"hot members lost their hub link: $guarded")
+    // all-pairs inside the hot bucket are NOT enumerated
+    assert(!guarded.contains((2L, 3L)), s"guard did not engage: $guarded")
+    // the clean pair is untouched by the engagement
+    assert(guarded.contains((100L, 101L)), s"clean pair lost: $guarded")
+    // and with the default cap the same input is exact all-pairs
+    val exact = Dedup.editDistanceJoin(df, "id", "s", 2, 20)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((2L, 3L)))
+  }
+
   test("varlen equals the quadratic join on the sf0.001 first-two-words keys") {
     val w = split(col("text"), " ")
     val t = Tables.documents(spark, "/root/testdata/sf0.001")
