@@ -91,15 +91,16 @@ object ScaleStress {
     // fast path; expected linear (one bloom build over prior, one
     // might_contain scan, sliver-sized join)
     "bf1_bloom_incremental",
-    // ld3: blocked fuzzy join, variable-length route. NOTE on replicated
-    // fixtures: replicas of a doc differ only in the per-word ~r suffix,
-    // so same-digit-width replicas of the SAME doc sit at edit distance 2
-    // of each other — the TRUE pair set (and hence output) grows ~quadratic
-    // in the replication factor by construction. That's output semantics,
-    // not blocking overhead: the candidate equi-join stays linear in input
-    // rows, which is what the ratio gate sees as long as verify cost on
-    // the true pairs doesn't dominate. ld2 (fixed-length face, same
-    // candidate machinery on a 20-char prefix) is left out as subsumed;
+    // ld3: blocked fuzzy join, variable-length route. Two measured
+    // round-14 facts (SCALE_PROOF_100X_R14.md): (1) replicas of a doc
+    // differ only in per-word ~r suffixes, so same-digit-width replicas
+    // sit at edit distance 2 — the TRUE pair set grows ~quadratic in the
+    // replication factor by construction (r100 ≈ 31 is output semantics,
+    // not blocking overhead); (2) suffix-free shared segments made 213
+    // join keys carry 4.86e9 would-be candidates and OOM'd the 8g heap —
+    // the DefaultMaxJoinPairs star guard now caps that (engagement
+    // logged). ld2 (fixed-length face, same machinery) was measured once
+    // in the R14 proof and is left out of the standing sweep as subsumed;
     // dpp1 is excluded because its Standing partitioned-layout rewrite
     // would measure parquet write throughput, not pruning (its scale story
     // is the plan+metric assertion in the spec); qc1 is a broadcast
