@@ -495,6 +495,24 @@ object AdvancedQueries {
     // exchange-free. (Snapshots are carved deterministically from orders:
     // old drops every 10th key, new drops every 3rd and bumps every 7th's
     // price — exercising all three change classes.)
+    // VD1: migration validation — the chunked-checksum table diff
+    // (vdiff/pt-table-checksum shape) the reference's blind load lacks.
+    // Pass 1 compares per-chunk (count, hash-sum); pass 2 row-drills ONLY
+    // damaged chunks (left-semi scope). b is a deterministic perturbation
+    // of documents: %97 deleted, %101 lang-rewritten, %103 re-keyed
+    // copies inserted — so all three statuses appear and every hash is
+    // replayed bit-exact by the DuckDB oracle.
+    "vd1_migration_diff" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+      val b = a.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 101 === 0, lit("xx")).otherwise(col("lang")))
+        .unionByName(a.filter(col("doc_id") % 103 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.TableDiff.diff(a, b, "doc_id",
+        Seq("text", "lang", "source", "n_chars"), chunkSize = 100L)
+    }),
+
     "cdc1_snapshot_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val prev = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -1336,6 +1354,44 @@ object AdvancedQueries {
          UNION ALL
          SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey % 2 = 1""",
+    "vd1_migration_diff" ->
+      """WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         b AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 101 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars
+           FROM documents WHERE doc_id % 97 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 103 = 0),
+         ha AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
+             ('0x' || substr(md5(
+               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
+               || chr(1) || coalesce(source, chr(0)) || chr(1)
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+           FROM a),
+         hb AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
+             ('0x' || substr(md5(
+               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
+               || chr(1) || coalesce(source, chr(0)) || chr(1)
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+           FROM b),
+         ca AS (SELECT chunk, count(*) AS na, sum(h) AS sa FROM ha GROUP BY 1),
+         cb AS (SELECT chunk, count(*) AS nb, sum(h) AS sb FROM hb GROUP BY 1),
+         bad AS (
+           SELECT coalesce(ca.chunk, cb.chunk) AS chunk
+           FROM ca FULL OUTER JOIN cb ON ca.chunk = cb.chunk
+           WHERE coalesce(na, -1) != coalesce(nb, -1)
+              OR coalesce(sa, -1) != coalesce(sb, -1)),
+         ra AS (SELECT k, h FROM ha WHERE chunk IN (SELECT chunk FROM bad)),
+         rb AS (SELECT k, h FROM hb WHERE chunk IN (SELECT chunk FROM bad))
+         SELECT doc_id, status FROM (
+           SELECT coalesce(ra.k, rb.k) AS doc_id,
+             CASE WHEN rb.k IS NULL THEN 'missing_in_b'
+                  WHEN ra.k IS NULL THEN 'extra_in_b'
+                  WHEN ra.h != rb.h THEN 'changed' END AS status
+           FROM ra FULL OUTER JOIN rb ON ra.k = rb.k)
+         WHERE status IS NOT NULL""",
     "cdc1_snapshot_diff" ->
       """WITH prev AS (
            SELECT o_orderkey AS k, o_totalprice AS v_old

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TableDiff
+
+/** Chunked-checksum migration diff ([[TableDiff]]): status classification,
+  * identical-tables emptiness, equal rows inside a damaged chunk staying
+  * silent, and the row drill planning its semi-join chunk scope.
+  */
+class TableDiffSpec extends SparkSpec {
+
+  private def tbl(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+  private def run(a: Seq[(Long, String)], b: Seq[(Long, String)], chunk: Long = 4) =
+    TableDiff.diff(tbl(a), tbl(b), "id", Seq("v"), chunk)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("classifies missing / extra / changed; equal rows in bad chunks stay silent") {
+    val a = Seq(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "x")
+    val b = Seq(1L -> "a", /* 2 deleted */ 3L -> "CHANGED", 5L -> "new", 9L -> "x")
+    // chunk 0 holds ids 1,2,3 (and b's 5): id 1 is equal yet shares the
+    // damaged chunk — it must NOT be reported; chunk 2 (id 9) is clean.
+    assert(run(a, b) === Set((2L, "missing_in_b"), (3L, "changed"),
+      (5L, "extra_in_b")))
+  }
+
+  test("identical tables produce an empty diff (no chunk drills)") {
+    val a = Seq(1L -> "a", 2L -> "b", 1001L -> "c")
+    assert(run(a, a).isEmpty)
+  }
+
+  test("null columns are distinguishable from the empty string") {
+    import spark.implicits._
+    val a = Seq((1L, Some("")), (2L, Some("x"))).toDF("id", "v")
+    val b = Seq((1L, None: Option[String]), (2L, Some("x"))).toDF("id", "v")
+    val got = TableDiff.diff(a, b, "id", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "changed")))
+  }
+
+  test("the row drill is semi-join scoped to damaged chunks") {
+    val a = tbl(Seq(1L -> "a", 100L -> "b"))
+    val plan = TableDiff.diff(a, a, "id", Seq("v"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected the drill to semi-join the bad-chunk list:\n$plan")
+  }
+}
