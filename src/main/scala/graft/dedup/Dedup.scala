@@ -275,13 +275,25 @@ object Dedup {
       .dropDuplicates("__wid", "__i", "__s")
     val cand = guardedSegWinJoin(segSide, winSide, Seq("__i", "__s"),
       "__sid", "__wid", "editDistanceJoin segments", maxJoinPairs).distinct()
+    verifyPairs(cand, rows, idCol, strCol, maxDist)
+  }
+
+  /** The fuzzy joins' exact-verify stage: join candidate (a, b) pairs back
+    * to their strings and keep edit distance <= maxDist. Uses the
+    * THRESHOLDED levenshtein (banded O(d·n) DP, early exit, -1 past the
+    * threshold) — per-candidate cost drops from O(n^2) to O(d·n), which is
+    * the verify stage's whole bill at corpus scale. For kept rows the
+    * thresholded value IS the exact distance, so oracles are unaffected.
+    */
+  private def verifyPairs(cand: DataFrame, rows: DataFrame, idCol: String,
+      strCol: String, maxDist: Int): DataFrame =
     cand
       .join(rows.select(col(idCol).as("a"), col(strCol).as("__pa")), "a")
       .join(rows.select(col(idCol).as("b"), col(strCol).as("__pb")), "b")
-      .filter(levenshtein(col("__pa"), col("__pb")) <= maxDist)
-      .select(col("a"), col("b"),
-        levenshtein(col("__pa"), col("__pb")).cast("bigint").as("dist"))
-  }
+      .withColumn("dist",
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("bigint"))
+      .filter(col("dist") >= 0) // -1 = "beyond maxDist"
+      .select(col("a"), col("b"), col("dist"))
 
   /** Variable-length [[editDistanceJoin]] — the production PassJoin shape:
     * no fixed-length contract, strings are banded by length (a true pair
@@ -373,12 +385,8 @@ object Dedup {
       "__sid", "__wid", "editDistanceJoinVarLen segments", maxJoinPairs)
 
     // ---- union, dedup, exact verify
-    shortCand.unionByName(longCand).distinct()
-      .join(rows.select(col("__id").as("a"), col("__str").as("__pa")), "a")
-      .join(rows.select(col("__id").as("b"), col("__str").as("__pb")), "b")
-      .filter(levenshtein(col("__pa"), col("__pb")) <= d)
-      .select(col("a"), col("b"),
-        levenshtein(col("__pa"), col("__pb")).cast("bigint").as("dist"))
+    verifyPairs(shortCand.unionByName(longCand).distinct(),
+      rows, "__id", "__str", d)
   }
 
   /** Word n-gram shingles (0-based `getItem`); input must have >= n words. */
