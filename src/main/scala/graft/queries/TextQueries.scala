@@ -214,6 +214,27 @@ object TextQueries {
     // value in the fixture (unicode text, embedded punctuation, nulls).
     // The export runs once per (session, fixture) via Standing.artifact —
     // concurrent Verify threads share one write.
+    // CSV1: RFC-4180 CSV round-trip under deliberately hostile content —
+    // the fixture text is too clean to prove anything (no quotes, commas,
+    // or newlines), so the payload INJECTS all three per row before the
+    // write. The oracle rebuilds the same payload from the parquet
+    // original: only a correct quote/escape/multiline cycle hash-matches.
+    // Scale trap (multiLine read = one task per file) pinned in
+    // CsvCorpusSpec.
+    "csv1_roundtrip" -> ((s, d) => {
+      val gnarly = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("say \""), col("lang"), lit("\", then,\n"), col("source"))
+          .as("payload"),
+        col("n_chars"))
+      val dir = graft.sources.Standing.artifact(s, d, "csv1_export") {
+        val t = graft.sources.JsonlCorpus.tempCorpusDir("graft-csv1")
+        graft.sources.CsvCorpus.write(gnarly, t, shards = 4)
+        t
+      }
+      graft.sources.CsvCorpus.readStrict(s, dir, gnarly.schema)
+        .select(gnarly.columns.map(col): _*)
+    }),
+
     "js1_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = graft.sources.Standing.artifact(s, d, "js1_jsonl") {
@@ -2028,6 +2049,11 @@ object TextQueries {
          WHERE rank <= 3""",
     // the oracle reads the ORIGINAL parquet — a hash match means the JSONL
     // codec round-tripped every value losslessly
+    "csv1_roundtrip" ->
+      """SELECT doc_id,
+           'say "' || lang || '", then,' || chr(10) || source AS payload,
+           n_chars
+         FROM documents""",
     "js1_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // same oracle as js1: the compressed round-trip must reproduce the
