@@ -32,20 +32,67 @@ import org.apache.spark.sql.functions._
   */
 object TableDiff {
 
+  /** (key, chunk, 48-bit row hash): 12 hex chars keep billions of rows per
+    * chunk away from overflowing the 64-bit per-chunk sum.
+    */
+  private def hashed(df: DataFrame, keyCol: String, cols: Seq[String],
+      chunkSize: Long): DataFrame = {
+    val payload = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    // withColumn (not select): callers like applyChecksumDelta need their
+    // own columns (the op tag) to survive hashing
+    df.withColumn("__k", col(keyCol))
+      .withColumn("__chunk", floor(col(keyCol) / chunkSize).cast("bigint"))
+      .withColumn("__h",
+        conv(substring(md5(payload.cast("binary")), 1, 12), 16, 10)
+          .cast("bigint"))
+  }
+
+  /** The standing integrity artifact: per-chunk (row count, hash sum).
+    * Linear, order-insensitive, map-side combinable — at 100 TB this is
+    * the table a cutover audit KEEPS, not recomputes (see
+    * [[applyChecksumDelta]]).
+    */
+  def chunkChecksums(t: DataFrame, keyCol: String, cols: Seq[String],
+      chunkSize: Long = 1000L): DataFrame =
+    hashed(t, keyCol, cols, chunkSize).groupBy("__chunk")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("hash_sum"))
+      .select(col("__chunk").as("chunk"), col("n_rows"), col("hash_sum"))
+
+  /** Incremental maintenance of [[chunkChecksums]]: both aggregates are
+    * INVERTIBLE (count, sum), so a change feed updates the standing
+    * artifact in O(|changes|) instead of rescanning the table — the cdc2
+    * signed-delta pattern applied to integrity checking. `changes` carries
+    * `opCol` in {insert, delete} plus the full row (an update is its
+    * before-image delete + after-image insert, the usual CDC decomposition
+    * — subtracting a row means knowing its hash, hence the before image).
+    * Chunks whose count reaches zero are dropped, so the result is exactly
+    * `chunkChecksums(base with changes applied)` — which IS the vd2 oracle.
+    */
+  def applyChecksumDelta(baseSums: DataFrame, changes: DataFrame,
+      opCol: String, keyCol: String, cols: Seq[String],
+      chunkSize: Long = 1000L): DataFrame = {
+    val sign = when(col(opCol) === "insert", 1L).otherwise(-1L)
+    val delta = hashed(changes, keyCol, cols, chunkSize)
+      .withColumn("__sign", sign)
+      .groupBy("__chunk")
+      .agg(sum(col("__sign")).as("__dn"),
+        sum(col("__sign") * col("__h")).as("__ds"))
+    baseSums.select(col("chunk").as("__chunk"), col("n_rows"), col("hash_sum"))
+      .join(delta, Seq("__chunk"), "full_outer")
+      .select(col("__chunk").as("chunk"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("hash_sum"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+          .as("hash_sum"))
+      .filter(col("n_rows") > 0)
+  }
+
   def diff(a: DataFrame, b: DataFrame, keyCol: String, cols: Seq[String],
       chunkSize: Long = 1000L): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")
-    def hashed(df: DataFrame): DataFrame = {
-      val payload = concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-      df.select(col(keyCol).as("__k"),
-        floor(col(keyCol) / chunkSize).cast("bigint").as("__chunk"),
-        // 12 hex chars = 48 bits: billions of rows per chunk away from
-        // overflowing the 64-bit per-chunk sum
-        conv(substring(md5(payload.cast("binary")), 1, 12), 16, 10)
-          .cast("bigint").as("__h"))
-    }
-    val (ha, hb) = (hashed(a), hashed(b))
+    val ha = hashed(a, keyCol, cols, chunkSize)
+    val hb = hashed(b, keyCol, cols, chunkSize)
     def chunkSums(h: DataFrame, n: String, s: String) =
       h.groupBy("__chunk").agg(count(lit(1)).as(n), sum(col("__h")).as(s))
     val badChunks = chunkSums(ha, "__na", "__sa")

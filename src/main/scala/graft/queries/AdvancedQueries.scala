@@ -513,6 +513,32 @@ object AdvancedQueries {
         Seq("text", "lang", "source", "n_chars"), chunkSize = 100L)
     }),
 
+    // VD2: the standing integrity artifact MAINTAINED, not recomputed —
+    // vd1's chunk-checksum table updated by a signed CDC delta (count and
+    // hash-sum are invertible, cdc2's pattern), O(|changes|) instead of a
+    // table rescan per cutover check. The same three-fault perturbation as
+    // vd1 expressed as a change feed (update = before-image delete +
+    // after-image insert); the oracle recomputes table B's checksums from
+    // scratch, so "apply ≡ recompute" is hash-checked.
+    "vd2_incremental_checksums" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+      val cols = Seq("text", "lang", "source", "n_chars")
+      val base = graft.ops.TableDiff.chunkChecksums(a, "doc_id", cols, 100L)
+      val dels = a.filter(col("doc_id") % 97 === 0)
+        .withColumn("op", lit("delete"))
+      val updOld = a.filter(col("doc_id") % 101 === 0 && col("doc_id") % 97 =!= 0)
+      val ins = a.filter(col("doc_id") % 103 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("op", lit("insert"))
+      val changes = dels
+        .unionByName(updOld.withColumn("op", lit("delete")))
+        .unionByName(updOld.withColumn("lang", lit("xx"))
+          .withColumn("op", lit("insert")))
+        .unionByName(ins)
+      graft.ops.TableDiff.applyChecksumDelta(
+        base, changes, "op", "doc_id", cols, 100L)
+    }),
+
     "cdc1_snapshot_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val prev = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -1392,6 +1418,24 @@ object AdvancedQueries {
                   WHEN ra.h != rb.h THEN 'changed' END AS status
            FROM ra FULL OUTER JOIN rb ON ra.k = rb.k)
          WHERE status IS NOT NULL""",
+    // oracle IS the full recompute of the perturbed table's checksums
+    "vd2_incremental_checksums" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 101 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars
+           FROM documents WHERE doc_id % 97 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 103 = 0),
+         hb AS (SELECT doc_id // 100 AS chunk,
+             ('0x' || substr(md5(
+               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
+               || chr(1) || coalesce(source, chr(0)) || chr(1)
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+           FROM b)
+         SELECT chunk, count(*)::BIGINT AS n_rows, sum(h)::BIGINT AS hash_sum
+         FROM hb GROUP BY chunk""",
     "cdc1_snapshot_diff" ->
       """WITH prev AS (
            SELECT o_orderkey AS k, o_totalprice AS v_old

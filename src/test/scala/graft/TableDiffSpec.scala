@@ -41,6 +41,28 @@ class TableDiffSpec extends SparkSpec {
     assert(got === Set((1L, "changed")))
   }
 
+  test("checksum delta apply equals the full recompute, incl. emptied chunks") {
+    import spark.implicits._
+    val base = Seq(1L -> "a", 2L -> "b", 9L -> "x").toDF("id", "v")
+    // chunk 0 (ids 1,2) loses id 2 and rewrites id 1; chunk 2 (id 9) is
+    // emptied entirely — its row must vanish from the maintained artifact;
+    // id 13 lands in a brand-new chunk
+    val changes = Seq(
+      ("delete", 2L, "b"),
+      ("delete", 1L, "a"), ("insert", 1L, "A2"),
+      ("delete", 9L, "x"),
+      ("insert", 13L, "new")).toDF("op", "id", "v")
+    val next = Seq(1L -> "A2", 13L -> "new").toDF("id", "v")
+    val applied = graft.ops.TableDiff.applyChecksumDelta(
+        graft.ops.TableDiff.chunkChecksums(base, "id", Seq("v"), 4),
+        changes, "op", "id", Seq("v"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = graft.ops.TableDiff.chunkChecksums(next, "id", Seq("v"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied === recomputed)
+    assert(!applied.exists(_._1 == 2L), s"emptied chunk survived: $applied")
+  }
+
   test("the row drill is semi-join scoped to damaged chunks") {
     val a = tbl(Seq(1L -> "a", 100L -> "b"))
     val plan = TableDiff.diff(a, a, "id", Seq("v"))
