@@ -39,6 +39,13 @@ import JdbcEdges.Conn
   * before step 3 → restage+publish; mid-step-3 partial tag → step 2 wipes
   * it; between 3 and 4 → ledger miss, restage (wasted work, no dupes);
   * mid-step-4 → the DB rolls back, as before; after COMMIT → step 1 skips.
+  * Zombie-writer race (two live deliveries of one batchId — rare; Spark
+  * runs foreachBatch serially per query): the ledger PRIMARY KEY elects
+  * one publisher, the loser rolls back — but a loser that staged AFTER
+  * the winner's cleanup leaves orphaned staging rows tagged with a
+  * committed batchId. They never publish (the ledger row blocks the
+  * batchId forever); reclaim with `DELETE FROM staging WHERE batch_id IN
+  * (SELECT batch_id FROM ledger)` at maintenance time.
   *
   * Reference anchor: the reference migration's sink is Postgres with
   * ON CONFLICT DO NOTHING (src/queries.mjs:5-9) — row-level idempotence
