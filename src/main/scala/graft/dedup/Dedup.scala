@@ -255,8 +255,11 @@ object Dedup {
     val base = strLen / k
     val lens = Seq.tabulate(k)(i => if (i < strLen % k) base + 1 else base)
     val starts = lens.scanLeft(1)(_ + _).init // 1-based substring positions
-    val rows = df.select(col(idCol), col(strCol))
-      .where(length(col(strCol)) === strLen)
+    // tracked: seg side, window side, guard counts, and the two verify
+    // joins all re-consume this projection
+    val rows = graft.ops.Checkpoints.tracked(
+      df.select(col(idCol), col(strCol))
+        .where(length(col(strCol)) === strLen))
     val segSide = rows.select(col(idCol).as("__sid"), explode(array(
         starts.indices.map(i => struct(lit(i).as("i"),
           substring(col(strCol), starts(i), lens(i)).as("s"))): _*)).as("e"))
@@ -334,9 +337,14 @@ object Dedup {
     val minLong = 2 * k           // long-route floor: every segment >= 2 chars
     val shortMax = minLong + d - 1 // any partner of a sub-minLong string
 
-    val rows = df.select(col(idCol).as("__id"), col(strCol).as("__str"))
-      .where(col(strCol).isNotNull && length(col(strCol)) >= 1)
-      .withColumn("__len", length(col("__str")))
+    // tracked: consumed by both routes' guard passes AND the verify joins
+    // (6 consumers) — one checkpoint replaces six source re-evaluations.
+    // Empty strings stay in: ("", x) with len(x) <= d is a true pair and
+    // the short route's length band handles L = 0 like any other length.
+    val rows = graft.ops.Checkpoints.tracked(
+      df.select(col(idCol).as("__id"), col(strCol).as("__str"))
+        .where(col(strCol).isNotNull)
+        .withColumn("__len", length(col("__str"))))
 
     // ---- short route: per-length-band all-pairs (equi-join on target len)
     val shorts = rows.filter(col("__len") <= shortMax)

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Two passes, the second scoped to damage only:
   *
-  *   1. CHUNK PASS — each side maps every row to a 48-bit md5-derived row
+  *   1. CHUNK PASS — each side maps every row to a 40-bit md5-derived row
   *      hash (engine-portable: the DuckDB oracle computes the identical
   *      value) and aggregates per key-range chunk to (count, sum-of-hash).
   *      Order-insensitive, map-side combinable, one shuffle of
   *      |keys|/chunkSize rows per side. Chunks whose (count, sum) agree
-  *      are PROVABLY identical up to checksum collision (~2^-48 per
+  *      are PROVABLY identical up to checksum collision (~2^-40 per
   *      colliding pair, the standard checksum trade — a paranoid cutover
   *      re-runs with a second separator salt).
   *   2. ROW DRILL — only rows of mismatched chunks (left-semi against the
@@ -32,8 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object TableDiff {
 
-  /** (key, chunk, 48-bit row hash): 12 hex chars keep billions of rows per
-    * chunk away from overflowing the 64-bit per-chunk sum.
+  /** How many rows a chunk may hold before the signed-64-bit sum of
+    * 40-bit row hashes could wrap: 2^63 / 2^40 = 2^23 ≈ 8.4M. diff() and
+    * chunkChecksums() require chunkSize at half that — overflow would be
+    * SILENT in Spark (non-ANSI sum) while DuckDB sums into HUGEINT, so
+    * the two engines would diverge exactly when the artifact matters.
+    */
+  val MaxChunkSize: Long = 1L << 22
+
+  /** (key, chunk, 40-bit row hash): 10 hex chars trade per-row collision
+    * resistance (still 2^-40 per colliding pair within a chunk) for a
+    * sum that provably cannot wrap under [[MaxChunkSize]]. The chunk id
+    * uses integer `div`, not double division — BIGINT keys above 2^53
+    * would round to the wrong chunk in IEEE doubles and diverge from the
+    * oracle's exact `//`. Keys must be nonnegative (div truncates toward
+    * zero; DuckDB's // floors — they agree only there).
     */
   private def hashed(df: DataFrame, keyCol: String, cols: Seq[String],
       chunkSize: Long): DataFrame = {
@@ -42,9 +55,10 @@ object TableDiff {
     // withColumn (not select): callers like applyChecksumDelta need their
     // own columns (the op tag) to survive hashing
     df.withColumn("__k", col(keyCol))
-      .withColumn("__chunk", floor(col(keyCol) / chunkSize).cast("bigint"))
+      .withColumn("__chunk",
+        expr(s"CAST(`$keyCol` AS BIGINT) div ${chunkSize}L"))
       .withColumn("__h",
-        conv(substring(md5(payload.cast("binary")), 1, 12), 16, 10)
+        conv(substring(md5(payload.cast("binary")), 1, 10), 16, 10)
           .cast("bigint"))
   }
 
@@ -54,10 +68,13 @@ object TableDiff {
     * [[applyChecksumDelta]]).
     */
   def chunkChecksums(t: DataFrame, keyCol: String, cols: Seq[String],
-      chunkSize: Long = 1000L): DataFrame =
+      chunkSize: Long = 1000L): DataFrame = {
+    require(chunkSize >= 1 && chunkSize <= MaxChunkSize,
+      s"chunkSize must be in [1, $MaxChunkSize] (hash-sum overflow bound)")
     hashed(t, keyCol, cols, chunkSize).groupBy("__chunk")
       .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("hash_sum"))
       .select(col("__chunk").as("chunk"), col("n_rows"), col("hash_sum"))
+  }
 
   /** Incremental maintenance of [[chunkChecksums]]: both aggregates are
     * INVERTIBLE (count, sum), so a change feed updates the standing
@@ -90,7 +107,8 @@ object TableDiff {
 
   def diff(a: DataFrame, b: DataFrame, keyCol: String, cols: Seq[String],
       chunkSize: Long = 1000L): DataFrame = {
-    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(chunkSize >= 1 && chunkSize <= MaxChunkSize,
+      s"chunkSize must be in [1, $MaxChunkSize] (hash-sum overflow bound)")
     val ha = hashed(a, keyCol, cols, chunkSize)
     val hb = hashed(b, keyCol, cols, chunkSize)
     def chunkSums(h: DataFrame, n: String, s: String) =

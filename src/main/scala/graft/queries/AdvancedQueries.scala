@@ -1345,8 +1345,13 @@ object AdvancedQueries {
     "b1_bucketed_join" ->
       """SELECT doc_id, lang, len(embedding)::BIGINT AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id""",
+    // len(pre) = 20 replays editDistanceJoin's documented equal-length
+    // contract (shorter-than-strLen rows are out of scope, not compared)
+    // so the oracle cannot drift from the operator on a corpus with short
+    // texts — the current fixtures' texts are all >= 44 chars either way
     "ld2_fuzzy_join_blocked" ->
-      """WITH p AS (SELECT doc_id, substr(text, 1, 20) AS pre FROM documents)
+      """WITH p AS (SELECT doc_id, substr(text, 1, 20) AS pre FROM documents
+                    WHERE len(substr(text, 1, 20)) = 20)
          SELECT a.doc_id AS a, b.doc_id AS b,
            levenshtein(a.pre, b.pre)::BIGINT AS dist
          FROM p a, p b
@@ -1394,13 +1399,13 @@ object AdvancedQueries {
              ('0x' || substr(md5(
                coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
                || chr(1) || coalesce(source, chr(0)) || chr(1)
-               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
            FROM a),
          hb AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
              ('0x' || substr(md5(
                coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
                || chr(1) || coalesce(source, chr(0)) || chr(1)
-               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
            FROM b),
          ca AS (SELECT chunk, count(*) AS na, sum(h) AS sa FROM ha GROUP BY 1),
          cb AS (SELECT chunk, count(*) AS nb, sum(h) AS sb FROM hb GROUP BY 1),
@@ -1432,7 +1437,7 @@ object AdvancedQueries {
              ('0x' || substr(md5(
                coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
                || chr(1) || coalesce(source, chr(0)) || chr(1)
-               || coalesce(n_chars::VARCHAR, chr(0))), 1, 12))::BIGINT AS h
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
            FROM b)
          SELECT chunk, count(*)::BIGINT AS n_rows, sum(h)::BIGINT AS hash_sum
          FROM hb GROUP BY chunk""",

@@ -77,6 +77,11 @@ class FuzzyJoinSpec extends SparkSpec {
       7L -> "qrstu")    // len 5, far from everything
     val got = runVar(rows).map { case (a, b, _) => (a, b) }
     assert(got.contains((1L, 2L)), s"missed len-2/3 pair: $got")
+    // empty strings are legal keys: ("", x) with len(x) <= d is a true pair
+    val withEmpty = runVar(Seq(1L -> "", 2L -> "ab", 3L -> "abc"))
+      .map { case (a, b, _) => (a, b) }
+    assert(withEmpty === Set((1L, 2L), (2L, 3L)),
+      s"empty-string pairs wrong: $withEmpty")
     assert(got.contains((1L, 3L)), s"missed exact short dup: $got")
     assert(got.contains((1L, 4L)), s"missed dist-2 short pair: $got")
     assert(got.contains((5L, 6L)), s"missed overlap-band x long pair: $got")

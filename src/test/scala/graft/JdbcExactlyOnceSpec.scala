@@ -59,11 +59,12 @@ class JdbcExactlyOnceSpec extends SparkSpec {
     assert(queryLongs("SELECT batch_id FROM sink_ledger") === Seq(0L))
   }
 
-  test("a crashed partial stage is wiped before re-staging") {
+  test("a dead attempt's stray rows are never published and the winner sweeps them") {
     wipe()
-    // simulate a delivery that died mid-stage: a stray tagged row that the
-    // replay must NOT publish alongside the real batch
-    exec("INSERT INTO sink_staging VALUES (-999, 0, 0.0, 1)")
+    // simulate a delivery that died mid-stage: its half-staged rows carry
+    // a different attempt id, so the replay's publish must not see them —
+    // and the winning transaction's cleanup removes them anyway
+    exec("INSERT INTO sink_staging VALUES (-999, 0, 0.0, 1, 'dead-attempt')")
     assert(JdbcExactlyOnce.publish(conn, "sink_target", "sink_staging",
       "sink_ledger", df(10, 11), batchId = 1))
     assert(targetIds === Seq(10L, 11L), "stray staged row leaked or batch lost")
