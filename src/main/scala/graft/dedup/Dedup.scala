@@ -122,13 +122,45 @@ object Dedup {
     * partition against its shard — the flag semantics are unchanged.
     * `expectedItems` comes from a `count()` pass here; a production prior
     * is a standing table whose row count is metadata.
+    *
+    * Dtype discipline: `stat.bloomFilter` hashes integral keys via
+    * `putLong` and strings via their UTF-8 bytes — DISJOINT hash domains.
+    * The probe must therefore match the build side's dtype exactly, or
+    * every probe reads "definitely new" and [[bloomNewRows]] would
+    * re-emit already-seen rows: a silent break of the no-false-negative
+    * contract, not a perf bug (Spark would happily insert an implicit
+    * bigint→string cast under a mistyped UDF and never warn). Hence the
+    * hard requires below; unsupported key dtypes fail loudly instead of
+    * probing the wrong domain. The filter broadcast stays alive as long
+    * as the returned (lazy) DataFrame's plan does — Spark's
+    * ContextCleaner reclaims it once the plan is unreachable, so an
+    * explicit destroy here would break late consumers.
     */
   def bloomMaybeSeen(prior: DataFrame, batch: DataFrame, keyCol: String,
       flagCol: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    def domain(dt: DataType): String = dt match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case other => throw new IllegalArgumentException(
+        s"bloomMaybeSeen key '$keyCol' has dtype $other; BloomFilter " +
+          "supports string and integral keys only")
+    }
+    val buildDomain = domain(prior.schema(keyCol).dataType)
+    val probeDomain = domain(batch.schema(keyCol).dataType)
+    require(buildDomain == probeDomain,
+      s"bloomMaybeSeen key '$keyCol': prior hashes as $buildDomain but " +
+        s"batch would probe as $probeDomain — disjoint hash domains, every " +
+        "probe would read 'definitely new'")
     val expected = math.max(prior.count(), 1L)
     val bf = prior.stat.bloomFilter(col(keyCol), expected, fpp)
     val bfB = prior.sparkSession.sparkContext.broadcast(bf)
-    val maybe = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val maybe = buildDomain match {
+      case "string" =>
+        udf((k: String) => k != null && bfB.value.mightContainString(k))
+      case _ =>
+        udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
+    }
     batch.withColumn(flagCol, maybe(col(keyCol)))
   }
 

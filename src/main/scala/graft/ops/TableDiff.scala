@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Migration validation: a chunked-checksum diff of two table snapshots —
   * the step the reference migration has no answer for (it loads MariaDB
@@ -67,13 +68,21 @@ object TableDiff {
     * the table a cutover audit KEEPS, not recomputes (see
     * [[applyChecksumDelta]]).
     */
+  /** Column-metadata key recording the chunkSize an artifact was built
+    * with. StructField metadata survives Spark's parquet round-trip (it
+    * rides in the file footer's Spark schema) and is invisible to value/
+    * hash comparison, so the standing artifact carries its own geometry.
+    */
+  private[graft] val ChunkSizeMetaKey = "graft.tablediff.chunkSize"
+
   def chunkChecksums(t: DataFrame, keyCol: String, cols: Seq[String],
       chunkSize: Long = 1000L): DataFrame = {
     require(chunkSize >= 1 && chunkSize <= MaxChunkSize,
       s"chunkSize must be in [1, $MaxChunkSize] (hash-sum overflow bound)")
+    val meta = new MetadataBuilder().putLong(ChunkSizeMetaKey, chunkSize).build()
     hashed(t, keyCol, cols, chunkSize).groupBy("__chunk")
       .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("hash_sum"))
-      .select(col("__chunk").as("chunk"), col("n_rows"), col("hash_sum"))
+      .select(col("__chunk").as("chunk", meta), col("n_rows"), col("hash_sum"))
   }
 
   /** Incremental maintenance of [[chunkChecksums]]: both aggregates are
@@ -89,15 +98,34 @@ object TableDiff {
   def applyChecksumDelta(baseSums: DataFrame, changes: DataFrame,
       opCol: String, keyCol: String, cols: Seq[String],
       chunkSize: Long = 1000L): DataFrame = {
+    // same overflow bound as diff()/chunkChecksums() — the delta path is
+    // a MAINTENANCE face of the same artifact, so an oversized chunkSize
+    // here would silently reintroduce the wrap the bound exists to stop
+    require(chunkSize >= 1 && chunkSize <= MaxChunkSize,
+      s"chunkSize must be in [1, $MaxChunkSize] (hash-sum overflow bound)")
+    // a delta applied with a different chunkSize than the artifact was
+    // built with lands rows in the wrong chunks and the result stops
+    // being chunkChecksums(base+changes) — if the artifact recorded its
+    // geometry (chunkChecksums stamps it; a foreign frame may not have
+    // it, in which case the caller owns the agreement), fail loudly
+    val recorded = baseSums.schema("chunk").metadata
+    if (recorded.contains(ChunkSizeMetaKey)) {
+      val got = recorded.getLong(ChunkSizeMetaKey)
+      require(got == chunkSize,
+        s"baseSums artifact was built with chunkSize=$got but the delta " +
+          s"would be applied at chunkSize=$chunkSize — chunk ids would " +
+          "not line up")
+    }
     val sign = when(col(opCol) === "insert", 1L).otherwise(-1L)
     val delta = hashed(changes, keyCol, cols, chunkSize)
       .withColumn("__sign", sign)
       .groupBy("__chunk")
       .agg(sum(col("__sign")).as("__dn"),
         sum(col("__sign") * col("__h")).as("__ds"))
+    val meta = new MetadataBuilder().putLong(ChunkSizeMetaKey, chunkSize).build()
     baseSums.select(col("chunk").as("__chunk"), col("n_rows"), col("hash_sum"))
       .join(delta, Seq("__chunk"), "full_outer")
-      .select(col("__chunk").as("chunk"),
+      .select(col("__chunk").as("chunk", meta),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as("n_rows"),
         (coalesce(col("hash_sum"), lit(0L)) + coalesce(col("__ds"), lit(0L)))

@@ -38,6 +38,40 @@ class BloomGateSpec extends SparkSpec {
     } finally flagged.unpersist()
   }
 
+  test("integral keys probe the long hash domain (no false negatives)") {
+    // The latent contract break this pins: stat.bloomFilter inserts
+    // bigint keys via putLong, so a string-typed probe (which Spark would
+    // reach via an implicit cast) hashes different bytes and every prior
+    // key reads 'definitely new'. With the dtype-branched probe, a long
+    // key column must behave exactly like the string path: zero false
+    // negatives, and bloomNewRows == plain anti join.
+    val longPrior = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val flagged = Dedup.bloomMaybeSeen(longPrior, docs, "doc_id", "maybe")
+    val fn = flagged.join(longPrior.distinct(), Seq("doc_id"), "left_semi")
+      .filter(!col("maybe")).count()
+    assert(fn == 0L, s"$fn prior long keys escaped the bloom filter")
+    val viaBloom = Dedup.bloomNewRows(longPrior, docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAnti = docs.join(longPrior, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === viaAnti)
+  }
+
+  test("mismatched or unsupported key dtypes fail loudly") {
+    import spark.implicits._
+    val longPrior = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    // build=long, probe=string: disjoint hash domains — must not probe
+    val stringBatch = docs.select(col("doc_id").cast("string").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomMaybeSeen(longPrior, stringBatch, "doc_id", "maybe")
+    }
+    // dtypes the filter cannot hash at all
+    val doubles = Seq(1.5, 2.5).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Dedup.bloomMaybeSeen(doubles, doubles, "doc_id", "maybe")
+    }
+  }
+
   test("bloomNewRows equals the plain anti join exactly") {
     val viaBloom = Dedup.bloomNewRows(prior, docs, "h")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq

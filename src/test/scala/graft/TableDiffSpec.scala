@@ -63,6 +63,38 @@ class TableDiffSpec extends SparkSpec {
     assert(!applied.exists(_._1 == 2L), s"emptied chunk survived: $applied")
   }
 
+  test("delta apply refuses an oversized or mismatched chunkSize") {
+    import spark.implicits._
+    val base = Seq(1L -> "a").toDF("id", "v")
+    val sums = graft.ops.TableDiff.chunkChecksums(base, "id", Seq("v"), 4)
+    val changes = Seq(("insert", 2L, "b")).toDF("op", "id", "v")
+    // the same overflow bound diff()/chunkChecksums() enforce
+    intercept[IllegalArgumentException] {
+      graft.ops.TableDiff.applyChecksumDelta(sums, changes, "op", "id",
+        Seq("v"), graft.ops.TableDiff.MaxChunkSize + 1)
+    }
+    // the artifact records its geometry; applying at a different
+    // chunkSize would misplace every delta row, so it must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.TableDiff.applyChecksumDelta(sums, changes, "op", "id",
+        Seq("v"), 8)
+    }
+    // the stamp survives a parquet round-trip (it IS the standing-artifact
+    // story: the on-disk table still knows its chunkSize) and an apply,
+    // so a second-generation apply is equally protected
+    val dir = java.nio.file.Files.createTempDirectory("graft-vd-meta").toString
+    sums.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    intercept[IllegalArgumentException] {
+      graft.ops.TableDiff.applyChecksumDelta(reread, changes, "op", "id",
+        Seq("v"), 8)
+    }
+    val applied = graft.ops.TableDiff.applyChecksumDelta(reread, changes,
+      "op", "id", Seq("v"), 4)
+    assert(applied.schema("chunk").metadata
+      .getLong("graft.tablediff.chunkSize") == 4L)
+  }
+
   test("the row drill is semi-join scoped to damaged chunks") {
     val a = tbl(Seq(1L -> "a", 100L -> "b"))
     val plan = TableDiff.diff(a, a, "id", Seq("v"))
