@@ -169,6 +169,67 @@ object GraphQueries {
     visited
   }
 
+  /** Triangle census over an undirected edge frame (one row per edge,
+    * `u` < `v`, already distinct): returns ONE row of independently
+    * derivable graph invariants — node/edge counts, wedge count
+    * (Σ C(deg,2)), triangle count, and the global clustering coefficient
+    * (3·triangles / wedges).
+    *
+    * The triangle join uses DEGREE ORIENTATION (each edge directed from
+    * the (deg, id)-smaller endpoint to the larger), the standard trick
+    * that caps every node's out-degree at O(√m): the wedge self-join then
+    * emits at most Σ C(outdeg,2) ≤ m·√m candidate pairs instead of the
+    * Σ C(deg,2) a hub-centered join would — on a skewed degree
+    * distribution (every real co-occurrence graph) that is the difference
+    * between linear-ish and quadratic-in-the-hub. Each triangle {a≺b≺c}
+    * is generated exactly once, as the wedge (a→b, a→c) closed by the
+    * oriented edge b→c, so no post-hoc /3 or /6 correction is needed.
+    * The orientation key is the (deg, node) STRUCT compared
+    * lexicographically — no global rank assignment (a row_number over all
+    * nodes would be a single-reducer sort at graph scale).
+    *
+    * Scale shape: two keyed shuffles to attach endpoint degrees, one
+    * self-join on the wedge apex (both sides identically hash-partitioned
+    * on src — one exchange each, reused), one semi-join to close. The
+    * edge frame is checkpoint-tracked (consumed by degrees + both join
+    * sides).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = graft.ops.Checkpoints.tracked(edges,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // attach each endpoint's degree, then orient low→high by (deg, id)
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uKey = struct(col("du").as("d"), col("u").as("n"))
+    val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    val oriented = graft.ops.Checkpoints.tracked(
+      withDeg.select(
+        when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
+        when(uKey < vKey, col("v")).otherwise(col("u")).as("dst"),
+        when(uKey < vKey, vKey).otherwise(uKey).as("dst_key")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val wedges = oriented.select(col("src"), col("dst").as("a"), col("dst_key").as("ka"))
+      .join(oriented.select(col("src"), col("dst").as("b"), col("dst_key").as("kb")), "src")
+      .filter(col("ka") < col("kb"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val tri = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, which stops
+    // being exact past 2^53 — wedge sums at graph scale get there
+    val counts = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    // two 1-row frames — the cross join is a no-op at scale
+    counts.crossJoin(tri).select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PR1: PageRank over the bipartite order↔supplier graph (edges from
     // lineitem, both directions so no node dangles), `iters` power
@@ -211,6 +272,26 @@ object GraphQueries {
         .select(
           concat(lit("s"), ((col("node") - 1) / 2).cast("bigint")).as("node"),
           col("dist"))
+    }),
+
+    // TC1: triangle census of the part co-occurrence graph — parts
+    // appearing together in an order are linked; triangles and the global
+    // clustering coefficient measure how clumped the catalog's co-purchase
+    // structure is (the motif-counting face of graph analytics, next to
+    // pr1's ranking and bfs1's reachability). The per-order pair expansion
+    // is bounded by parts-per-order (TPC-H: ≤7), so the projection is
+    // linear in lineitem; the deterministic %10 order slice keeps the
+    // fixture graph sparse (avg degree ~12) the way a real co-purchase
+    // graph is. Degree orientation does the heavy lifting — see
+    // [[triangleStats]].
+    "tc1_triangle_count" -> ((s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      val op = li.filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      triangleStats(pairs)
     })
   )
 
@@ -256,6 +337,35 @@ object GraphQueries {
            WHERE w.dist < 4)
          SELECT 's' || ((node - 1) // 2) AS node, min(dist)::BIGINT AS dist
          FROM walk WHERE node % 2 = 1
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // tc1: the census from first principles — triangles by the canonical
+    // u<v<w 3-way self-join (no orientation; the oracle verifies the
+    // COUNT, the Spark side's degree orientation is a cost measure that
+    // must not change it), wedges as sum C(deg,2) over the degree table
+    "tc1_triangle_count" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         pairs AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM op a JOIN op b ON a.k = b.k AND a.p < b.p),
+         deg AS (
+           SELECT node, count(*) AS d
+           FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+           GROUP BY node),
+         tri AS (
+           SELECT count(*)::BIGINT AS n_triangles
+           FROM pairs p1
+           JOIN pairs p2 ON p2.u = p1.v
+           JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(3.0::DOUBLE * n_triangles / n_wedges, 6) AS global_cc
+         FROM (
+           SELECT
+             (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+             (SELECT (sum(d) // 2)::BIGINT FROM deg) AS n_edges,
+             (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+             n_triangles
+           FROM tri)"""
   )
 }

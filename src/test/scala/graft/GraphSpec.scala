@@ -43,4 +43,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats on a hand-counted graph") {
+    // bowtie-with-tail: triangles {1,2,3} and {2,3,4} share edge (2,3);
+    // node 5 dangles off 4. Degrees 2,3,3,3,1 → wedges 1+3+3+3+0 = 10.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val r = GraphQueries.triangleStats(e).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_nodes")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_edges")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_wedges")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 2L)
+    assert(r.getDouble(r.fieldIndex("global_cc")) == 0.6)
+  }
+
+  test("triangleStats counts each triangle once regardless of degree ties") {
+    // K4: every node degree 3 (all tied — orientation falls back to the id
+    // tiebreak); C(4,3)=4 triangles, wedges 4*C(3,2)=12, cc = 12/12 = 1.
+    val k4 = (1L to 4L).flatMap(a => (a + 1 to 4L).map(b => (a, b)))
+      .toDF("u", "v")
+    val r = GraphQueries.triangleStats(k4).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 4L)
+    assert(r.getDouble(r.fieldIndex("global_cc")) == 1.0)
+  }
+
 }
