@@ -377,6 +377,45 @@ object EventQueries {
     "ev6c_session_sequences_capped" -> ((s, d) =>
       EventStreams.sessionSequences(Tables.events(s, d), maxEvents = ev6CapN).toDF()),
 
+    // EV7: time-grid gap-fill with last-observation-carried-forward — the
+    // resample step every downstream time-series consumer (feature
+    // pipelines, dashboards, anomaly scoring) wants: one row per
+    // (user, hour) from the user's first to last event, the hour's value
+    // from its latest event, silent hours inheriting the previous value.
+    // Shapes, scale-first:
+    //   - observations: one keyed agg to (user, hour) — max_by(value, ts)
+    //     is deterministic because (user_id, ts) is unique in the fixture
+    //     (ev2's verified precondition);
+    //   - the grid: sequence(first_hour, last_hour) exploded per user — a
+    //     MAP-SIDE fan-out after a per-user min/max agg, no shuffle. The
+    //     expansion factor is span/activity-bounded (~10x here); a grid
+    //     over a sparse multi-year entity set would instead gap-fill only
+    //     within sessions (ev2's boundaries) — same operator, tighter
+    //     bounds;
+    //   - LOCF: one window pass per user ordered by hour. No iteration,
+    //     no self-join — carry-forward IS last(ignoreNulls) over a
+    //     running frame.
+    // First grid hour always has an observation (it's the min-ts hour),
+    // so the filled column is never null.
+    "ev7_gapfill_locf" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      val obs = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max_by(col("value"), col("ts")).as("v"),
+          count(lit(1)).as("n_events"))
+      val grid = e.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     "ev1_funnel" -> ((s, d) => {
       val e = Tables.events(s, d)
       def stage(typ: String, prev: Option[DataFrame], prevTs: String, out: String) = {
@@ -605,6 +644,26 @@ object EventQueries {
     "st5_stateful_user_totals" ->
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS total
          FROM events GROUP BY user_id""",
+    // ev7: same grid from generate_series, same LOCF via
+    // last_value(IGNORE NULLS); values pass through untouched (max_by of
+    // a unique-ts event), so the doubles are bit-identical parquet reads
+    // in both engines — no rounding needed
+    "ev7_gapfill_locf" ->
+      """WITH obs AS (
+           SELECT user_id, date_trunc('hour', ts) AS h,
+             max_by(value, ts) AS v, count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT user_id, unnest(generate_series(
+             date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+             INTERVAL 1 HOUR)) AS h
+           FROM events GROUP BY user_id)
+         SELECT g.user_id, g.h,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           coalesce(o.n_events, 0)::BIGINT AS n_events
+         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h""",
     "ev5_transition_matrix" -> ev5Oracle,
     // the incremental face answers against the FULL recompute: a hash match
     // proves apply(standing, arrivals) ≡ recompute(all)

@@ -171,6 +171,29 @@ class EventQueriesSpec extends SparkSpec {
       === concat(uncapped.toSeq))
   }
 
+  test("ev7: grid spans first to last hour, gaps carry the last value forward") {
+    import spark.implicits._
+    // user 1: observations at 10:xx (two events — the LATER one, value 2.0,
+    // must win the hour) and 13:05; hours 11 and 12 are silent and must
+    // inherit 2.0. user 2: a single event — a one-row grid.
+    val rows = Seq(
+      EvqRow(1, ts("2024-01-01 10:10:00"), 1, "view", 1.0, "{}"),
+      EvqRow(2, ts("2024-01-01 10:40:00"), 1, "view", 2.0, "{}"),
+      EvqRow(3, ts("2024-01-01 13:05:00"), 1, "view", 7.5, "{}"),
+      EvqRow(4, ts("2024-01-01 09:59:59"), 2, "click", 4.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev7").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.queries("ev7_gapfill_locf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got === Array(
+      (1L, "2024-01-01 10:00:00.0", 2.0, 2L),
+      (1L, "2024-01-01 11:00:00.0", 2.0, 0L),   // silent: carried forward
+      (1L, "2024-01-01 12:00:00.0", 2.0, 0L),
+      (1L, "2024-01-01 13:00:00.0", 7.5, 1L),
+      (2L, "2024-01-01 09:00:00.0", 4.0, 1L)))
+  }
+
   test("ev6: label is the last event by (ts, event_id); seq length matches n_events") {
     val rows = run("ev6_session_sequences").collect()
     rows.foreach { r =>
