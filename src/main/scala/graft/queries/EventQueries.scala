@@ -66,6 +66,17 @@ object EventQueries {
     "st4_window_dedup" -> ((s, d) =>
       EventStreams.dedupWithinWindow(Tables.events(s, d))),
 
+    // ST6: stream-static enrichment into a windowed rollup — events pick up
+    // their user's market segment from the customer dimension (broadcast,
+    // zero state-store cost), then aggregate per (hour, segment). The
+    // streaming face of j2's broadcast dimension join; StreamingSpec runs
+    // the same operator through MemoryStream and pins batch ≡ stream.
+    "st6_enriched_window" -> ((s, d) =>
+      EventStreams.enrichedWindowStats(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+        Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment")))),
+
     // EV2: batch gap-sessionization via windows — new session when the
     // same user's gap exceeds 30 minutes; session id = running count of
     // session starts (lag + conditional + prefix sum, the manual form of
@@ -603,6 +614,12 @@ object EventQueries {
       """SELECT make_timestamp((floor(epoch(ts) / 600) * 600)::BIGINT * 1000000) AS w_start,
            event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS total_value
          FROM events GROUP BY 1, 2""",
+    "st6_enriched_window" ->
+      """SELECT make_timestamp((floor(epoch(ts) / 3600) * 3600)::BIGINT * 1000000) AS w_start,
+           c.c_mktsegment AS segment, count(*)::BIGINT AS n,
+           round(sum(e.value), 6) AS total_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
     "st2_sliding_window" ->
       """SELECT make_timestamp(((floor(epoch(ts) / 600) * 600)::BIGINT - off) * 1000000) AS w_start,
            event_type, count(*)::BIGINT AS n

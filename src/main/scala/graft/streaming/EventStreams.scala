@@ -324,6 +324,24 @@ object EventStreams {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** The full enrichment topology (st6): stream-static join INTO a
+    * watermarked tumbling aggregation keyed by the JOINED dimension
+    * attribute — the canonical "enrich then roll up by segment" pipeline.
+    * Distinct from [[tumblingStats]] (no join) and the sj faces (state on
+    * both sides): here the dimension costs no state at all — each
+    * micro-batch broadcast-joins the static side and only the aggregation
+    * keeps (window x segment) rows, so dimension size never touches the
+    * state store. Watermark set BEFORE the join so late events are dropped
+    * ahead of join work. Unmatched users keep the left-join null segment
+    * (grouped as its own bucket — same as batch).
+    */
+  def enrichedWindowStats(events: DataFrame, userDim: DataFrame): DataFrame =
+    enriched(events.withWatermark("ts", "20 minutes"), userDim)
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("w_start"), col("segment"),
+        col("n"), col("total_value"))
+
   /** STREAM-STREAM interval join: each purchase pairs with the same user's
     * signups from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event-time distance, so the state store holds at

@@ -297,6 +297,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st6: enrichment topology over a stream equals the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE")).toDF("user_id", "segment")
+    // user 9 has no dimension row: the left join must keep it under a
+    // null segment in BOTH runs; rows span two hours and two batches
+    val rows = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1L, "view", 2.0, "{}"),
+      Ev(2, ts("2024-01-01 10:55:00"), 1L, "view", 3.0, "{}"),
+      Ev(3, ts("2024-01-01 11:05:00"), 2L, "view", 5.0, "{}"),
+      Ev(4, ts("2024-01-01 10:20:00"), 9L, "view", 7.0, "{}"))
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"ts", $"value")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichedWindowStats(proj(mem.toDF()), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st6_out").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).toString, Option(r.getString(1)),
+          r.getLong(2), r.getDouble(3))
+      val got = spark.table("st6_out").collect().map(key).toSet
+      // tuples, not Seq[Ev].toDF: Spark can't encode the spec-inner case
+      // class from a plain local Seq (MemoryStream resolves it via the
+      // implicit encoder; createDataFrame does not get that scope)
+      val batch = rows.map(e => (e.user_id, e.ts, e.value))
+        .toDF("user_id", "ts", "value")
+      val want = EventStreams.enrichedWindowStats(batch, dim)
+        .collect().map(key).toSet
+      assert(got === want)
+      assert(want.exists(_._2.isEmpty), "the dimension-less user vanished")
+      assert(want.size === 3) // (10h BUILDING), (10h null), (11h AUTOMOBILE)
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a batch sink per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
