@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the audit step a migration or
+  * corpus ingest runs BEFORE trusting a table (the reference migrates and
+  * hopes; `TableDiff` proves two snapshots agree, this proves one snapshot
+  * agrees with its own contract). A check list compiles to ONE aggregation
+  * pass:
+  *
+  *   - row-level checks (not-null, range, accepted values, custom
+  *     predicate) are conditional sums — map-side combinable, zero extra
+  *     shuffles however many checks ride along;
+  *   - uniqueness is `count(*) − count(DISTINCT keys)` inside the same
+  *     agg (Spark plans the distinct via expand — still one query, one
+  *     scan). Rows with a NULL key count as violations: a null key is
+  *     never evidence of uniqueness, and both engines' COUNT(DISTINCT)
+  *     exclude nulls, so the arithmetic agrees by construction.
+  *
+  * Output is the audit table `(check_name, n_violations)` — one row per
+  * check, 0 meaning the expectation holds. At 100 TB this is a single
+  * linear scan regardless of check count; the alternative (one action per
+  * check) rescans the table N times.
+  */
+object QualityAudit {
+
+  sealed trait Check {
+    def name: String
+  }
+  /** Violation: the column is NULL. */
+  final case class NotNull(col: String) extends Check {
+    val name = s"not_null($col)"
+  }
+  /** Violation: non-null and outside [lo, hi] (inclusive bounds). NULLs
+    * are NotNull's business — double-counting one broken cell under two
+    * checks muddies both counters.
+    */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    val name = s"in_range($col)"
+  }
+  /** Violation: non-null and not one of `values`. */
+  final case class Accepted(col: String, values: Seq[String]) extends Check {
+    val name = s"accepted($col)"
+  }
+  /** Violation count: rows beyond the first per key (plus all null-keyed
+    * rows) — `count(*) − count(DISTINCT keys)`.
+    */
+  final case class Unique(cols: Seq[String]) extends Check {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+  /** Violation: `predicate` is true (null = no violation). */
+  final case class Custom(name: String, predicate: Column) extends Check
+
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names would collide in the output")
+    def violations(pred: Column): Column =
+      sum(when(pred, 1L).otherwise(0L))
+    val aggs = checks.map {
+      case c @ NotNull(cl) => violations(col(cl).isNull).as(c.name)
+      case c @ InRange(cl, lo, hi) =>
+        violations(col(cl) < lo || col(cl) > hi).as(c.name)
+      case c @ Accepted(cl, vs) =>
+        violations(!col(cl).isin(vs: _*)).as(c.name)
+      case c @ Unique(cols) =>
+        (count(lit(1)) - countDistinct(cols.head, cols.tail: _*)).as(c.name)
+      case Custom(n, pred) => violations(pred).as(n)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map(c =>
+        struct(lit(c.name).as("check_name"),
+          col(s"`${c.name}`").as("n_violations"))): _*)).as("kv"))
+      .select(col("kv.check_name"), col("kv.n_violations"))
+  }
+}

@@ -539,6 +539,34 @@ object AdvancedQueries {
         base, changes, "op", "doc_id", cols, 100L)
     }),
 
+    // DQ1: declarative data-quality expectations — the third leg of the
+    // validation family (vd1 diffs two snapshots, vd2 maintains the
+    // artifact, dq1 checks ONE snapshot against its own contract). All
+    // checks compile into a single aggregation pass (ops.QualityAudit).
+    // The fixture is clean, so the face audits a DETERMINISTICALLY dirtied
+    // orders frame (csv1's inject-the-pathology precedent): nulled
+    // comments, negated prices, an illegal status, duplicated keys — every
+    // check fires with a nonzero, oracle-replayed count.
+    "dq1_quality_audit" -> ((s, d) => {
+      import graft.ops.QualityAudit
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+      val dirty = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 83 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0))
+      QualityAudit.audit(dirty, Seq(
+        QualityAudit.NotNull("o_orderpriority"),
+        QualityAudit.InRange("o_totalprice", 0.0, 1e7),
+        QualityAudit.Accepted("o_orderstatus", Seq("F", "O", "P")),
+        QualityAudit.Unique(Seq("o_orderkey"))))
+    }),
+
     "cdc1_snapshot_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val prev = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -1385,6 +1413,33 @@ object AdvancedQueries {
          UNION ALL
          SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey % 2 = 1""",
+    // dq1: the same deterministic dirt, each check as a scalar count over
+    // it; NOT IN and range predicates leave NULLs uncounted in both
+    // engines, and unique = count(*) − count(DISTINCT key) (both exclude
+    // null keys), so every counter agrees by construction
+    "dq1_quality_audit" ->
+      """WITH dirty AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT 'not_null(o_orderpriority)' AS check_name,
+           (SELECT count(*) FROM dirty WHERE o_orderpriority IS NULL)::BIGINT AS n_violations
+         UNION ALL
+         SELECT 'in_range(o_totalprice)',
+           (SELECT count(*) FROM dirty
+            WHERE o_totalprice < 0.0 OR o_totalprice > 10000000.0)::BIGINT
+         UNION ALL
+         SELECT 'accepted(o_orderstatus)',
+           (SELECT count(*) FROM dirty
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT
+         UNION ALL
+         SELECT 'unique(o_orderkey)',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM dirty)::BIGINT""",
     "vd1_migration_diff" ->
       """WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
          b AS (

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityAudit
+import graft.ops.QualityAudit._
+
+/** Edge semantics of the declarative audit (dq1's operator): null
+  * attribution (a NULL cell fires not_null, never in_range/accepted),
+  * inclusive range bounds, null-keyed uniqueness, and the one-pass plan.
+  */
+class QualityAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = Seq(
+    // (key, score, status)
+    (Some(1L), Some(0.0), Some("ok")),   // lo bound: in range (inclusive)
+    (Some(2L), Some(10.0), Some("ok")),  // hi bound: in range
+    (Some(3L), Some(-0.1), Some("bad")), // below lo + illegal status
+    (Some(3L), Some(10.1), None),        // dup key + above hi + null status
+    (None, None, Some("ok")),            // null key + null score
+    (None, Some(5.0), Some("warn")))     // second null key
+    .toDF("k", "score", "status")
+
+  private def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("each check counts exactly its own violations") {
+    val got = counts(QualityAudit.audit(rows, Seq(
+      NotNull("score"),
+      InRange("score", 0.0, 10.0),
+      Accepted("status", Seq("ok", "warn")),
+      Unique(Seq("k")))))
+    assert(got === Map(
+      "not_null(score)" -> 1L,     // only the null cell
+      "in_range(score)" -> 2L,     // -0.1 and 10.1; bounds + null don't fire
+      "accepted(status)" -> 1L,    // 'bad'; the NULL status doesn't fire
+      // 6 rows, 3 distinct non-null keys: the dup 3 plus both null keys
+      "unique(k)" -> 3L))
+  }
+
+  test("custom predicates and a clean table of zeros") {
+    val got = counts(QualityAudit.audit(rows, Seq(
+      Custom("score_gt_100", col("score") > 100.0),
+      NotNull("k"))))
+    assert(got("score_gt_100") === 0L)
+    assert(got("not_null(k)") === 2L)
+  }
+
+  test("the audit is one aggregation pass (one scan however many checks)") {
+    val plan = QualityAudit.audit(rows, Seq(
+      NotNull("score"), InRange("score", 0.0, 10.0),
+      Accepted("status", Seq("ok")), Custom("neg", col("score") < 0)))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r if r.nodeName.contains("Relation") => r
+    }
+    assert(scans.size <= 1, s"expected a single scan:\n$plan")
+  }
+
+  test("duplicate check names are rejected") {
+    intercept[IllegalArgumentException] {
+      QualityAudit.audit(rows, Seq(NotNull("k"), Custom("not_null(k)", col("k").isNull)))
+    }
+  }
+}
