@@ -230,6 +230,69 @@ object GraphQueries {
       round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
   }
 
+  /** k-core decomposition by iterative peeling: drop every node of degree
+    * < k, re-derive degrees over the SHRUNK graph, repeat. The third
+    * iterative-graph shape in the module — pageRank's per-iteration work is
+    * fixed, bfs's frontier shrinks, here the GRAPH itself shrinks (each
+    * round is two left-semi joins against the surviving node set plus one
+    * degree agg, all keyed — cheaper every round).
+    *
+    * Termination: a fixpoint early-exit (edge count unchanged — peeling
+    * only removes, so equal count ⇒ no node fell below k) bounded by
+    * `iters`. Because a post-fixpoint round is a no-op, a run capped at
+    * `iters` is EXACTLY equivalent to `iters` unrolled rounds — which is
+    * what the kc1 oracle replays, so early exit can never diverge from it.
+    * Per-round frames are checkpoint-tracked and superseded checkpoints
+    * released (the pageRank recipe); the fixpoint check reads one scalar
+    * count off the already-materialized frame.
+    */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    var cur = graft.ops.Checkpoints.tracked(edges, ser)
+    var curCount = cur.count()
+    var prevCkpt = cur
+    var i = 0
+    var stable = false
+    while (i < iters && !stable) {
+      i += 1
+      val deg = cur.select(col("u").as("node"))
+        .unionByName(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = graft.ops.Checkpoints.tracked(
+        cur.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi"), ser)
+      val nextCount = next.count()
+      graft.ops.Checkpoints.release(prevCkpt)
+      prevCkpt = next
+      stable = nextCount == curCount
+      cur = next
+      curCount = nextCount
+    }
+    cur.select(col("u").as("node")).unionByName(cur.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  // kc1's contract constants — shared by the Spark face and the oracle
+  // generator so the two can never run different geometry
+  private val kcK = 6
+  private val kcIters = 6
+
+  /** The part co-occurrence graph tc1/kc1 analyze: parts sharing an order
+    * are linked; the deterministic %10 order slice keeps the fixture graph
+    * sparse the way a real co-purchase graph is, and the per-order pair
+    * expansion is bounded by parts-per-order (TPC-H: ≤7), so the
+    * projection is linear in lineitem.
+    */
+  private def partCoPairs(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+    val op = li.filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // PR1: PageRank over the bipartite order↔supplier graph (edges from
     // lineitem, both directions so no node dangles), `iters` power
@@ -284,15 +347,16 @@ object GraphQueries {
     // fixture graph sparse (avg degree ~12) the way a real co-purchase
     // graph is. Degree orientation does the heavy lifting — see
     // [[triangleStats]].
-    "tc1_triangle_count" -> ((s, d) => {
-      val li = graft.Tables.lineitem(s, d)
-      val op = li.filter(col("l_orderkey") % 10 === 0)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val pairs = op.as("a").join(op.as("b"),
-          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      triangleStats(pairs)
-    })
+    "tc1_triangle_count" -> ((s, d) => triangleStats(partCoPairs(s, d))),
+
+    // KC1: the 6-core of the same graph — "which parts sit in densely
+    // co-purchased neighborhoods after the long tail peels away". Output
+    // is each surviving node with its WITHIN-CORE degree (≥ k by
+    // definition — the natural audit the spec asserts). Six rounds
+    // converge with one spare at both fixture scales (measured: fixpoint
+    // at round 5); see [[kCore]] for why the early exit and the oracle's
+    // fixed unroll agree.
+    "kc1_kcore" -> ((s, d) => kCore(partCoPairs(s, d), kcK, kcIters))
   )
 
   /** PR1 oracle: the same power iterations unrolled as CTEs r1..r`iters`,
@@ -366,6 +430,41 @@ object GraphQueries {
              (SELECT (sum(d) // 2)::BIGINT FROM deg) AS n_edges,
              (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
              n_triangles
-           FROM tri)"""
+           FROM tri)""",
+    // kc1: the same peeling unrolled to exactly kcIters rounds (generated
+    // from the same constants as the Spark face); a post-fixpoint round
+    // keeps the edge set unchanged, so the fixed unroll and the early-exit
+    // loop agree by construction
+    "kc1_kcore" -> {
+      // AS MATERIALIZED: each e_j is referenced 4x by round j+1 (two
+      // degree legs + two IN probes); DuckDB's default CTE inlining would
+      // expand that 4^rounds-fold and run out of file handles on the leaf
+      // scans (observed). Materialization makes the replay linear like
+      // the Spark loop it mirrors.
+      val head =
+        """WITH op AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             FROM lineitem WHERE l_orderkey % 10 = 0),
+           e0 AS MATERIALIZED (
+             SELECT DISTINCT a.p AS u, b.p AS v
+             FROM op a JOIN op b ON a.k = b.k AND a.p < b.p)"""
+      val rounds = (1 to kcIters).map { j =>
+        s""",
+           n$j AS MATERIALIZED (
+             SELECT node FROM (
+               SELECT u AS node FROM e${j - 1}
+               UNION ALL SELECT v FROM e${j - 1})
+             GROUP BY node HAVING count(*) >= $kcK),
+           e$j AS MATERIALIZED (
+             SELECT u, v FROM e${j - 1}
+             WHERE u IN (SELECT node FROM n$j)
+               AND v IN (SELECT node FROM n$j))"""
+      }.mkString
+      head + rounds +
+        s"""
+           SELECT node, count(*)::BIGINT AS deg
+           FROM (SELECT u AS node FROM e$kcIters UNION ALL SELECT v FROM e$kcIters)
+           GROUP BY node"""
+    }
   )
 }

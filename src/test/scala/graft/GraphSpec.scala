@@ -56,6 +56,24 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("global_cc")) == 0.6)
   }
 
+  test("kCore peels cascades, not just first-round low-degree nodes") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: node 6 (deg 1) falls in
+    // round 1, which drops 5 to deg 1 so it falls in round 2 — a 2-core
+    // needs the CASCADE, not a single filter pass. The K4 survives with
+    // all within-core degrees back at 3.
+    val e = ((1L to 4L).flatMap(a => (a + 1 to 4L).map(b => (a, b)))
+      ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val core = GraphQueries.kCore(e, k = 2, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // early exit: extra iterations past the fixpoint change nothing
+    val more = GraphQueries.kCore(e, k = 2, iters = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === core)
+    // a k above the densest degree empties the graph
+    assert(GraphQueries.kCore(e, k = 4, iters = 5).isEmpty)
+  }
+
   test("triangleStats counts each triangle once regardless of degree ties") {
     // K4: every node degree 3 (all tied — orientation falls back to the id
     // tiebreak); C(4,3)=4 triangles, wedges 4*C(3,2)=12, cc = 12/12 = 1.
