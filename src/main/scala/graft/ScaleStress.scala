@@ -91,6 +91,14 @@ object ScaleStress {
     // fast path; expected linear (one bloom build over prior, one
     // might_contain scan, sliver-sized join)
     "bf1_bloom_incremental",
+    // round-15 graph additions: tc1's degree-oriented wedge join is the
+    // classic sqrt(m)-bounded shape (wedge volume grows with edge count,
+    // not hub degree — the orientation IS the scale claim, so measure it);
+    // kc1's peeling rounds shrink the graph each iteration — expected
+    // linear-ish with a fixed round count. ev7's grid explode is
+    // span-bounded map-side fan-out (~10x rows out per row in) into one
+    // window pass — expected linear
+    "tc1_triangle_count", "kc1_kcore", "ev7_gapfill_locf",
     // ld3: blocked fuzzy join, variable-length route. Two measured
     // round-14 facts (SCALE_PROOF_100X_R14.md): (1) replicas of a doc
     // differ only in per-word ~r suffixes, so same-digit-width replicas

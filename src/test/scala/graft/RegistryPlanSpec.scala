@@ -27,6 +27,9 @@ class RegistryPlanSpec extends SparkSpec {
     "q22_idle_balances" -> "cross join is a single broadcast scalar (positive-balance average)",
     "q11_important_parts" -> "cross join is a single broadcast scalar (global value threshold)",
     "tx14_vocab_coverage" -> "cross join is a single broadcast scalar (corpus token total)",
+    "tc1_triangle_count" -> ("the only non-equi join is the final census assembly: a " +
+      "crossJoin of two SINGLE-ROW aggregate frames (degree census x triangle count), " +
+      "1x1 by construction; the wedge and closing joins are equi-joins"),
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
