@@ -34,10 +34,12 @@ object QualityAudit {
   }
   /** Violation: non-null and outside [lo, hi] (inclusive bounds). NULLs
     * are NotNull's business — double-counting one broken cell under two
-    * checks muddies both counters.
+    * checks muddies both counters. Bounds are part of the name so two
+    * range checks on the same column (e.g. two valid bands) don't
+    * spuriously trip the duplicate-name guard.
     */
   final case class InRange(col: String, lo: Double, hi: Double) extends Check {
-    val name = s"in_range($col)"
+    val name = s"in_range($col,$lo,$hi)"
   }
   /** Violation: non-null and not one of `values`. */
   final case class Accepted(col: String, values: Seq[String]) extends Check {
@@ -56,8 +58,11 @@ object QualityAudit {
     require(checks.nonEmpty, "audit needs at least one check")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names would collide in the output")
+    // count(when(pred, 1)), not sum(when...otherwise(0)): SUM over zero
+    // rows is NULL, and "0 means the expectation holds" must survive an
+    // EMPTY table — the failed-ingest case an audit exists to catch
     def violations(pred: Column): Column =
-      sum(when(pred, 1L).otherwise(0L))
+      count(when(pred, lit(1)))
     val aggs = checks.map {
       case c @ NotNull(cl) => violations(col(cl).isNull).as(c.name)
       case c @ InRange(cl, lo, hi) =>

@@ -1430,7 +1430,7 @@ object AdvancedQueries {
          SELECT 'not_null(o_orderpriority)' AS check_name,
            (SELECT count(*) FROM dirty WHERE o_orderpriority IS NULL)::BIGINT AS n_violations
          UNION ALL
-         SELECT 'in_range(o_totalprice)',
+         SELECT 'in_range(o_totalprice,0.0,1.0E7)',
            (SELECT count(*) FROM dirty
             WHERE o_totalprice < 0.0 OR o_totalprice > 10000000.0)::BIGINT
          UNION ALL

@@ -194,12 +194,19 @@ object GraphQueries {
     * edge frame is checkpoint-tracked (consumed by degrees + both join
     * sides).
     */
+  /** Per-node degree of an undirected edge frame (one row per edge,
+    * `u` < `v`, distinct) — the shared contract of [[triangleStats]] and
+    * [[kCore]]: both endpoint columns stacked and counted.
+    */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = graft.ops.Checkpoints.tracked(edges,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val deg = e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = degrees(e)
     // attach each endpoint's degree, then orient low→high by (deg, id)
     val withDeg = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -255,10 +262,7 @@ object GraphQueries {
     var stable = false
     while (i < iters && !stable) {
       i += 1
-      val deg = cur.select(col("u").as("node"))
-        .unionByName(cur.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("node")
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
       val next = graft.ops.Checkpoints.tracked(
         cur.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi"), ser)
@@ -269,8 +273,7 @@ object GraphQueries {
       cur = next
       curCount = nextCount
     }
-    cur.select(col("u").as("node")).unionByName(cur.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    degrees(cur)
   }
 
   // kc1's contract constants — shared by the Spark face and the oracle

@@ -331,9 +331,14 @@ object EventStreams {
     * both sides): here the dimension costs no state at all — each
     * micro-batch broadcast-joins the static side and only the aggregation
     * keeps (window x segment) rows, so dimension size never touches the
-    * state store. Watermark set BEFORE the join so late events are dropped
-    * ahead of join work. Unmatched users keep the left-join null segment
-    * (grouped as its own bucket — same as batch).
+    * state store. The watermark is declared on the source before the join
+    * only because the aggregation needs a watermarked event-time column to
+    * bound its state — it does NOT filter rows at the join
+    * (EventTimeWatermark is a marker node; late data is discarded at the
+    * stateful aggregation in update/append mode and kept in complete mode,
+    * which the st6 spec's batch≡stream equality relies on). Unmatched
+    * users keep the left-join null segment (grouped as its own bucket —
+    * same as batch).
     */
   def enrichedWindowStats(events: DataFrame, userDim: DataFrame): DataFrame =
     enriched(events.withWatermark("ts", "20 minutes"), userDim)

@@ -33,10 +33,22 @@ class QualityAuditSpec extends SparkSpec {
       Unique(Seq("k")))))
     assert(got === Map(
       "not_null(score)" -> 1L,     // only the null cell
-      "in_range(score)" -> 2L,     // -0.1 and 10.1; bounds + null don't fire
+      "in_range(score,0.0,10.0)" -> 2L, // -0.1 and 10.1; bounds + null don't fire
       "accepted(status)" -> 1L,    // 'bad'; the NULL status doesn't fire
       // 6 rows, 3 distinct non-null keys: the dup 3 plus both null keys
       "unique(k)" -> 3L))
+  }
+
+  test("an empty table audits to zeros, never NULLs") {
+    // SUM over zero rows is NULL; the contract says 0 means the
+    // expectation holds, and a gate must not read an empty (failed)
+    // ingest as passing-by-NULL
+    val got = counts(QualityAudit.audit(rows.limit(0), Seq(
+      NotNull("score"), InRange("score", 0.0, 10.0),
+      Accepted("status", Seq("ok")), Unique(Seq("k")),
+      Custom("neg", col("score") < 0))))
+    assert(got.values.toSet === Set(0L), s"expected all zeros: $got")
+    assert(got.size === 5)
   }
 
   test("custom predicates and a clean table of zeros") {
