@@ -265,6 +265,24 @@ object TextQueries {
         .select(docs.columns.map(col): _*)
     }),
 
+    // ORC1: the third interchange format next to JSONL (js1/js2) and CSV
+    // (csv1) — ORC is the columnar one, so unlike the text codecs the
+    // round-trip preserves types natively (no string re-parse) AND the
+    // re-read scan keeps columnar virtues: splittable stripes, predicate
+    // pushdown, column pruning (asserted in CsvCorpusSpec alongside the
+    // text formats' partition-count pins). Same oracle as js1: transport
+    // must be byte-lossless.
+    "orc1_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Standing.artifact(s, d, "orc1_export") {
+        val t = graft.sources.JsonlCorpus.tempCorpusDir("graft-orc1")
+        docs.repartition(4).write.mode("overwrite").orc(t)
+        t
+      }
+      s.read.schema(docs.schema).orc(dir)
+        .select(docs.columns.map(col): _*)
+    }),
+
     // ----- dedup -----
     // D1: exact dedup via hash-groupBy — one shuffle on the content hash.
     "d1_exact_dedup" -> ((s, d) =>
@@ -2059,6 +2077,9 @@ object TextQueries {
     // same oracle as js1: the compressed round-trip must reproduce the
     // original parquet rows exactly — the codec is pure transport
     "js2_jsonl_gzip_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // and the same for the columnar interchange format
+    "orc1_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // one parenthesization per factor, mirrored from the Spark side; the
     // cross-term sum is three fixed left-assoc additions (never a list fold)

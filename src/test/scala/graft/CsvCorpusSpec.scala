@@ -78,4 +78,23 @@ class CsvCorpusSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("ORC keeps columnar virtues the text formats lose: pushdown + pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // orc1's scale point: unlike CSV/JSONL transport, an ORC re-read is a
+    // real columnar scan — a filter reaches the reader as PushedFilters
+    // and a projection narrows ReadSchema (a text re-read always parses
+    // every byte of every line before any predicate runs)
+    val rows = (1L to 1000L).map(i => (i, s"v$i", i % 7)).toDF("id", "v", "m")
+    val dir = tmp()
+    rows.repartition(2).write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter(col("id") > 900L).select("id", "v")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,900)"),
+      s"filter did not reach the ORC scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:string>"),
+      s"projection did not prune the ORC read:\n$scan")
+    assert(q.count() === 100L)
+  }
 }
