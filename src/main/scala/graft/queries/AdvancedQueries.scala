@@ -98,6 +98,33 @@ object AdvancedQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
 
+    // STAT2: winsorized robust stats — per-group p05/p95 clipping before
+    // the mean, the standard outlier-robust preprocessing step a feature
+    // pipeline runs ahead of normalization (a raw mean is one corrupt
+    // ingest away from garbage; the clipped mean is not). Two keyed
+    // passes: exact per-group percentiles (p1's portable
+    // percentile ≡ quantile_cont pairing), then the |groups|-row bounds
+    // frame broadcasts back onto the rows for clip + mean — no window, no
+    // per-row sort. At 100 TB the first pass is the cost (exact
+    // percentile shuffles each group); a production variant swaps in
+    // approx_percentile with the same downstream clip, trading the oracle
+    // for throughput.
+    "stat2_winsorized" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("double").as("x"))
+      val bounds = docs.groupBy("lang").agg(
+        expr("percentile(x, 0.05)").as("lo"),
+        expr("percentile(x, 0.95)").as("hi"))
+      docs.join(broadcast(bounds), "lang")
+        .groupBy("lang").agg(
+          round(min(col("lo")), 6).as("lo"),
+          round(min(col("hi")), 6).as("hi"),
+          round(avg(least(greatest(col("x"), col("lo")), col("hi"))), 6)
+            .as("wins_mean"),
+          round(avg(col("x")), 6).as("raw_mean"),
+          count(lit(1)).as("n"))
+    }),
+
     // Exact grouped distinct counts (two different keys in one pass —
     // Catalyst plans the expand + two-phase aggregate).
     "cnt1_distinct_counts" -> ((s, d) =>
@@ -1219,6 +1246,22 @@ object AdvancedQueries {
            count(DISTINCT l_partkey)::BIGINT AS n_parts,
            count(DISTINCT l_suppkey)::BIGINT AS n_supps
          FROM lineitem GROUP BY l_returnflag""",
+    // stat2: quantile_cont shares percentile's exact interpolation
+    // (rank = p·(n−1), linear between neighbors), and the clip is the
+    // same least/greatest expression — only the means are order-sensitive
+    // fp sums, hence the 6dp round on both sides
+    "stat2_winsorized" ->
+      """WITH b AS (
+           SELECT lang,
+             quantile_cont(n_chars::DOUBLE, 0.05) AS lo,
+             quantile_cont(n_chars::DOUBLE, 0.95) AS hi
+           FROM documents GROUP BY lang)
+         SELECT d.lang, round(min(b.lo), 6) AS lo, round(min(b.hi), 6) AS hi,
+           round(avg(least(greatest(d.n_chars::DOUBLE, b.lo), b.hi)), 6) AS wins_mean,
+           round(avg(d.n_chars::DOUBLE), 6) AS raw_mean,
+           count(*)::BIGINT AS n
+         FROM documents d JOIN b USING (lang)
+         GROUP BY d.lang""",
     "sk1_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_value, count(*)::BIGINT AS n
          FROM lineitem GROUP BY l_returnflag""",

@@ -308,6 +308,34 @@ object TextQueries {
       Dedup.withMinhashSig(shingled(s, d), "sh", "sig")
         .select(col("doc_id"), array_join(col("sig"), "|").as("sig"))),
 
+    // D24: GROUP-level MinHash — the sketch is MERGEABLE (each component
+    // is a min, and min is associative/commutative), so a group's
+    // signature is the componentwise min of its members' signatures and
+    // EQUALS the signature of the group's shingle union computed from
+    // scratch. That is the property that matters at 100 TB: per-shard
+    // signatures roll up map-side-combinably (one groupBy, no re-scan of
+    // text) into per-source signatures, and source-vs-source similarity
+    // (matching components / 8 — the standard MinHash Jaccard estimator)
+    // costs |groups|² over 8-element sketches, never corpus². With many
+    // groups the same LSH banding as d3 applies to the group signatures.
+    // Answers "which sources overlap enough to cross-dedup first".
+    "d24_group_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", Dedup.shingles(col("w")))
+      val sigs = Dedup.withMinhashSig(docs, "sh", "sig")
+        .select(col("source"), posexplode(col("sig")))
+        .toDF("source", "pos", "h")
+      val groupSig = sigs.groupBy("source", "pos").agg(min(col("h")).as("h"))
+      groupSig.as("a").join(groupSig.as("b"),
+          col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg((sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L)) / 8.0)
+          .as("jaccard_est"))
+    }),
+
     // D3: LSH candidate pairs — docs agreeing on any of the 4 bands of 2
     // hashes each (r=2, b=4: S-curve centered near J≈0.5; see
     // Dedup.lshBandKeys). Banded equi-join replaces the quadratic cross-join.
@@ -2186,6 +2214,29 @@ object TextQueries {
     "d2_minhash_signature" ->
       s"""WITH t AS ($shingleCte)
          SELECT doc_id, $minhashSigExpr AS sig FROM t""",
+    // d24: the same seeded-md5 signature entries, minimized per SOURCE
+    // (the mergeability property: min over members ≡ signature of the
+    // union), then pairwise matching-component counts / 8
+    "d24_group_minhash" -> {
+      val perDoc = sigEntriesSql.zipWithIndex
+        .map { case (e, j) => s"$e AS e$j" }.mkString(",\n             ")
+      val grouped = (0 until 8).map(j => s"min(e$j) AS s$j").mkString(", ")
+      val matches = (0 until 8).map(j =>
+        s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (
+           SELECT source, list_transform(range(len(w) - 2),
+             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+           FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+           WHERE len(w) >= 3),
+         sigs AS (
+           SELECT source,
+             $perDoc
+           FROM t),
+         g AS (SELECT source, $grouped FROM sigs GROUP BY source)
+         SELECT a.source AS src_a, b.source AS src_b,
+           ($matches) / 8.0 AS jaccard_est
+         FROM g a JOIN g b ON a.source < b.source"""
+    },
     "tx14_vocab_coverage" ->
       """WITH freqs AS (
            SELECT word, count(*)::BIGINT AS n FROM (
