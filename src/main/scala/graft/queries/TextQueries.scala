@@ -35,11 +35,16 @@ object TextQueries {
   // Repartition first: the md5-minhash work downstream is CPU-bound, and the
   // small local fixture arrives as one split; real 100 TB inputs have many
   // splits, so this only levels the local playing field.
-  // private[queries]: SplitQueries reuses the same doc prep (spl2)
-  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
+  // private[queries]: SplitQueries reuses the same doc prep (spl2).
+  // keyCol parameterizes WHICH column rides along with the shingles (d24
+  // groups by source where everything else keys by doc_id) so the
+  // shingling definition itself — tokenizer, n-gram width, min-word
+  // filter — stays ONE definition for every consumer.
+  private[queries] def shingled(s: SparkSession, d: String,
+      keyCol: String = "doc_id"): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col(keyCol), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", Dedup.shingles(col("w")))
 
@@ -279,7 +284,12 @@ object TextQueries {
         docs.repartition(4).write.mode("overwrite").orc(t)
         t
       }
-      s.read.schema(docs.schema).orc(dir)
+      // inferred schema, deliberately: ORC files are self-describing, and
+      // forcing docs.schema would let ORC's schema evolution silently
+      // widen a degraded physical type back to the requested one — the
+      // inferred read ATTESTS type fidelity instead of assuming it (a
+      // type drop would surface as a dtype mismatch at the oracle gate)
+      s.read.orc(dir)
         .select(docs.columns.map(col): _*)
     }),
 
@@ -319,21 +329,30 @@ object TextQueries {
     // costs |groups|² over 8-element sketches, never corpus². With many
     // groups the same LSH banding as d3 applies to the group signatures.
     // Answers "which sources overlap enough to cross-dedup first".
+    // Plan note: the group minima are 8 PLAIN min(element_at) aggregates,
+    // deliberately not posexplode + groupBy(source, pos) — a Generate over
+    // the unmaterialized signature lineage makes Catalyst infer a
+    // size(sig) > 0 filter whose predicate CONTAINS the full 8-way minhash
+    // expression and pushes it into the scan, so the corpus md5 pass ran
+    // 2x per join side (measured: 27 s vs 0.7 s at sf0.1). The wide
+    // per-source frame (|sources| rows) is checkpointed so the self-join's
+    // two sides read materialized rows instead of re-running the corpus
+    // pass each, and only THEN unpivoted for the pos-keyed pair join.
     "d24_group_minhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("source"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .withColumn("sh", Dedup.shingles(col("w")))
-      val sigs = Dedup.withMinhashSig(docs, "sh", "sig")
-        .select(col("source"), posexplode(col("sig")))
+      val sigs = Dedup.withMinhashSig(
+        shingled(s, d, keyCol = "source"), "sh", "sig", num = minhashWidth)
+      val mins = (0 until minhashWidth).map(j =>
+        min(element_at(col("sig"), j + 1)).as(s"s$j"))
+      val wide = graft.ops.Checkpoints.tracked(
+        sigs.groupBy("source").agg(mins.head, mins.tail: _*))
+      val long = wide.select(col("source"), posexplode(array(
+          (0 until minhashWidth).map(j => col(s"s$j")): _*)))
         .toDF("source", "pos", "h")
-      val groupSig = sigs.groupBy("source", "pos").agg(min(col("h")).as("h"))
-      groupSig.as("a").join(groupSig.as("b"),
+      long.as("a").join(long.as("b"),
           col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg((sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L)) / 8.0)
-          .as("jaccard_est"))
+        .agg((sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
+          / minhashWidth.toDouble).as("jaccard_est"))
     }),
 
     // D3: LSH candidate pairs — docs agreeing on any of the 4 bands of 2
@@ -1357,13 +1376,19 @@ object TextQueries {
         sha2(col("text").cast("binary"), 256).as("digest")))
   )
 
-  private[queries] val shingleCte =
-    """SELECT doc_id, w, list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
-       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  // the one SQL mirror of shingled(): keyCol varies, the shingling never
+  private[queries] def shingleCteFor(keyCol: String): String =
+    s"""SELECT $keyCol, w, list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+       FROM (SELECT $keyCol, string_split(text, ' ') AS w FROM documents)
        WHERE len(w) >= 3"""
+  private[queries] val shingleCte = shingleCteFor("doc_id")
 
   // Oracle mirror of Dedup.withMinhashSig: two 60-bit values per seeded md5.
-  private[queries] val sigEntriesSql: Seq[String] = (0 until 8).map { j =>
+  // minhashWidth is THE signature width — the face passes it to
+  // withMinhashSig and the oracle loops/divisors derive from it, so a
+  // width change is a one-constant edit, never a hash mismatch.
+  private[queries] val minhashWidth = 8
+  private[queries] val sigEntriesSql: Seq[String] = (0 until minhashWidth).map { j =>
     s"list_min(list_transform(sh, s -> substr(md5('${j / 2}|' || s), ${1 + 16 * (j % 2)}, 15)))"
   }
   private val minhashSigExpr = sigEntriesSql.mkString(" || '|' || ")
@@ -2218,23 +2243,21 @@ object TextQueries {
     // (the mergeability property: min over members ≡ signature of the
     // union), then pairwise matching-component counts / 8
     "d24_group_minhash" -> {
+      // width and shingle prep both derive from the shared definitions
+      // (sigEntriesSql / shingleCteFor) — one constant drives both sides
       val perDoc = sigEntriesSql.zipWithIndex
         .map { case (e, j) => s"$e AS e$j" }.mkString(",\n             ")
-      val grouped = (0 until 8).map(j => s"min(e$j) AS s$j").mkString(", ")
-      val matches = (0 until 8).map(j =>
+      val grouped = (0 until minhashWidth).map(j => s"min(e$j) AS s$j").mkString(", ")
+      val matches = (0 until minhashWidth).map(j =>
         s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH t AS (
-           SELECT source, list_transform(range(len(w) - 2),
-             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
-           FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
-           WHERE len(w) >= 3),
+      s"""WITH t AS (${shingleCteFor("source")}),
          sigs AS (
            SELECT source,
              $perDoc
            FROM t),
          g AS (SELECT source, $grouped FROM sigs GROUP BY source)
          SELECT a.source AS src_a, b.source AS src_b,
-           ($matches) / 8.0 AS jaccard_est
+           ($matches) / $minhashWidth.0 AS jaccard_est
          FROM g a JOIN g b ON a.source < b.source"""
     },
     "tx14_vocab_coverage" ->
