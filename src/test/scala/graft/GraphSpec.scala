@@ -74,6 +74,49 @@ class GraphSpec extends SparkSpec {
     assert(GraphQueries.kCore(e, k = 4, iters = 5).isEmpty)
   }
 
+  test("random graphs: census and k-core agree with in-memory brute force") {
+    // seeded-random graphs exercise the cases hand fixtures miss (degree
+    // ties under orientation, cascades of mixed depth, disconnected bits);
+    // brute force is trivially correct at n=10
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(5)
+      val all = for (a <- 1 to n; b <- a + 1 to n) yield (a.toLong, b.toLong)
+      val edges = all.filter(_ => rnd.nextDouble() < 0.4)
+      if (edges.nonEmpty) {
+        val eSet = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val deg = nodes.map(v => v ->
+          edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+        val triBrute = (for {
+          a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+          if eSet((a, b)) && eSet((b, c)) && eSet((a, c))
+        } yield 1).size.toLong
+        val wedgeBrute = deg.values.map(d => d * (d - 1) / 2).sum
+        val r = GraphQueries.triangleStats(edges.toDF("u", "v")).collect()(0)
+        assert(r.getLong(r.fieldIndex("n_nodes")) == nodes.size.toLong, s"trial $trial")
+        assert(r.getLong(r.fieldIndex("n_edges")) == edges.size.toLong, s"trial $trial")
+        assert(r.getLong(r.fieldIndex("n_wedges")) == wedgeBrute, s"trial $trial")
+        assert(r.getLong(r.fieldIndex("n_triangles")) == triBrute, s"trial $trial")
+        // brute-force peel to the true 2-core fixpoint
+        var core = eSet
+        var changed = true
+        while (changed) {
+          val d2 = core.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val next = core.filter(e => d2(e._1) >= 2 && d2(e._2) >= 2)
+          changed = next != core
+          core = next
+        }
+        val want = core.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = GraphQueries.kCore(edges.toDF("u", "v"), k = 2, iters = 20)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: $got vs $want")
+      }
+    }
+  }
+
   test("triangleStats counts each triangle once regardless of degree ties") {
     // K4: every node degree 3 (all tied — orientation falls back to the id
     // tiebreak); C(4,3)=4 triangles, wedges 4*C(3,2)=12, cc = 12/12 = 1.
