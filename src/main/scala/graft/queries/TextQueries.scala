@@ -1118,6 +1118,33 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("n_chars"))
     }),
 
+    // D25: GOLDEN RECORD — field-level survivorship, the merge policy
+    // next to d10's row-level pick: instead of electing one member row
+    // per duplicate cluster, each FIELD takes its own best value
+    // (completeness-max text with a deterministic tiebreak, max n_chars,
+    // the union of provenance). This is what an entity-resolution
+    // pipeline actually ships downstream; rides the same shared band-key
+    // index + auto-routed components as d6/d10 (already scale-audited),
+    // so the merge itself is ONE keyed groupBy over the labeled corpus.
+    "d25_golden_record" -> ((s, d) => {
+      val pairs = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+        materialize = false)
+      val clusters = Dedup.connectedComponentsAuto(pairs)
+      val labeled = Tables.documents(s, d).join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      // longest text wins; ties break lexicographically — the zero-padded
+      // length prefix makes one string key both engines order identically
+      val textKey = concat(lpad(length(col("text")).cast("string"), 8, "0"),
+        col("text"))
+      labeled.groupBy("cluster").agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max_by(col("text"), textKey).as("text"),
+        max(col("n_chars")).as("n_chars"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+    }),
+
     // D11: benchmark decontamination — the pre-training hygiene op: a
     // training doc is contaminated if it shares any content n-gram with the
     // held-out set (docs < 20 stand in for the benchmark). Shape: explode
@@ -2099,6 +2126,38 @@ object TextQueries {
                                 ORDER BY n_chars DESC, doc_id ASC) AS r
            FROM labeled)
          WHERE r = 1""",
+    // d25: d10's cluster derivation verbatim, then the field-wise merge —
+    // max_by's key is the same zero-padded-length string both engines
+    // order identically, and the provenance unions are sorted before
+    // joining so set order can't differ
+    "d25_golden_record" ->
+      s"""WITH RECURSIVE t AS ($shingleCte),
+         sigs AS (
+           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+           FROM t),
+         bands AS (
+           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+           FROM sigs, unnest(range(0, 4)) u(i)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r USING (band_key)
+           WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(n, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         labeled AS (
+           SELECT d.*, coalesce(l.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         SELECT cluster, min(doc_id) AS keep_id, count(*)::BIGINT AS n_members,
+           max_by(text, lpad(length(text)::VARCHAR, 8, '0') || text) AS text,
+           max(n_chars) AS n_chars,
+           list_aggr(list_sort(list(DISTINCT source)), 'string_agg', ',') AS sources,
+           list_aggr(list_sort(list(DISTINCT lang)), 'string_agg', ',') AS langs
+         FROM labeled GROUP BY cluster""",
     "tx9_tfidf_top_terms" ->
       """WITH words AS (
            SELECT doc_id, word
