@@ -41,14 +41,27 @@ object QualityAudit {
   final case class InRange(col: String, lo: Double, hi: Double) extends Check {
     val name = s"in_range($col,$lo,$hi)"
   }
-  /** Violation: non-null and not one of `values`. */
+  /** Violation: non-null and not one of `values`. The value set is part of
+    * the name (as a digest — the set itself can be long) for the same
+    * reason InRange encodes its bounds: two Accepted checks on one column
+    * with different sets are distinct expectations, not duplicates. Empty
+    * `values` is rejected up front — it would silently flag every non-null
+    * row.
+    */
   final case class Accepted(col: String, values: Seq[String]) extends Check {
-    val name = s"accepted($col)"
+    require(values.nonEmpty, s"Accepted($col) needs a non-empty value set")
+    val name = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(values.mkString(" ").getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      s"accepted($col,$digest)"
+    }
   }
   /** Violation count: rows beyond the first per key (plus all null-keyed
     * rows) — `count(*) − count(DISTINCT keys)`.
     */
   final case class Unique(cols: Seq[String]) extends Check {
+    require(cols.nonEmpty, "Unique needs at least one key column")
     val name = s"unique(${cols.mkString(",")})"
   }
   /** Violation: `predicate` is true (null = no violation). */
@@ -58,6 +71,10 @@ object QualityAudit {
     require(checks.nonEmpty, "audit needs at least one check")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names would collide in the output")
+    // names become quoted column identifiers below — a backtick (possible
+    // via Custom) would break out of the quoting and fail to parse
+    require(checks.forall(!_.name.contains("`")),
+      "check names must not contain backticks")
     // count(when(pred, 1)), not sum(when...otherwise(0)): SUM over zero
     // rows is NULL, and "0 means the expectation holds" must survive an
     // EMPTY table — the failed-ingest case an audit exists to catch

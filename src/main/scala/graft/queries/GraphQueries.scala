@@ -232,9 +232,13 @@ object GraphQueries {
       expr("sum(deg) div 2").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     // two 1-row frames — the cross join is a no-op at scale
+    // zero-guard: on a triangle-free wedge-free graph (e.g. a perfect
+    // matching) non-ANSI double division yields NaN while the SQL oracle's
+    // division by zero yields NULL — both faces must agree on NULL
     counts.crossJoin(tri).select(
       col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-      round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+      when(col("n_wedges") > 0,
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)).as("global_cc"))
   }
 
   /** k-core decomposition by iterative peeling: drop every node of degree
@@ -426,7 +430,9 @@ object GraphQueries {
            JOIN pairs p2 ON p2.u = p1.v
            JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v)
          SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           round(3.0::DOUBLE * n_triangles / n_wedges, 6) AS global_cc
+           CASE WHEN n_wedges > 0
+                THEN round(3.0::DOUBLE * n_triangles / n_wedges, 6)
+           END AS global_cc
          FROM (
            SELECT
              (SELECT count(*)::BIGINT FROM deg) AS n_nodes,

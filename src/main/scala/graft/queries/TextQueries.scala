@@ -79,6 +79,29 @@ object TextQueries {
     s.table(table)
   }
 
+  /** The survivorship merge shared by d25 (batch) and d25b (incremental):
+    * docs labeled by `clusters` (doc_id, cluster; unlabeled docs are their
+    * own singleton cluster) collapse to one golden record per cluster.
+    * Longest text wins; ties break lexicographically — the zero-padded
+    * length prefix makes one string key both engines order identically.
+    * 12 digits covers any text length representable in practice (lpad
+    * TRUNCATES past the pad width, which would silently break the
+    * ordering for 10^pad-char texts).
+    */
+  private def goldenMerge(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val labeled = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val textKey = concat(lpad(length(col("text")).cast("string"), 12, "0"),
+      col("text"))
+    labeled.groupBy("cluster").agg(
+      min(col("doc_id")).as("keep_id"),
+      count(lit(1)).as("n_members"),
+      max_by(col("text"), textKey).as("text"),
+      max(col("n_chars")).as("n_chars"),
+      array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+      array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- text analysis -----
     "tx1_token_counts" -> ((s, d) =>
@@ -1130,19 +1153,77 @@ object TextQueries {
       val pairs = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
         materialize = false)
       val clusters = Dedup.connectedComponentsAuto(pairs)
-      val labeled = Tables.documents(s, d).join(clusters, Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-      // longest text wins; ties break lexicographically — the zero-padded
-      // length prefix makes one string key both engines order identically
-      val textKey = concat(lpad(length(col("text")).cast("string"), 8, "0"),
-        col("text"))
-      labeled.groupBy("cluster").agg(
-        min(col("doc_id")).as("keep_id"),
-        count(lit(1)).as("n_members"),
-        max_by(col("text"), textKey).as("text"),
-        max(col("n_chars")).as("n_chars"),
-        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
-        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      goldenMerge(Tables.documents(s, d), clusters)
+    }),
+
+    // D25B: INCREMENTAL golden-record maintenance — the survivorship face a
+    // production ER pipeline actually re-runs per arrival batch. The d13
+    // recipe applied to d25's merge: standing state = the old corpus's
+    // pairs, labels, and GOLDEN RECORDS; an arrival batch probes the
+    // standing band-key buckets for new candidate pairs, the pairs touch a
+    // set of standing clusters, and ONLY those clusters' records are
+    // re-merged (from their member docs ∪ the arrivals) — every untouched
+    // golden record is carried verbatim through a left-anti join
+    // (plan-asserted in RegistryPlanSpec). The ORACLE is d25's full
+    // recompute over the whole corpus, so the hash match proves
+    // apply(golden, batch) ≡ recompute(allDocs) — including cross-cluster
+    // merges an arrival causes, and arrivals that land as new singletons.
+    "d25b_golden_record_incremental" -> ((s, d) => {
+      val isNew = col("doc_id") % 10 === 0
+      val docs = Tables.documents(s, d)
+      // Band keys are per-doc (MinHash of the doc's own shingles), so the
+      // old corpus's index is exactly the shared standing index filtered
+      // to old ids — one index, many consumers, including the incremental
+      // maintainer. Exchange-free for the probe join below (d3b contract).
+      val bk = bandKeyIndex(s, d)
+      val (pairsOld, labelsOld, goldenOld) =
+        graft.sources.Standing.artifact(s, d, "d25b_standing") {
+          val p = Dedup.candidatePairs(bk.filter(!isNew), "doc_id",
+            materialize = false).localCheckpoint()
+          val l = Dedup.connectedComponentsAuto(p).localCheckpoint()
+          val g = goldenMerge(docs.filter(!isNew), l).localCheckpoint()
+          (p, l, g)
+        }
+      // incremental candidates: each arrival pairs with every member of
+      // the buckets it lands in (old members AND other arrivals) — an
+      // equi-join against the standing buckets, never an old-corpus rescan
+      val newPairs = bk.filter(isNew)
+        .select(col("band_key"), col("doc_id").as("x"))
+        .join(bk.select(col("band_key"), col("doc_id").as("y")), "band_key")
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct().trackedCheckpoint()
+      val touchedNodes = newPairs.select(col("a").as("doc_id"))
+        .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
+      // standing clusters with any touched member re-merge wholesale; a
+      // touched OLD SINGLETON (absent from labelsOld — it had no pairs)
+      // has golden cluster = its own id, so dropping cluster ∈
+      // touchedNodes retires exactly those records (a labeled touched
+      // doc's cluster is already in touchedComps)
+      val touchedComps = labelsOld
+        .join(touchedNodes, Seq("doc_id"), "left_semi")
+        .select("cluster").distinct()
+      val touchedLabels = labelsOld.join(touchedComps, Seq("cluster"), "left_semi")
+      // components are closed under their edges, so one-endpoint
+      // membership collects every edge of a touched component
+      val touchedEdges = pairsOld
+        .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      val relabeled = Dedup.connectedComponentsAuto(
+        touchedEdges.unionByName(newPairs))
+      // re-merge scope: touched components' members ∪ touched old
+      // SINGLETONS (in touchedNodes but absent from labelsOld) ∪ ALL
+      // arrivals (a pairless arrival becomes its own singleton record via
+      // goldenMerge's label coalesce)
+      val remergeDocs = docs
+        .join(touchedLabels.select("doc_id")
+          .unionByName(touchedNodes)
+          .unionByName(docs.filter(isNew).select("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      val retired = touchedComps
+        .unionByName(touchedNodes.select(col("doc_id").as("cluster"))).distinct()
+      goldenOld.join(retired, Seq("cluster"), "left_anti")
+        .unionByName(goldenMerge(remergeDocs, relabeled))
     }),
 
     // D11: benchmark decontamination — the pre-training hygiene op: a
@@ -1652,6 +1733,38 @@ object TextQueries {
        SELECT doc_id FROM documents
        WHERE doc_id NOT IN (SELECT n FROM dropped)"""
 
+  // d25/d25b: d10's cluster derivation verbatim, then the field-wise merge.
+  // One oracle serves both faces — d25b's incremental apply must be
+  // hash-identical to the full recompute.
+  private lazy val goldenRecordOracle =
+    s"""WITH RECURSIVE t AS ($shingleCte),
+       sigs AS (
+         SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
+         FROM t),
+       bands AS (
+         SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
+         FROM sigs, unnest(range(0, 4)) u(i)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band_key)
+         WHERE l.doc_id < r.doc_id),
+       edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach(n, m) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+       labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+       labeled AS (
+         SELECT d.*, coalesce(l.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+       SELECT cluster, min(doc_id) AS keep_id, count(*)::BIGINT AS n_members,
+         max_by(text, lpad(length(text)::VARCHAR, 12, '0') || text) AS text,
+         max(n_chars) AS n_chars,
+         list_aggr(list_sort(list(DISTINCT source)), 'string_agg', ',') AS sources,
+         list_aggr(list_sort(list(DISTINCT lang)), 'string_agg', ',') AS langs
+       FROM labeled GROUP BY cluster"""
+
   // d15: the d3 candidate CTEs + distinct-shingle intersection counts and
   // min-size normalization (asymmetric containment).
   private lazy val containmentOracle =
@@ -2130,34 +2243,12 @@ object TextQueries {
     // max_by's key is the same zero-padded-length string both engines
     // order identically, and the provenance unions are sorted before
     // joining so set order can't differ
-    "d25_golden_record" ->
-      s"""WITH RECURSIVE t AS ($shingleCte),
-         sigs AS (
-           SELECT doc_id, list_value(${sigEntriesSql.mkString(", ")}) AS sig
-           FROM t),
-         bands AS (
-           SELECT doc_id, i::VARCHAR || ':' || sig[2*i + 1] || '|' || sig[2*i + 2] AS band_key
-           FROM sigs, unnest(range(0, 4)) u(i)),
-         pairs AS (
-           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM bands l JOIN bands r USING (band_key)
-           WHERE l.doc_id < r.doc_id),
-         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-         nodes AS (SELECT DISTINCT src AS node FROM edges),
-         reach(n, m) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
-         labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
-         labeled AS (
-           SELECT d.*, coalesce(l.cluster, d.doc_id) AS cluster
-           FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
-         SELECT cluster, min(doc_id) AS keep_id, count(*)::BIGINT AS n_members,
-           max_by(text, lpad(length(text)::VARCHAR, 8, '0') || text) AS text,
-           max(n_chars) AS n_chars,
-           list_aggr(list_sort(list(DISTINCT source)), 'string_agg', ',') AS sources,
-           list_aggr(list_sort(list(DISTINCT lang)), 'string_agg', ',') AS langs
-         FROM labeled GROUP BY cluster""",
+    "d25_golden_record" -> goldenRecordOracle,
+    // d25b's oracle IS d25's full recompute over the whole corpus: the
+    // incremental maintainer (standing records + arrival batch) must be
+    // hash-indistinguishable from rebuilding every golden record — the
+    // apply ≡ recompute contract, d13's precedent applied to survivorship
+    "d25b_golden_record_incremental" -> goldenRecordOracle,
     "tx9_tfidf_top_terms" ->
       """WITH words AS (
            SELECT doc_id, word

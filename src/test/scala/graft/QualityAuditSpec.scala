@@ -34,7 +34,9 @@ class QualityAuditSpec extends SparkSpec {
     assert(got === Map(
       "not_null(score)" -> 1L,     // only the null cell
       "in_range(score,0.0,10.0)" -> 2L, // -0.1 and 10.1; bounds + null don't fire
-      "accepted(status)" -> 1L,    // 'bad'; the NULL status doesn't fire
+      // value-set digest in the name, so two Accepted checks on one column
+      // with different sets stay distinct (md5("ok warn").take(4))
+      "accepted(status,71d4dd49)" -> 1L, // 'bad'; the NULL status doesn't fire
       // 6 rows, 3 distinct non-null keys: the dup 3 plus both null keys
       "unique(k)" -> 3L))
   }
@@ -75,5 +77,19 @@ class QualityAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       QualityAudit.audit(rows, Seq(NotNull("k"), Custom("not_null(k)", col("k").isNull)))
     }
+  }
+
+  test("malformed checks are rejected up front, not at parse/execute time") {
+    // backtick in a Custom name would break out of the quoted identifier
+    intercept[IllegalArgumentException] {
+      QualityAudit.audit(rows, Seq(Custom("bad`name", col("k").isNull)))
+    }
+    // keyless Unique / empty Accepted are contradictions, not checks
+    intercept[IllegalArgumentException] { Unique(Seq()) }
+    intercept[IllegalArgumentException] { Accepted("status", Seq()) }
+    // two Accepted sets on one column are DISTINCT checks, not duplicates
+    val two = QualityAudit.audit(rows, Seq(
+      Accepted("status", Seq("ok")), Accepted("status", Seq("ok", "warn"))))
+    assert(counts(two).values.toSeq.sorted === Seq(1L, 2L))
   }
 }

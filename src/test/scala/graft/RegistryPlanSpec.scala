@@ -140,6 +140,16 @@ class RegistryPlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"d13 lost the untouched-label anti-join:\n$plan")
   }
 
+  test("d25b carries untouched golden records verbatim, re-merges only touched clusters") {
+    val plan = SparkEntry.queries("d25b_golden_record_incremental")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // same contract as d13, applied to survivorship: the semi-joins scope
+    // the re-merge to touched components' docs; the anti-join is what
+    // carries every untouched standing record without recomputation
+    assert(plan.contains("LeftSemi"), s"d25b lost the touched-cluster semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"d25b lost the untouched-record anti-join:\n$plan")
+  }
+
   test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
     val sfDir = "/root/testdata/sf0.001"
     // positive control: the inline v9 face trains in-plan (the VectorMean
