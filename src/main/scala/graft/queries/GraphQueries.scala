@@ -57,10 +57,23 @@ object GraphQueries {
     *                        per-iteration left join that re-attaches
     *                        zero-in-degree nodes is skipped — the
     *                        aggregation output already covers every node.
+    * @param restart         PERSONALIZED PageRank: a (node, p) frame — the
+    *                        restart distribution, concentrated on a seed
+    *                        set (nodes absent from it restart with p = 0).
+    *                        The teleport term becomes (1−d)·p(v) instead of
+    *                        the uniform (1−d), and iteration starts from p
+    *                        rather than all-ones — rank mass then measures
+    *                        proximity to the seeds (recommendation /
+    *                        attribution), not global centrality. The seed
+    *                        frame is |seeds|-sized, hence BROADCAST into
+    *                        each iteration — zero extra shuffles at any
+    *                        graph scale. Callers pre-round p to 6dp so the
+    *                        oracle replay is float-exact.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = GraphQueries.damping,
                tol: Option[Double] = None, checkpointEvery: Int = 5,
-               hasDanglingNodes: Boolean = true): DataFrame = {
+               hasDanglingNodes: Boolean = true,
+               restart: Option[DataFrame] = None): DataFrame = {
     // DISK-backed checkpoint level for the graph-scale frames: a 100x edge
     // list is GBs of rows, and local mode shares one heap between driver
     // and executors. MEMORY_AND_DISK_SER was measured to still OOM an 8g
@@ -85,7 +98,11 @@ object GraphQueries {
     val weighted =
       if (iters > 4) graft.ops.Checkpoints.tracked(weighted0, ser) else weighted0
     val nodes = deg.select(col("src").as("node"))
-    var ranks = nodes.withColumn("pr", lit(1.0))
+    var ranks = restart match {
+      case None => nodes.withColumn("pr", lit(1.0))
+      case Some(r) => nodes.join(broadcast(r), Seq("node"), "left")
+        .select(col("node"), coalesce(col("p"), lit(0.0)).as("pr"))
+    }
     var i = 0
     var converged = false
     // Superseded rank checkpoints are released as soon as a NEWER one has
@@ -102,14 +119,23 @@ object GraphQueries {
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      // teleport term: uniform (1−d), or (1−d)·p(v) when personalized
+      val base = restart match {
+        case None => lit(1 - damping)
+        case Some(_) => lit(1 - damping) * coalesce(col("p"), lit(0.0))
+      }
       val newPr =
-        round(lit(1 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6)
-      val next =
+        round(base + lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6)
+      val withNode =
         if (hasDanglingNodes)
           nodes.join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"), newPr.as("pr"))
+            .select(col("node"), col("in_sum"))
         else
-          contrib.select(col("dst").as("node"), newPr.as("pr"))
+          contrib.select(col("dst").as("node"), col("in_sum"))
+      val next = (restart match {
+        case None => withNode
+        case Some(r) => withNode.join(broadcast(r), Seq("node"), "left")
+      }).select(col("node"), newPr.as("pr"))
       // A convergence check materializes the frame anyway, so checkpoint
       // on every checked iteration; otherwise only at the depth bound.
       val checkpointed = tol.isDefined || i % checkpointEvery == 0
@@ -326,6 +352,35 @@ object GraphQueries {
           col("pr"))
     }),
 
+    // PPR1: PERSONALIZED PageRank over the same order↔supplier graph —
+    // rank mass measures proximity to a SEED set instead of global
+    // centrality (the recommendation/attribution face of graph rank:
+    // "which suppliers sit near THESE suppliers in the order flow").
+    // Seeds = suppliers with suppkey % 50 == 1; the restart distribution
+    // p = 1/|seeds| on seeds, 0 elsewhere, rides each iteration as a
+    // BROADCAST |seeds|-row frame — the personalization costs zero extra
+    // shuffles over pr1's machinery. Same unrolled-CTE oracle scheme.
+    "ppr1_personalized_pagerank" -> ((s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      val edges = li.select(
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val both = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.select(col("l_suppkey")).distinct()
+        .filter(col("l_suppkey") % 50 === 1)
+        .select((col("l_suppkey") * 2 + 1).as("node"))
+      // p pre-rounded to 6dp so the oracle's round(1.0/ns, 6) replays it
+      val ns = seeds.agg(count(lit(1)).as("ns"))
+      val restart = seeds.crossJoin(broadcast(ns))
+        .select(col("node"), round(lit(1.0) / col("ns"), 6).as("p"))
+      pageRank(both, iters, hasDanglingNodes = false, restart = Some(restart))
+        .filter(col("node") % 2 === 1)
+        .select(
+          concat(lit("s"), ((col("node") - 1) / 2).cast("bigint")).as("node"),
+          col("pr"))
+    }),
+
     // BFS1: supply-chain impact radius — which suppliers sit within 4 hops
     // of supplier 1 in the order↔supplier graph (shared orders = distance
     // 2, and so on). Frontier iteration with min-distance semantics; the
@@ -388,6 +443,42 @@ object GraphQueries {
                FROM both_e e JOIN r${j - 1} r ON e.src = r.node
                JOIN deg d ON e.src = d.src
                GROUP BY e.dst) s USING (node))"""
+      }.mkString
+      head + iterations +
+        s"""
+           SELECT node, pr FROM r$iters WHERE node LIKE 's%'"""
+    },
+    // ppr1: pr1's unrolled iterations with the personalized teleport —
+    // restart p joined per round, (1−d)·coalesce(p,0) replacing the
+    // uniform term, and r0 = the restart distribution itself
+    "ppr1_personalized_pagerank" -> {
+      val head =
+        """WITH edges AS (
+             SELECT DISTINCT 'o' || l_orderkey AS src, 's' || l_suppkey AS dst
+             FROM lineitem),
+           both_e AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+           deg AS (SELECT src, count(*) AS outdeg FROM both_e GROUP BY src),
+           seeds AS (
+             SELECT DISTINCT 's' || l_suppkey AS node FROM lineitem
+             WHERE l_suppkey % 50 = 1),
+           ns AS (SELECT count(*) AS ns FROM seeds),
+           restart AS (SELECT node, round(1.0 / ns, 6) AS p FROM seeds, ns),
+           r0 AS (
+             SELECT d.src AS node, coalesce(rs.p, 0) AS pr
+             FROM deg d LEFT JOIN restart rs ON d.src = rs.node)"""
+      val iterations = (1 to iters).map { j =>
+        s""",
+           r$j AS (
+             SELECT n.node,
+               round(${1 - damping} * coalesce(rs.p, 0)
+                     + $damping * coalesce(s.in_sum, 0), 6) AS pr
+             FROM (SELECT node FROM r0) n
+             LEFT JOIN restart rs ON n.node = rs.node
+             LEFT JOIN (
+               SELECT e.dst AS node, sum(r.pr / d.outdeg) AS in_sum
+               FROM both_e e JOIN r${j - 1} r ON e.src = r.node
+               JOIN deg d ON e.src = d.src
+               GROUP BY e.dst) s ON n.node = s.node)"""
       }.mkString
       head + iterations +
         s"""

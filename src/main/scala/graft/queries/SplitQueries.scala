@@ -105,6 +105,35 @@ object SplitQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // WS2: weighted sampling WITHOUT replacement — a FIXED-SIZE (50 per
+    // language) quality-weighted draw, where ws1's Bernoulli gives a
+    // random-sized one. Efraimidis–Spirakis exponential keys: doc i wins
+    // iff U_i^(1/w_i) ranks in the stratum's top k. Deterministic U from
+    // the content-hash bucket ((b + 0.5)/10^6 ∈ (0,1) — no RNG, the
+    // module rule), and the rank key is the monotone transform
+    // ln(U)/w — ln + one exact division, no pow (ln is engine-identical,
+    // the tx9 precedent; pow is not guaranteed correctly rounded).
+    // Docs with w <= 0 are excluded (ES assigns them probability 0).
+    // Reduction is the same bounded-heap TopK as str1: map-side partials
+    // keep <= 50 rows per (lang, partition), so a dominant language never
+    // sorts its stratum in one window task. Oracle replays the key
+    // formula as a per-stratum window; the TopK heap's boundary eviction
+    // (lowest key, then highest id) matches ORDER BY key DESC, doc_id ASC.
+    "ws2_weighted_sample_noreplace" -> ((s, d) => {
+      val topk = udaf(new graft.functions.Aggregators.TopK(50))
+      val u = (md5Bucket(col("text"), 1000000L).cast("double") + lit(0.5)) /
+        lit(1000000.0)
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"),
+          (log(u) / col("n_chars").cast("double")).as("es_key"))
+        .groupBy("lang")
+        .agg(topk(col("es_key"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("col._2").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("bigint").as("rk"))
+    }),
+
     // MX1: temperature-based language rebalancing (the multilingual-corpus
     // move: raise low-resource languages' share by downsampling the head).
     // Acceptance rate per language = sqrt(n_min / n_l) — alpha = 0.5
@@ -311,6 +340,17 @@ object SplitQueries {
                ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000,
                         doc_id)::BIGINT AS rk
            FROM documents)
+         WHERE rk <= 50""",
+    // same hash-uniform U and ln(U)/w key, replayed as a window — the
+    // (add, divide, ln, divide) chain is fixed-order and engine-identical
+    "ws2_weighted_sample_noreplace" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ln(((('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000)::DOUBLE + 0.5)
+                           / 1000000.0) / n_chars::DOUBLE DESC,
+                        doc_id)::BIGINT AS rk
+           FROM documents WHERE n_chars > 0)
          WHERE rk <= 50""",
     // same md5 bucket, same (divide, multiply) order — the comparison is
     // IEEE-identical across engines

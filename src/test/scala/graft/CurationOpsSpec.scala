@@ -82,6 +82,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("ws2: fixed-size per stratum, deterministic, and weight-monotone in expectation") {
+    val out = graft.queries.SplitQueries.queries("ws2_weighted_sample_noreplace")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // FIXED-size draw: exactly min(50, |stratum|) docs per language, ranks
+    // a gapless 1..k — the property ws1's Bernoulli can't give
+    val strata = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = out.groupBy(_._2)
+    assert(byLang.keySet == strata.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val want = math.min(50L, strata(lang))
+      assert(rows.length.toLong == want, s"$lang: ${rows.length} != $want")
+      assert(rows.map(_._3).sorted.toSeq == (1L to want), s"$lang ranks not gapless")
+    }
+    // no doc drawn twice (without replacement) and a re-run is identical
+    assert(out.map(x => (x._1, x._2)).distinct.length == out.length)
+    val again = graft.queries.SplitQueries.queries("ws2_weighted_sample_noreplace")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // weight-monotonicity (in expectation): the drawn docs' mean n_chars
+    // should exceed the corpus mean — long docs get larger ES keys
+    val w = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drawnIds = out.map(_._1).toSet
+    val meanDrawn = drawnIds.toSeq.map(w).sum.toDouble / drawnIds.size
+    val meanAll = w.values.sum.toDouble / w.size
+    assert(meanDrawn > meanAll,
+      s"weighted draw should favor long docs: drawn $meanDrawn vs corpus $meanAll")
+  }
+
   test("v13: each cell drops exactly ceil(10%) least-prototypical members") {
     val asg = graft.similarity.VectorOps.kmeansAssign(
       Tables.embeddings(spark, sfDir).select(

@@ -43,6 +43,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized restart concentrates mass near the seed and zeroes unreachable nodes") {
+    // seed {a}: d has no in-edges and p(d) = 0, so its rank is exactly 0
+    // every iteration; a (the seed, fed back by c) dominates.
+    val restart = Seq(("a", 1.0)).toDF("node", "p")
+    val r = GraphQueries.pageRank(edges, iters = 10, restart = Some(restart))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b", "c", "d"))
+    assert(r("d") == 0.0, s"unreachable non-seed must hold rank 0: $r")
+    assert(r("a") == r.values.max, s"seed should dominate: $r")
+    // personalized mass is a probability-like quantity: total stays ~1,
+    // not ~n (uniform PageRank's scale)
+    assert(math.abs(r.values.sum - 1.0) < 0.1, s"mass should stay near 1: $r")
+  }
+
+  test("personalized tol early exit lands on the fixed iteration's fixed point") {
+    val restart = Seq(("a", 0.5), ("d", 0.5)).toDF("node", "p")
+    val converged = GraphQueries.pageRank(edges, iters = 50, tol = Some(1e-6),
+      restart = Some(restart)).orderBy("node").collect()
+    val fixed = GraphQueries.pageRank(edges, iters = 50, restart = Some(restart))
+      .orderBy("node").collect()
+    assert(converged.length == fixed.length)
+    converged.zip(fixed).foreach { case (c, f) =>
+      assert(c.getString(0) == f.getString(0))
+      assert(math.abs(c.getDouble(1) - f.getDouble(1)) <= 2e-6,
+        s"${c.getString(0)}: ${c.getDouble(1)} vs ${f.getDouble(1)}")
+    }
+  }
+
   test("triangleStats on a hand-counted graph") {
     // bowtie-with-tail: triangles {1,2,3} and {2,3,4} share edge (2,3);
     // node 5 dangles off 4. Degrees 2,3,3,3,1 → wedges 1+3+3+3+0 = 10.
