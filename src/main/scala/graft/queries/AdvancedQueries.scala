@@ -15,6 +15,17 @@ import graft.Tables
 object AdvancedQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The vd1/vd2/tt1 shared perturbation of documents: %97 deleted, %101
+    * lang-rewritten, %103 re-keyed copies inserted — all three change
+    * classes, deterministic, replayed closed-form by the oracles.
+    */
+  private def perturbedDocs(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 101 === 0, lit("xx")).otherwise(col("lang")))
+      .unionByName(a.filter(col("doc_id") % 103 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: filtered 3-way join, grouped revenue, deterministic
     // top-10. Filters reach the scans; top-k is TakeOrderedAndProject.
@@ -531,13 +542,32 @@ object AdvancedQueries {
     // replayed bit-exact by the DuckDB oracle.
     "vd1_migration_diff" -> ((s, d) => {
       val a = Tables.documents(s, d)
-      val b = a.filter(col("doc_id") % 97 =!= 0)
-        .withColumn("lang",
-          when(col("doc_id") % 101 === 0, lit("xx")).otherwise(col("lang")))
-        .unionByName(a.filter(col("doc_id") % 103 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      graft.ops.TableDiff.diff(a, b, "doc_id",
+      graft.ops.TableDiff.diff(a, perturbedDocs(a), "doc_id",
         Seq("text", "lang", "source", "n_chars"), chunkSize = 100L)
+    }),
+
+    // TT1: TIME-TRAVEL diff — vd1's validation run against two pinned
+    // VERSIONS of one SnapshotStore table instead of two live frames: v0
+    // is the corpus, v1 the perturbed corpus committed on top (an atomic
+    // manifest publish). The oracle is vd1's, verbatim — a hash match
+    // proves the manifest reads round-trip both snapshots bit-exactly,
+    // i.e. version N stays byte-stable after later commits. This is the
+    // audit a 100 TB pipeline runs before vacuuming an old version: the
+    // diff itself stays the chunk-checksum two-pass (damaged-chunk
+    // drill-down), so comparing two snapshots never rescans rows beyond
+    // pass 1's per-chunk aggregates.
+    "tt1_time_travel_diff" -> ((s, d) => {
+      val dir = graft.sources.Standing.artifact(s, d, "tt1_snapshots") {
+        val t = java.nio.file.Files.createTempDirectory("graft-tt1").toString
+        val a = Tables.documents(s, d)
+        graft.sources.SnapshotStore.commit(s, a, t, None)
+        graft.sources.SnapshotStore.commit(s, perturbedDocs(a), t, Some(0L))
+        t
+      }
+      graft.ops.TableDiff.diff(
+        graft.sources.SnapshotStore.read(s, dir, Some(0L)),
+        graft.sources.SnapshotStore.read(s, dir, Some(1L)),
+        "doc_id", Seq("text", "lang", "source", "n_chars"), chunkSize = 100L)
     }),
 
     // VD2: the standing integrity artifact MAINTAINED, not recomputed —
@@ -1200,6 +1230,47 @@ object AdvancedQueries {
     })
   )
 
+  // vd1/tt1 shared oracle: chunk-checksum diff of documents vs the
+  // perturbedDocs frame (three change classes), hashes replayed bit-exact
+  private lazy val migrationDiffOracle =
+    """WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         b AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 101 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars
+           FROM documents WHERE doc_id % 97 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 103 = 0),
+         ha AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
+             ('0x' || substr(md5(
+               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
+               || chr(1) || coalesce(source, chr(0)) || chr(1)
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
+           FROM a),
+         hb AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
+             ('0x' || substr(md5(
+               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
+               || chr(1) || coalesce(source, chr(0)) || chr(1)
+               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
+           FROM b),
+         ca AS (SELECT chunk, count(*) AS na, sum(h) AS sa FROM ha GROUP BY 1),
+         cb AS (SELECT chunk, count(*) AS nb, sum(h) AS sb FROM hb GROUP BY 1),
+         bad AS (
+           SELECT coalesce(ca.chunk, cb.chunk) AS chunk
+           FROM ca FULL OUTER JOIN cb ON ca.chunk = cb.chunk
+           WHERE coalesce(na, -1) != coalesce(nb, -1)
+              OR coalesce(sa, -1) != coalesce(sb, -1)),
+         ra AS (SELECT k, h FROM ha WHERE chunk IN (SELECT chunk FROM bad)),
+         rb AS (SELECT k, h FROM hb WHERE chunk IN (SELECT chunk FROM bad))
+         SELECT doc_id, status FROM (
+           SELECT coalesce(ra.k, rb.k) AS doc_id,
+             CASE WHEN rb.k IS NULL THEN 'missing_in_b'
+                  WHEN ra.k IS NULL THEN 'extra_in_b'
+                  WHEN ra.h != rb.h THEN 'changed' END AS status
+           FROM ra FULL OUTER JOIN rb ON ra.k = rb.k)
+         WHERE status IS NOT NULL"""
+
   val oracles: Map[String, String] = Map(
     "q3_shipping_priority" ->
       """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1483,44 +1554,10 @@ object AdvancedQueries {
          UNION ALL
          SELECT 'unique(o_orderkey)',
            (SELECT count(*) - count(DISTINCT o_orderkey) FROM dirty)::BIGINT""",
-    "vd1_migration_diff" ->
-      """WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
-         b AS (
-           SELECT doc_id, text,
-             CASE WHEN doc_id % 101 = 0 THEN 'xx' ELSE lang END AS lang,
-             source, n_chars
-           FROM documents WHERE doc_id % 97 != 0
-           UNION ALL
-           SELECT doc_id + 1000000, text, lang, source, n_chars
-           FROM documents WHERE doc_id % 103 = 0),
-         ha AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
-             ('0x' || substr(md5(
-               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
-               || chr(1) || coalesce(source, chr(0)) || chr(1)
-               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
-           FROM a),
-         hb AS (SELECT doc_id AS k, doc_id // 100 AS chunk,
-             ('0x' || substr(md5(
-               coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))
-               || chr(1) || coalesce(source, chr(0)) || chr(1)
-               || coalesce(n_chars::VARCHAR, chr(0))), 1, 10))::BIGINT AS h
-           FROM b),
-         ca AS (SELECT chunk, count(*) AS na, sum(h) AS sa FROM ha GROUP BY 1),
-         cb AS (SELECT chunk, count(*) AS nb, sum(h) AS sb FROM hb GROUP BY 1),
-         bad AS (
-           SELECT coalesce(ca.chunk, cb.chunk) AS chunk
-           FROM ca FULL OUTER JOIN cb ON ca.chunk = cb.chunk
-           WHERE coalesce(na, -1) != coalesce(nb, -1)
-              OR coalesce(sa, -1) != coalesce(sb, -1)),
-         ra AS (SELECT k, h FROM ha WHERE chunk IN (SELECT chunk FROM bad)),
-         rb AS (SELECT k, h FROM hb WHERE chunk IN (SELECT chunk FROM bad))
-         SELECT doc_id, status FROM (
-           SELECT coalesce(ra.k, rb.k) AS doc_id,
-             CASE WHEN rb.k IS NULL THEN 'missing_in_b'
-                  WHEN ra.k IS NULL THEN 'extra_in_b'
-                  WHEN ra.h != rb.h THEN 'changed' END AS status
-           FROM ra FULL OUTER JOIN rb ON ra.k = rb.k)
-         WHERE status IS NOT NULL""",
+    "vd1_migration_diff" -> migrationDiffOracle,
+    // tt1's oracle IS vd1's: the two pinned snapshot-store versions must
+    // read back bit-identical to the frames that were committed
+    "tt1_time_travel_diff" -> migrationDiffOracle,
     // oracle IS the full recompute of the perturbed table's checksums
     "vd2_incremental_checksums" ->
       """WITH b AS (

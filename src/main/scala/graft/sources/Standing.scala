@@ -41,4 +41,35 @@ object Standing {
     cache.computeIfAbsent(
       (s.sparkContext.applicationId, System.identityHashCode(s), sfDir, name),
       _ => build).asInstanceOf[T]
+
+  /** Release every artifact this session has built, across ALL fixtures:
+    * cache entries are removed (so the next consumer rebuilds from
+    * scratch — entries holding now-freed localCheckpoints must never be
+    * served again, their lineage is truncated and unrecomputable) and any
+    * DataFrame reachable in a value, directly or inside a tuple, has its
+    * checkpoint blocks freed.
+    *
+    * For the long-lived sweep JVMs (ScaleStress's 100x mode measures
+    * ~38 queries × 3 fixtures in one process): without this, every
+    * fixture's standing state — checkpointed pair/label frames, trained
+    * quantizer row frames — stays resident for the JVM's whole life, and
+    * the sweep's LAST queries run against a heap full of the first
+    * queries' residue (the round-15 ld2/ld3 tail-OOM). Table-backed
+    * artifacts (bucketed band-key index, partitioned exports) live on
+    * disk; dropping their marker entry only costs the next consumer a
+    * rebuild-write.
+    */
+  def release(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sid = (s.sparkContext.applicationId, System.identityHashCode(s))
+    def frames(x: Any): Seq[org.apache.spark.sql.DataFrame] = x match {
+      case ds: org.apache.spark.sql.Dataset[_] => Seq(ds.toDF)
+      case p: Product => p.productIterator.flatMap(frames).toSeq
+      case _ => Nil
+    }
+    cache.keySet.asScala.filter(k => (k._1, k._2) == sid).toSeq.foreach { k =>
+      Option(cache.remove(k)).toSeq.flatMap(frames)
+        .foreach(graft.ops.Checkpoints.release)
+    }
+  }
 }

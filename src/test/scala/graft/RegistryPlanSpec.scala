@@ -30,6 +30,10 @@ class RegistryPlanSpec extends SparkSpec {
     "tc1_triangle_count" -> ("the only non-equi join is the final census assembly: a " +
       "crossJoin of two SINGLE-ROW aggregate frames (degree census x triangle count), " +
       "1x1 by construction; the wedge and closing joins are equi-joins"),
+    "ppr1_personalized_pagerank" -> ("the only non-equi join is the restart " +
+      "normalization: seeds crossJoin broadcast(1-row seed count) to compute " +
+      "p = 1/|S| — |seeds|x1 by construction; every iteration join is the " +
+      "same keyed equi-join as pr1"),
     "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
