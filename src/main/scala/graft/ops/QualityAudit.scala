@@ -51,8 +51,10 @@ object QualityAudit {
   final case class Accepted(col: String, values: Seq[String]) extends Check {
     require(values.nonEmpty, s"Accepted($col) needs a non-empty value set")
     val name = {
+      // \u0001 separator (the vd1 hashing convention): a space would make
+      // Seq("a b") and Seq("a", "b") digest identically
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(values.mkString(" ").getBytes("UTF-8"))
+        .digest(values.mkString("\u0001").getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
       s"accepted($col,$digest)"
     }

@@ -1548,7 +1548,7 @@ object AdvancedQueries {
            (SELECT count(*) FROM dirty
             WHERE o_totalprice < 0.0 OR o_totalprice > 10000000.0)::BIGINT
          UNION ALL
-         SELECT 'accepted(o_orderstatus,8c8dd75d)',
+         SELECT 'accepted(o_orderstatus,99cf54c1)',
            (SELECT count(*) FROM dirty
             WHERE o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT
          UNION ALL

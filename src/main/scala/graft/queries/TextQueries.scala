@@ -102,6 +102,52 @@ object TextQueries {
       array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
   }
 
+  /** The touched-component incremental-relabel stage shared by d13
+    * (cluster maintenance) and d25b (golden-record maintenance):
+    * arrival-batch band keys probe the standing buckets for new candidate
+    * pairs (an equi-join — never an old-corpus rescan), the pairs touch a
+    * set of standing components, and connected components reruns ONLY over
+    * those components' edges ∪ the new pairs. Consumers carry everything
+    * untouched verbatim (each face's left-anti join, plan-asserted in
+    * RegistryPlanSpec). `newPairs` is checkpointed: three downstream
+    * consumers (touchedNodes, the relabel union, and — via them — the
+    * faces' scoping joins) would otherwise re-run the probe join each.
+    *
+    * Scale caveat shared with the standing generators: the probe join is
+    * bucket-keyed, so an oversized (boilerplate) band key concentrates
+    * candidates the way candidatePairs' skew guard routes around — an
+    * arrival batch is |batch|-bounded per bucket, but a pathological key
+    * still warrants the same star-expansion treatment if batches grow.
+    */
+  private final case class Relabel(newPairs: DataFrame, touchedNodes: DataFrame,
+      touchedComps: DataFrame, touchedLabels: DataFrame, relabeled: DataFrame)
+
+  private def incrementalRelabel(bandsOld: DataFrame, bandsNew: DataFrame,
+      oldPairs: DataFrame, labelsOld: DataFrame): Relabel = {
+    // incremental candidates: each arrival pairs with every member of the
+    // buckets it lands in (old members AND other arrivals)
+    val newPairs = bandsNew
+      .select(col("band_key"), col("doc_id").as("x"))
+      .join(bandsOld.unionByName(bandsNew)
+        .select(col("band_key"), col("doc_id").as("y")), "band_key")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().trackedCheckpoint()
+    val touchedNodes = newPairs.select(col("a").as("doc_id"))
+      .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
+    val touchedComps = labelsOld
+      .join(touchedNodes, Seq("doc_id"), "left_semi")
+      .select("cluster").distinct()
+    val touchedLabels = labelsOld.join(touchedComps, Seq("cluster"), "left_semi")
+    // components are closed under their edges, so one-endpoint membership
+    // is enough to collect every edge of a touched component
+    val touchedEdges = oldPairs
+      .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+    Relabel(newPairs, touchedNodes, touchedComps, touchedLabels,
+      Dedup.connectedComponentsAuto(touchedEdges.unionByName(newPairs)))
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- text analysis -----
     "tx1_token_counts" -> ((s, d) =>
@@ -737,31 +783,10 @@ object TextQueries {
         .select("doc_id", "sig")
         .transform(Dedup.lshBandKeys(_, "doc_id", "sig"))
         .trackedCheckpoint()
-      // incremental candidates: each new doc pairs with every member of the
-      // buckets it lands in (old members AND other new arrivals)
-      val newPairs = bandsNew
-        .select(col("band_key"), col("doc_id").as("x"))
-        .join(bandsOld.unionByName(bandsNew)
-          .select(col("band_key"), col("doc_id").as("y")), "band_key")
-        .filter(col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b"))
-        .distinct()
-      val touchedNodes = newPairs.select(col("a").as("doc_id"))
-        .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
-      val touchedComps = labelsOld
-        .join(touchedNodes, Seq("doc_id"), "left_semi")
-        .select("cluster").distinct()
-      val touchedLabels = labelsOld.join(touchedComps, Seq("cluster"), "left_semi")
-      // components are closed under their edges, so one-endpoint membership
-      // is enough to collect every edge of a touched component
-      val touchedEdges = oldPairs
-        .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
-      val relabeled = Dedup.connectedComponentsAuto(
-        touchedEdges.unionByName(newPairs))
-      labelsOld.join(touchedComps, Seq("cluster"), "left_anti")
+      val r = incrementalRelabel(bandsOld, bandsNew, oldPairs, labelsOld)
+      labelsOld.join(r.touchedComps, Seq("cluster"), "left_anti")
         .select("doc_id", "cluster")
-        .unionByName(relabeled)
+        .unionByName(r.relabeled)
     }),
 
     // CC1: the corpus CARD — the per-(lang, source) profile table a
@@ -1184,46 +1209,25 @@ object TextQueries {
           val g = goldenMerge(docs.filter(!isNew), l).localCheckpoint()
           (p, l, g)
         }
-      // incremental candidates: each arrival pairs with every member of
-      // the buckets it lands in (old members AND other arrivals) — an
-      // equi-join against the standing buckets, never an old-corpus rescan
-      val newPairs = bk.filter(isNew)
-        .select(col("band_key"), col("doc_id").as("x"))
-        .join(bk.select(col("band_key"), col("doc_id").as("y")), "band_key")
-        .filter(col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b"))
-        .distinct().trackedCheckpoint()
-      val touchedNodes = newPairs.select(col("a").as("doc_id"))
-        .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
-      // standing clusters with any touched member re-merge wholesale; a
-      // touched OLD SINGLETON (absent from labelsOld — it had no pairs)
-      // has golden cluster = its own id, so dropping cluster ∈
-      // touchedNodes retires exactly those records (a labeled touched
-      // doc's cluster is already in touchedComps)
-      val touchedComps = labelsOld
-        .join(touchedNodes, Seq("doc_id"), "left_semi")
-        .select("cluster").distinct()
-      val touchedLabels = labelsOld.join(touchedComps, Seq("cluster"), "left_semi")
-      // components are closed under their edges, so one-endpoint
-      // membership collects every edge of a touched component
-      val touchedEdges = pairsOld
-        .join(touchedLabels.select(col("doc_id").as("a")), Seq("a"), "left_semi")
-      val relabeled = Dedup.connectedComponentsAuto(
-        touchedEdges.unionByName(newPairs))
+      val r = incrementalRelabel(bk.filter(!isNew), bk.filter(isNew),
+        pairsOld, labelsOld)
       // re-merge scope: touched components' members ∪ touched old
-      // SINGLETONS (in touchedNodes but absent from labelsOld) ∪ ALL
-      // arrivals (a pairless arrival becomes its own singleton record via
-      // goldenMerge's label coalesce)
+      // SINGLETONS (in touchedNodes but absent from labelsOld — their
+      // golden cluster is their own id) ∪ ALL arrivals (a pairless
+      // arrival becomes its own singleton record via goldenMerge's label
+      // coalesce)
       val remergeDocs = docs
-        .join(touchedLabels.select("doc_id")
-          .unionByName(touchedNodes)
+        .join(r.touchedLabels.select("doc_id")
+          .unionByName(r.touchedNodes)
           .unionByName(docs.filter(isNew).select("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
-      val retired = touchedComps
-        .unionByName(touchedNodes.select(col("doc_id").as("cluster"))).distinct()
+      // retire: whole touched clusters, plus touched old singletons'
+      // self-keyed records (a labeled touched doc's cluster is already in
+      // touchedComps)
+      val retired = r.touchedComps
+        .unionByName(r.touchedNodes.select(col("doc_id").as("cluster"))).distinct()
       goldenOld.join(retired, Seq("cluster"), "left_anti")
-        .unionByName(goldenMerge(remergeDocs, relabeled))
+        .unionByName(goldenMerge(remergeDocs, r.relabeled))
     }),
 
     // D11: benchmark decontamination — the pre-training hygiene op: a

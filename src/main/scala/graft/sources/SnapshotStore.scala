@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.StructType
   *   _manifests/v%08d.manifest              snapshot = schema + file list
   * }}}
   *
-  * The COMMIT POINT is one filesystem rename of the manifest from its
-  * dot-prefixed staging name to `v%08d.manifest` — rename-into-place is
-  * atomic and refuses an existing destination on both local and HDFS
-  * semantics, so:
+  * The COMMIT POINT is one filesystem metadata operation publishing the
+  * manifest from its dot-prefixed staging name to `v%08d.manifest` —
+  * rename on HDFS (the NameNode refuses an existing destination
+  * atomically), hard-link on local filesystems (POSIX rename(2) silently
+  * replaces, link(2) refuses — see [[publishAtomic]]) — so:
   *
   *   - a READER resolves "current" by listing `_manifests` and taking the
   *     max version; it then reads EXACTLY that manifest's files. Data
@@ -127,12 +128,40 @@ object SnapshotStore {
     try out.write((df.schema.json +: moved).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, manifestName(next))
-    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+    if (!publishAtomic(fs, tmp, fin)) {
       fs.delete(tmp, false)
       sys.error(s"snapshot commit conflict at $dir: version $next was " +
         "published concurrently — re-read and retry")
     }
     next
+  }
+
+  /** Publish `tmp` as `fin` with EXACTLY-ONE-WINS semantics. On HDFS,
+    * `rename` refuses an existing destination atomically in the NameNode,
+    * so the rename IS the arbiter. On the local filesystem Hadoop's rename
+    * bottoms out in POSIX rename(2), which silently REPLACES an existing
+    * destination — a check-then-rename there is a TOCTOU hole where the
+    * second of two racing committers overwrites the first's published
+    * manifest (lost commit). Local paths therefore publish via link(2)
+    * (`Files.createLink`): hard-linking to an existing destination fails
+    * atomically in the kernel, so exactly one racer's link succeeds.
+    * Returns false for the loser (destination already present).
+    */
+  // private[graft]: SnapshotStoreSpec pins the exactly-one-wins semantics
+  private[graft] def publishAtomic(fs: FileSystem, tmp: Path, fin: Path): Boolean = {
+    val scheme = Option(fin.toUri.getScheme).getOrElse(
+      fs.getUri.getScheme)
+    if (scheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val f = java.nio.file.Paths.get(fin.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(f, t)
+        java.nio.file.Files.deleteIfExists(t)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(fin) && fs.rename(tmp, fin)
   }
 
   private def manifestLines(fs: FileSystem, md: Path, v: Long): Seq[String] = {
@@ -163,9 +192,18 @@ object SnapshotStore {
     * retention policy instead of a leak. Never touches files a surviving
     * version references, so pinned readers at or above `keepFrom` are
     * safe; callers choose `keepFrom` by their own reader-lease horizon.
+    *
+    * Files referenced by NO manifest at all are a special case: they are
+    * either crash residue (safe to delete) or an IN-FLIGHT commit that has
+    * staged its files into data/ but not yet published its manifest —
+    * deleting those would make a commit that then succeeds permanently
+    * unreadable. Never-referenced files are therefore reclaimed only past
+    * `orphanMinAgeMs` (default 1 h — generous against any real staging
+    * window), the mtime-horizon rule log-structured table formats use.
     * Returns the number of data files deleted.
     */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long,
+      orphanMinAgeMs: Long = 3600000L): Int = {
     val (fs, p) = fsOf(spark, dir)
     val md = new Path(p, ManifestDir)
     val versions = fs.listStatus(md).toSeq
@@ -173,9 +211,16 @@ object SnapshotStore {
     val (drop, keep) = versions.partition(_ < keepFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $dir")
     val live = keep.flatMap(v => manifestLines(fs, md, v).tail).toSet
+    val retired = drop.flatMap(v => manifestLines(fs, md, v).tail).toSet
+    val horizon = System.currentTimeMillis() - orphanMinAgeMs
     val dataDir = new Path(p, DataDir)
-    val dead = fs.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && !live.contains(s.getPath.getName))
+    val dead = fs.listStatus(dataDir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !live.contains(n) &&
+        // retired = was committed once, its manifest is being dropped now;
+        // a pure orphan must age past the in-flight-commit horizon first
+        (retired.contains(n) || s.getModificationTime < horizon)
+    }
     dead.foreach(s => fs.delete(s.getPath, false))
     drop.foreach(v => fs.delete(new Path(md, manifestName(v)), false))
     dead.size

@@ -72,6 +72,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rowsOf(SnapshotStore.read(spark, dir)) == rowsOf(v1))
   }
 
+  test("publish is exactly-one-wins on the local filesystem (link, not rename)") {
+    // POSIX rename(2) silently replaces an existing destination, so a
+    // check-then-rename publish would let the LOSER of a commit race
+    // overwrite the winner's manifest. The local path publishes via
+    // link(2), which the kernel refuses atomically.
+    import org.apache.hadoop.fs.Path
+    val dir = newTable()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir, "_manifests"))
+    def mk(name: String, body: String): Path = {
+      val p = new Path(s"$dir/_manifests/$name")
+      val o = fs.create(p, false); o.write(body.getBytes("UTF-8")); o.close(); p
+    }
+    val tmpA = mk(".vA.tmp", "winner")
+    val tmpB = mk(".vB.tmp", "loser")
+    val fin = new Path(s"$dir/_manifests/v00000000.manifest")
+    assert(SnapshotStore.publishAtomic(fs, tmpA, fin), "first publish should win")
+    assert(!SnapshotStore.publishAtomic(fs, tmpB, fin), "second publish must lose")
+    // the winner's bytes survive — the loser did NOT replace them
+    val in = fs.open(fin)
+    val got = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    assert(got == "winner")
+  }
+
   test("optimistic concurrency: stale base fails fast; a raced publish fails at the rename") {
     val dir = newTable()
     SnapshotStore.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir, None)
@@ -109,8 +134,24 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir, None)
     SnapshotStore.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir, Some(0L))
     SnapshotStore.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir, Some(1L))
+    // plant two never-referenced orphans: a FRESH one models an in-flight
+    // commit's already-staged files (must survive — its manifest may land
+    // right after), an AGED one is crash residue (reclaimable)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def orphan(name: String): java.nio.file.Path = {
+      val o = fs.create(new Path(s"$dir/data/$name"), false)
+      o.write("x".getBytes); o.close()
+      java.nio.file.Paths.get(s"$dir/data/$name")
+    }
+    val fresh = orphan("99999999-part-inflight")
+    val aged = orphan("99999998-part-crashed")
+    java.nio.file.Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
     val deleted = SnapshotStore.vacuum(spark, dir, keepFrom = 1L)
-    assert(deleted >= 1, "v0's files should be reclaimed")
+    assert(deleted >= 2, "v0's files AND the aged orphan should be reclaimed")
+    assert(java.nio.file.Files.exists(fresh), "fresh orphan must survive the horizon")
+    assert(!java.nio.file.Files.exists(aged), "aged orphan is crash residue")
     // surviving versions read intact; the dropped one is gone
     assert(rowsOf(SnapshotStore.read(spark, dir, Some(1L))) == Set((2L, "b")))
     assert(rowsOf(SnapshotStore.read(spark, dir, Some(2L))) == Set((3L, "c")))
