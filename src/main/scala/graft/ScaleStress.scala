@@ -116,7 +116,14 @@ object ScaleStress {
     // not pruning (its scale story is the plan+metric assertion in the
     // spec); qc1 is a broadcast dot-product map — trivially linear, no
     // distributed shape to stress.
-    "ld2_fuzzy_join_blocked", "ld3_fuzzy_join_varlen")
+    "ld2_fuzzy_join_blocked", "ld3_fuzzy_join_varlen",
+    // round-16 additions: ppr1 rides pr1's iteration machinery plus the
+    // broadcast restart frame (measured r100 = 13.5, pr1's band); d25b is
+    // the incremental-survivorship face whose cost tracks the TOUCHED set,
+    // not the corpus (measured r100 = 2.1) — in the roster because
+    // incremental maintenance REGRESSING to a full rebuild is precisely
+    // the failure this sweep exists to catch
+    "ppr1_personalized_pagerank", "d25b_golden_record_incremental")
 
   val ratioBound = 15.0
 

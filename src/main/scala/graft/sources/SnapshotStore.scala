@@ -187,6 +187,29 @@ object SnapshotStore {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Small-file compaction as a SNAPSHOT COMMIT — [[Storage.compact]]'s
+    * maintenance job made safe against concurrent readers: the current
+    * version's rows are rewritten into ceil(bytes/targetBytes) files and
+    * published as a NEW version, so a reader pinned on the old version
+    * never observes the documented rename-swap not-found window (the old
+    * files are immutable until [[vacuum]]'s horizon passes). coalesce,
+    * not repartition: gluing files must not pay a shuffle. Returns the
+    * committed version. Fails (optimistic conflict) if a writer lands
+    * between the read and the publish — compaction retries harmlessly,
+    * it owns no data.
+    */
+  def compactSnapshot(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val (fs, p) = fsOf(spark, dir)
+    val base = currentVersion(spark, dir).getOrElse(
+      sys.error(s"compactSnapshot: $dir has no committed version"))
+    val md = new Path(p, ManifestDir)
+    val bytes = manifestLines(fs, md, base).tail
+      .map(n => fs.getFileStatus(new Path(new Path(p, DataDir), n)).getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commit(spark, read(spark, dir, Some(base)).coalesce(n), dir, Some(base))
+  }
+
   /** Delete data files referenced by NO manifest with version >= `keepFrom`
     * (and drop the older manifests) — the cleanup that makes time travel a
     * retention policy instead of a leak. Never touches files a surviving

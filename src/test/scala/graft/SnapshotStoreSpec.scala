@@ -36,9 +36,9 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commit(spark, data.repartition(8), dir, None)
     // reader pins version 0 BEFORE the rewrite lands
     val pinned = SnapshotStore.read(spark, dir)
-    // "compaction": same rows, fewer files, committed as version 1
-    val next = SnapshotStore.commit(spark,
-      SnapshotStore.read(spark, dir).coalesce(1), dir, Some(0L))
+    // compaction IS a snapshot commit: same rows, fewer files, version 1
+    // (targetBytes far above the table size -> one output file)
+    val next = SnapshotStore.compactSnapshot(spark, dir)
     assert(next == 1L)
     // the pinned plan still reads version 0's files — identical rows, no
     // not-found window, no half-rewritten mix ever observable
