@@ -122,13 +122,16 @@ object TextQueries {
   private final case class Relabel(newPairs: DataFrame, touchedNodes: DataFrame,
       touchedComps: DataFrame, touchedLabels: DataFrame, relabeled: DataFrame)
 
-  private def incrementalRelabel(bandsOld: DataFrame, bandsNew: DataFrame,
+  private def incrementalRelabel(bandsAll: DataFrame, bandsNew: DataFrame,
       oldPairs: DataFrame, labelsOld: DataFrame): Relabel = {
     // incremental candidates: each arrival pairs with every member of the
-    // buckets it lands in (old members AND other arrivals)
+    // buckets it lands in (old members AND other arrivals). `bandsAll` is
+    // the WHOLE index (old ∪ new) — taken as one frame so a caller whose
+    // index is a single table (d25b) probes it in one scan instead of
+    // union-of-complementary-filters
     val newPairs = bandsNew
       .select(col("band_key"), col("doc_id").as("x"))
-      .join(bandsOld.unionByName(bandsNew)
+      .join(bandsAll
         .select(col("band_key"), col("doc_id").as("y")), "band_key")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
@@ -783,7 +786,8 @@ object TextQueries {
         .select("doc_id", "sig")
         .transform(Dedup.lshBandKeys(_, "doc_id", "sig"))
         .trackedCheckpoint()
-      val r = incrementalRelabel(bandsOld, bandsNew, oldPairs, labelsOld)
+      val r = incrementalRelabel(bandsOld.unionByName(bandsNew), bandsNew,
+        oldPairs, labelsOld)
       labelsOld.join(r.touchedComps, Seq("cluster"), "left_anti")
         .select("doc_id", "cluster")
         .unionByName(r.relabeled)
@@ -1209,8 +1213,7 @@ object TextQueries {
           val g = goldenMerge(docs.filter(!isNew), l).localCheckpoint()
           (p, l, g)
         }
-      val r = incrementalRelabel(bk.filter(!isNew), bk.filter(isNew),
-        pairsOld, labelsOld)
+      val r = incrementalRelabel(bk, bk.filter(isNew), pairsOld, labelsOld)
       // re-merge scope: touched components' members ∪ touched old
       // SINGLETONS (in touchedNodes but absent from labelsOld — their
       // golden cluster is their own id) ∪ ALL arrivals (a pairless

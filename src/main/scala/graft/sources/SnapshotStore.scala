@@ -112,8 +112,14 @@ object SnapshotStore {
       .sortBy(_.getPath.getName)
       .map { s =>
         val name = f"$next%08d-${s.getPath.getName}"
-        if (!fs.rename(s.getPath, new Path(dataDir, name)))
+        val dest = new Path(dataDir, name)
+        if (!fs.rename(s.getPath, dest))
           sys.error(s"snapshot commit: cannot stage ${s.getPath} -> $name")
+        // anchor mtime at MOVE time: rename preserves the write-time
+        // mtime, so a multi-hour parquet write would land files already
+        // "older" than vacuum's orphan horizon and eligible for deletion
+        // before this commit's manifest publishes
+        fs.setTimes(dest, System.currentTimeMillis(), -1)
         name
       }
     fs.delete(stage, true)
@@ -156,7 +162,10 @@ object SnapshotStore {
       val f = java.nio.file.Paths.get(fin.toUri.getPath)
       try {
         java.nio.file.Files.createLink(f, t)
-        java.nio.file.Files.deleteIfExists(t)
+        // delete tmp through the Hadoop fs, not NIO: LocalFileSystem is a
+        // ChecksumFileSystem, and only fs.delete removes the .crc sibling
+        // fs.create wrote for the tmp name (NIO would leak one per commit)
+        fs.delete(tmp, false)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -204,8 +213,11 @@ object SnapshotStore {
     val base = currentVersion(spark, dir).getOrElse(
       sys.error(s"compactSnapshot: $dir has no committed version"))
     val md = new Path(p, ManifestDir)
-    val bytes = manifestLines(fs, md, base).tail
-      .map(n => fs.getFileStatus(new Path(new Path(p, DataDir), n)).getLen).sum
+    // size from ONE data/ listing (per-file getFileStatus would be
+    // O(files) sequential namenode round-trips at production file counts)
+    val names = manifestLines(fs, md, base).tail.toSet
+    val bytes = fs.listStatus(new Path(p, DataDir)).toSeq
+      .filter(s => names.contains(s.getPath.getName)).map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     commit(spark, read(spark, dir, Some(base)).coalesce(n), dir, Some(base))
   }
@@ -246,6 +258,21 @@ object SnapshotStore {
     }
     dead.foreach(s => fs.delete(s.getPath, false))
     drop.foreach(v => fs.delete(new Path(md, manifestName(v)), false))
+    // crash residue OUTSIDE data/: a writer that died mid-write leaves a
+    // full-size .stage-<uuid> directory at the table root, and one that
+    // died between manifest write and publish leaves a hidden .tmp in
+    // _manifests — both invisible to readers but unbounded disk if crashes
+    // repeat. Same horizon rule: an in-flight commit's stage dir is
+    // necessarily younger than it.
+    val residue =
+      fs.listStatus(p).toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".stage-") &&
+          s.getModificationTime < horizon) ++
+        fs.listStatus(md).toSeq.filter(s => s.isFile &&
+          s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.contains(".tmp-") &&
+          s.getModificationTime < horizon)
+    residue.foreach(s => fs.delete(s.getPath, true))
     dead.size
   }
 }

@@ -35,7 +35,7 @@ class QualityAuditSpec extends SparkSpec {
       "not_null(score)" -> 1L,     // only the null cell
       "in_range(score,0.0,10.0)" -> 2L, // -0.1 and 10.1; bounds + null don't fire
       // value-set digest in the name, so two Accepted checks on one column
-      // with different sets stay distinct (md5("okwarn").take(4))
+      // with different sets stay distinct (md5("ok" + U+0001 + "warn").take(4))
       "accepted(status,c5845042)" -> 1L, // 'bad'; the NULL status doesn't fire
       // 6 rows, 3 distinct non-null keys: the dup 3 plus both null keys
       "unique(k)" -> 3L))

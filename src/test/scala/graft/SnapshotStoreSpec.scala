@@ -146,12 +146,26 @@ class SnapshotStoreSpec extends SparkSpec {
     }
     val fresh = orphan("99999999-part-inflight")
     val aged = orphan("99999998-part-crashed")
-    java.nio.file.Files.setLastModifiedTime(aged,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    def age(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    age(aged)
+    // crash residue outside data/: an aged stage dir (died mid-write) and
+    // an aged tmp manifest (died pre-publish) reclaim; fresh ones survive
+    val agedStage = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$dir/.stage-dead"))
+    val freshStage = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$dir/.stage-alive"))
+    val agedTmp = java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/_manifests/.v99.manifest.tmp-dead"))
+    age(agedStage); age(agedTmp)
     val deleted = SnapshotStore.vacuum(spark, dir, keepFrom = 1L)
     assert(deleted >= 2, "v0's files AND the aged orphan should be reclaimed")
     assert(java.nio.file.Files.exists(fresh), "fresh orphan must survive the horizon")
     assert(!java.nio.file.Files.exists(aged), "aged orphan is crash residue")
+    assert(!java.nio.file.Files.exists(agedStage) && !java.nio.file.Files.exists(agedTmp),
+      "aged stage dir + tmp manifest are crash residue")
+    assert(java.nio.file.Files.exists(freshStage), "an in-flight stage dir must survive")
     // surviving versions read intact; the dropped one is gone
     assert(rowsOf(SnapshotStore.read(spark, dir, Some(1L))) == Set((2L, "b")))
     assert(rowsOf(SnapshotStore.read(spark, dir, Some(2L))) == Set((3L, "c")))
