@@ -92,13 +92,46 @@ object SnapshotStore {
     *        pass [[currentVersion]] directly.
     */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
-      expectedBase: Option[Long]): Long = {
+      expectedBase: Option[Long]): Long =
+    commitCore(spark, df, dir, expectedBase, append = false, Map.empty)
+
+  /** APPEND commit: the new version's manifest carries the base version's
+    * file list forward and adds only `df`'s freshly staged files — an
+    * O(|batch|) commit however large the table, the ingest shape
+    * full-snapshot [[commit]] (which would rewrite the world per
+    * micro-batch) cannot provide. Readers are unchanged: a version is
+    * always just a file list. `tags` land in the manifest as `#k=v` lines
+    * (see [[versionTags]]) — the hook [[appendBatchExactlyOnce]] uses to
+    * make replayed streaming batches idempotent.
+    */
+  def commitAppend(spark: SparkSession, df: DataFrame, dir: String,
+      expectedBase: Option[Long], tags: Map[String, String] = Map.empty): Long =
+    commitCore(spark, df, dir, expectedBase, append = true, tags)
+
+  private def commitCore(spark: SparkSession, df: DataFrame, dir: String,
+      expectedBase: Option[Long], append: Boolean,
+      tags: Map[String, String]): Long = {
+    require(tags.keys.forall(k => !k.contains("=") && !k.contains("\n")) &&
+      tags.values.forall(v => !v.contains("\n")), s"malformed tags: $tags")
     val (fs, p) = fsOf(spark, dir)
     val base = currentVersion(spark, dir)
     require(base == expectedBase,
       s"snapshot commit conflict at $dir: expected base $expectedBase but " +
         s"current is $base — re-read and retry")
     val next = base.map(_ + 1).getOrElse(0L)
+    // carried files (append only): the base manifest's list, verbatim —
+    // data files are immutable, so carrying references is free. Schema
+    // agreement is modulo nullability/metadata: reading files back marks
+    // every column nullable (Spark's file-relation contract), so a
+    // compacted version would otherwise refuse all further appends.
+    val carried = if (!append) Nil else base.toSeq.flatMap { v =>
+      val lines = manifestLines(fs, new Path(p, ManifestDir), v)
+      val stored = org.apache.spark.sql.types.DataType.fromJson(lines.head)
+      require(normalized(stored) == normalized(df.schema),
+        s"commitAppend schema mismatch at $dir v$v: appended frame's " +
+          s"columns/types must match the stored schema (${lines.head})")
+      dataFileNames(lines)
+    }
 
     // stage: write through Spark into a hidden sibling, then move the part
     // files under data/ with version-unique names. Staged files are
@@ -125,13 +158,16 @@ object SnapshotStore {
     fs.delete(stage, true)
 
     // manifest: line 1 = schema JSON (an empty snapshot stays readable),
-    // then one data/ file name per line. Written sideways (dot-prefixed =
-    // hidden to readers), published by ONE rename — the commit point.
+    // optional `#k=v` tag lines, then one data/ file name per line.
+    // Written sideways (dot-prefixed = hidden to readers), published by
+    // ONE atomic metadata op — the commit point.
     val md = new Path(p, ManifestDir)
     fs.mkdirs(md)
     val tmp = new Path(md, s".${manifestName(next)}.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write((df.schema.json +: moved).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val tagLines = tags.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
+    try out.write((df.schema.json +: (tagLines ++ carried ++ moved))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, manifestName(next))
     if (!publishAtomic(fs, tmp, fin)) {
@@ -173,6 +209,34 @@ object SnapshotStore {
     } else !fs.exists(fin) && fs.rename(tmp, fin)
   }
 
+  private def dataFileNames(manifest: Seq[String]): Seq[String] =
+    manifest.tail.filterNot(_.startsWith("#"))
+
+  // structural schema identity: nullability and field metadata erased at
+  // every nesting level (names + types are what the files actually pin)
+  private def normalized(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(
+        dataType = normalized(f.dataType), nullable = true,
+        metadata = Metadata.empty)))
+      case a: ArrayType =>
+        a.copy(elementType = normalized(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = normalized(m.keyType),
+        valueType = normalized(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The `#k=v` tags a version was committed with (empty for untagged). */
+  def versionTags(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
+    val (fs, p) = fsOf(spark, dir)
+    manifestLines(fs, new Path(p, ManifestDir), v).tail
+      .filter(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2)).collect { case Array(k, v2) => k -> v2 }
+      .toMap
+  }
+
   private def manifestLines(fs: FileSystem, md: Path, v: Long): Seq[String] = {
     val in = fs.open(new Path(md, manifestName(v)))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -190,10 +254,84 @@ object SnapshotStore {
     val lines = manifestLines(fs, new Path(p, ManifestDir), v)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
       .asInstanceOf[StructType]
-    val files = lines.tail.map(n => new Path(new Path(p, DataDir), n).toString)
+    val files = dataFileNames(lines).map(n => new Path(new Path(p, DataDir), n).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Optimistic READ-MODIFY-WRITE: re-read the current version, apply
+    * `transform` (None = the table doesn't exist yet — the create case),
+    * and commit on that base; on a commit conflict (another writer landed
+    * first) re-read and retry, up to `maxAttempts`. This is the loop
+    * every "two jobs touch one table" workload actually runs — appenders,
+    * upserters, compactors — and it is lock-free: progress is guaranteed
+    * because a conflict means someone ELSE committed. Any non-conflict
+    * failure propagates immediately.
+    */
+  def commitRetry(spark: SparkSession, dir: String,
+      transform: Option[DataFrame] => DataFrame, maxAttempts: Int = 10): Long = {
+    var last: Throwable = null
+    (1 to maxAttempts).foreach { _ =>
+      val base = currentVersion(spark, dir)
+      val df = transform(base.map(v => read(spark, dir, Some(v))))
+      try return commit(spark, df, dir, base)
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("conflict") => last = e
+      }
+    }
+    throw new IllegalStateException(
+      s"snapshot commitRetry: $maxAttempts attempts all conflicted at $dir", last)
+  }
+
+  private val BatchTag = "stream_batch_id"
+
+  /** The most recent version carrying a `stream_batch_id` tag, walking
+    * newest-first (usually the first probe; interleaved non-stream commits
+    * — a compactor, a backfill — just walk past).
+    */
+  private def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    val md = new Path(p, ManifestDir)
+    if (!fs.exists(md)) return None
+    fs.listStatus(md).toSeq
+      .flatMap(s => parseVersion(s.getPath.getName)).sorted.reverse
+      .iterator
+      .flatMap(v => versionTags(spark, dir, v).get(BatchTag))
+      .flatMap(_.toLongOption).nextOption()
+  }
+
+  /** EXACTLY-ONCE streaming ingest: apply one foreachBatch micro-batch as
+    * an append commit, idempotent under Structured Streaming's replay
+    * contract (after a crash the sink re-receives the last batch with the
+    * SAME batchId). The batch id rides the manifest as a tag — state and
+    * data publish in the SAME atomic operation, the [[JdbcExactlyOnce]]
+    * ledger idea with the ledger folded INTO the commit — so there is no
+    * crash window between "rows landed" and "batch recorded". A replayed
+    * (already-applied) batch returns None and writes nothing; a publish
+    * race with another writer retries on a fresh base. Wire as:
+    * {{{
+    *   stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *     SnapshotStore.appendBatchExactlyOnce(spark, b, dir, id); ()
+    *   }
+    * }}}
+    */
+  def appendBatchExactlyOnce(spark: SparkSession, batch: DataFrame,
+      dir: String, batchId: Long, maxAttempts: Int = 10): Option[Long] = {
+    var last: Throwable = null
+    (1 to maxAttempts).foreach { _ =>
+      if (lastBatchId(spark, dir).exists(_ >= batchId)) return None
+      val base = currentVersion(spark, dir)
+      try return Some(commitAppend(spark, batch, dir, base,
+        Map(BatchTag -> batchId.toString)))
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("conflict") => last = e
+      }
+    }
+    throw new IllegalStateException(
+      s"appendBatchExactlyOnce: $maxAttempts attempts all conflicted at $dir", last)
   }
 
   /** Small-file compaction as a SNAPSHOT COMMIT — [[Storage.compact]]'s
@@ -215,11 +353,14 @@ object SnapshotStore {
     val md = new Path(p, ManifestDir)
     // size from ONE data/ listing (per-file getFileStatus would be
     // O(files) sequential namenode round-trips at production file counts)
-    val names = manifestLines(fs, md, base).tail.toSet
+    val names = dataFileNames(manifestLines(fs, md, base)).toSet
     val bytes = fs.listStatus(new Path(p, DataDir)).toSeq
       .filter(s => names.contains(s.getPath.getName)).map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    commit(spark, read(spark, dir, Some(base)).coalesce(n), dir, Some(base))
+    // tags carry forward: a compactor between stream batches must not
+    // erase the stream_batch_id watermark replay idempotence reads
+    commitCore(spark, read(spark, dir, Some(base)).coalesce(n), dir,
+      Some(base), append = false, versionTags(spark, dir, base))
   }
 
   /** Delete data files referenced by NO manifest with version >= `keepFrom`
@@ -245,8 +386,8 @@ object SnapshotStore {
       .flatMap(s => parseVersion(s.getPath.getName)).sorted
     val (drop, keep) = versions.partition(_ < keepFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $dir")
-    val live = keep.flatMap(v => manifestLines(fs, md, v).tail).toSet
-    val retired = drop.flatMap(v => manifestLines(fs, md, v).tail).toSet
+    val live = keep.flatMap(v => dataFileNames(manifestLines(fs, md, v))).toSet
+    val retired = drop.flatMap(v => dataFileNames(manifestLines(fs, md, v))).toSet
     val horizon = System.currentTimeMillis() - orphanMinAgeMs
     val dataDir = new Path(p, DataDir)
     val dead = fs.listStatus(dataDir).toSeq.filter { s =>

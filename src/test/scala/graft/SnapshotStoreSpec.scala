@@ -120,6 +120,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("conflict"))
   }
 
+  test("concurrent writers all land under optimistic retry; no commit is lost") {
+    // six threads race read-modify-write appends against ONE table. The
+    // loser of each publish race re-reads and retries (commitRetry), so
+    // every writer's row must survive into the final version — the
+    // lost-commit scenario the link(2) arbiter exists to prevent, driven
+    // end-to-end through real concurrent Spark jobs.
+    val dir = newTable()
+    SnapshotStore.commit(spark, Seq((0L, "base")).toDF("id", "v"), dir, None)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try SnapshotStore.commitRetry(spark, dir, base =>
+          base.get.unionByName(Seq((i.toLong, s"w$i")).toDF("id", "v")))
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writers failed: ${failures.toArray.mkString(", ")}")
+    // 6 successful commits on top of v0 — one version each, none lost
+    assert(SnapshotStore.currentVersion(spark, dir).contains(6L))
+    val want = Set(0L -> "base") ++ (1 to 6).map(i => i.toLong -> s"w$i")
+    assert(rowsOf(SnapshotStore.read(spark, dir)) == want)
+  }
+
   test("empty snapshots stay readable (schema travels in the manifest)") {
     val dir = newTable()
     val empty = Seq.empty[(Long, String)].toDF("id", "v")
@@ -127,6 +151,66 @@ class SnapshotStoreSpec extends SparkSpec {
     val back = SnapshotStore.read(spark, dir)
     assert(back.count() == 0L)
     assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("append commits carry files forward: O(batch) writes, full history readable") {
+    val dir = newTable()
+    SnapshotStore.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), dir, None)
+    SnapshotStore.commitAppend(spark, Seq((2L, "b")).toDF("id", "v"), dir, Some(0L))
+    SnapshotStore.commitAppend(spark, Seq((3L, "c")).toDF("id", "v"), dir, Some(1L))
+    assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rowsOf(SnapshotStore.read(spark, dir, Some(1L))) ==
+      Set((1L, "a"), (2L, "b")))
+    // v2's data/ holds exactly one NEW file prefix per version (each
+    // append staged only its own batch; earlier files are carried by name)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefixes = fs.listStatus(new Path(dir, "data"))
+      .map(_.getPath.getName.take(9)).distinct.sorted
+    assert(prefixes.toSeq == Seq("00000000-", "00000001-", "00000002-"))
+    // appending a mismatched schema is refused up front
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(spark,
+        Seq((4, "d")).toDF("id", "v"), dir, Some(2L)) // Int id, not Long
+    }
+  }
+
+  test("streaming ingest is exactly-once: replayed batches are swallowed, compaction keeps the watermark") {
+    val dir = newTable()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ckpt").toString
+    val mem1 = MemoryStream[Long]
+    def sink(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("value").as("id"), concat(lit("r"), col("value")).as("v"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotStore.appendBatchExactlyOnce(spark, b, dir, id); ()
+      }
+      .option("checkpointLocation", ckpt)
+    val q1 = sink(mem1.toDF()).start()
+    try { mem1.addData(1L, 2L); q1.processAllAvailable() } finally q1.stop()
+    assert(rowsOf(SnapshotStore.read(spark, dir)) == Set(1L -> "r1", 2L -> "r2"))
+
+    // crash-replay by hand: same batchId, same rows — swallowed, no version
+    val v = SnapshotStore.currentVersion(spark, dir)
+    val replay = Seq((1L, "r1"), (2L, "r2")).toDF("id", "v")
+    assert(SnapshotStore.appendBatchExactlyOnce(spark, replay, dir, 0L).isEmpty)
+    assert(SnapshotStore.currentVersion(spark, dir) == v)
+
+    // a compactor between batches must not erase the replay watermark
+    SnapshotStore.compactSnapshot(spark, dir)
+    assert(SnapshotStore.appendBatchExactlyOnce(spark, replay, dir, 0L).isEmpty)
+
+    // resume from the same checkpoint: new data lands once, old offers don't
+    val mem2 = MemoryStream[Long]
+    mem2.addData(1L, 2L) // checkpoint says batch 0 is done; these re-offer
+    val q2 = sink(mem2.toDF()).start()
+    try { mem2.addData(3L, 4L); q2.processAllAvailable() } finally q2.stop()
+    assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+      Set(1L -> "r1", 2L -> "r2", 3L -> "r3", 4L -> "r4"),
+      "restart lost or duplicated rows")
   }
 
   test("vacuum deletes only files no surviving manifest references") {
