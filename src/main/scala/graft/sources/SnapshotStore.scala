@@ -55,6 +55,15 @@ import org.apache.spark.sql.types.StructType
   * PROTOCOL (immutable data + atomic single-rename publish + monotonic
   * version names) is the part that carries unchanged.
   */
+/** A commit lost the optimistic race (stale base or raced publish) — the
+  * ONLY failure [[SnapshotStore.commitRetry]] retries. A dedicated type,
+  * not message matching: a schema-mismatch or I/O error whose message
+  * happens to contain "conflict" (e.g. a table path) must propagate, not
+  * spin the retry loop.
+  */
+final class SnapshotConflictException(message: String)
+  extends RuntimeException(message)
+
 object SnapshotStore {
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
@@ -96,13 +105,18 @@ object SnapshotStore {
     commitCore(spark, df, dir, expectedBase, append = false, Map.empty)
 
   /** APPEND commit: the new version's manifest carries the base version's
-    * file list forward and adds only `df`'s freshly staged files — an
-    * O(|batch|) commit however large the table, the ingest shape
+    * file list forward and adds only `df`'s freshly staged files — the
+    * DATA plane is O(|batch|) however large the table, the ingest shape
     * full-snapshot [[commit]] (which would rewrite the world per
-    * micro-batch) cannot provide. Readers are unchanged: a version is
-    * always just a file list. `tags` land in the manifest as `#k=v` lines
-    * (see [[versionTags]]) — the hook [[appendBatchExactlyOnce]] uses to
-    * make replayed streaming batches idempotent.
+    * micro-batch) cannot provide. The METADATA plane still copies the
+    * carried file-name list (O(table files) text per commit) — at
+    * production file counts that list gets chunked/checkpointed like any
+    * log-structured table format (the header's disclaimer); the commit
+    * protocol is what carries unchanged. Readers see no difference: a
+    * version is always just a file list. `tags` land in the manifest as
+    * `#k=v` lines (see [[versionTags]]) — the hook
+    * [[appendBatchExactlyOnce]] uses to make replayed streaming batches
+    * idempotent.
     */
   def commitAppend(spark: SparkSession, df: DataFrame, dir: String,
       expectedBase: Option[Long], tags: Map[String, String] = Map.empty): Long =
@@ -115,10 +129,17 @@ object SnapshotStore {
       tags.values.forall(v => !v.contains("\n")), s"malformed tags: $tags")
     val (fs, p) = fsOf(spark, dir)
     val base = currentVersion(spark, dir)
-    require(base == expectedBase,
-      s"snapshot commit conflict at $dir: expected base $expectedBase but " +
-        s"current is $base — re-read and retry")
+    if (base != expectedBase)
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict at $dir: expected base $expectedBase but " +
+          s"current is $base — re-read and retry")
     val next = base.map(_ + 1).getOrElse(0L)
+    // the stream's replay watermark is TABLE state, not commit-local: any
+    // commit kind (full snapshot, upsert via commitRetry, compaction)
+    // inherits it from its base, or vacuum + an untagged head commit
+    // would erase it and let a crash-replayed batch double-apply
+    val allTags = base.map(v => versionTags(spark, dir, v)
+      .filter { case (k, _) => k == BatchTag }).getOrElse(Map.empty) ++ tags
     // carried files (append only): the base manifest's list, verbatim —
     // data files are immutable, so carrying references is free. Schema
     // agreement is modulo nullability/metadata: reading files back marks
@@ -165,15 +186,20 @@ object SnapshotStore {
     fs.mkdirs(md)
     val tmp = new Path(md, s".${manifestName(next)}.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    val tagLines = tags.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
+    val tagLines = allTags.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     try out.write((df.schema.json +: (tagLines ++ carried ++ moved))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, manifestName(next))
     if (!publishAtomic(fs, tmp, fin)) {
       fs.delete(tmp, false)
-      sys.error(s"snapshot commit conflict at $dir: version $next was " +
-        "published concurrently — re-read and retry")
+      // the loser's freshly staged files are referenced by nothing and its
+      // retry will stage anew — reclaim now rather than leaving one
+      // batch-sized orphan set per lost race for vacuum's horizon
+      moved.foreach(n => fs.delete(new Path(dataDir, n), false))
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict at $dir: version $next was " +
+          "published concurrently — re-read and retry")
     }
     next
   }
@@ -228,13 +254,19 @@ object SnapshotStore {
     }
   }
 
-  /** The `#k=v` tags a version was committed with (empty for untagged). */
+  /** The `#k=v` tags a version was committed with (empty for untagged).
+    * Tags sit immediately after the schema line, so this reads the
+    * manifest HEAD only — never the (O(files)) file list a watermark
+    * probe has no use for.
+    */
   def versionTags(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
     val (fs, p) = fsOf(spark, dir)
-    manifestLines(fs, new Path(p, ManifestDir), v).tail
-      .filter(_.startsWith("#"))
+    val in = fs.open(new Path(new Path(p, ManifestDir), manifestName(v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .drop(1).takeWhile(_.startsWith("#"))
       .map(_.drop(1).split("=", 2)).collect { case Array(k, v2) => k -> v2 }
       .toMap
+    finally in.close()
   }
 
   private def manifestLines(fs: FileSystem, md: Path, v: Long): Seq[String] = {
@@ -270,19 +302,24 @@ object SnapshotStore {
     * failure propagates immediately.
     */
   def commitRetry(spark: SparkSession, dir: String,
-      transform: Option[DataFrame] => DataFrame, maxAttempts: Int = 10): Long = {
+      transform: Option[DataFrame] => DataFrame, maxAttempts: Int = 10): Long =
+    retryConflicts(maxAttempts, dir) {
+      val base = currentVersion(spark, dir)
+      commit(spark, transform(base.map(v => read(spark, dir, Some(v)))), dir, base)
+    }
+
+  /** Run `attempt`, retrying ONLY [[SnapshotConflictException]] (a lost
+    * optimistic race — progress is guaranteed: a conflict means someone
+    * else committed). Every other failure propagates on first occurrence.
+    */
+  private def retryConflicts[T](maxAttempts: Int, dir: String)(attempt: => T): T = {
     var last: Throwable = null
     (1 to maxAttempts).foreach { _ =>
-      val base = currentVersion(spark, dir)
-      val df = transform(base.map(v => read(spark, dir, Some(v))))
-      try return commit(spark, df, dir, base)
-      catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("conflict") => last = e
-      }
+      try return attempt
+      catch { case e: SnapshotConflictException => last = e }
     }
     throw new IllegalStateException(
-      s"snapshot commitRetry: $maxAttempts attempts all conflicted at $dir", last)
+      s"snapshot commit: $maxAttempts attempts all conflicted at $dir", last)
   }
 
   private val BatchTag = "stream_batch_id"
@@ -318,21 +355,12 @@ object SnapshotStore {
     * }}}
     */
   def appendBatchExactlyOnce(spark: SparkSession, batch: DataFrame,
-      dir: String, batchId: Long, maxAttempts: Int = 10): Option[Long] = {
-    var last: Throwable = null
-    (1 to maxAttempts).foreach { _ =>
-      if (lastBatchId(spark, dir).exists(_ >= batchId)) return None
-      val base = currentVersion(spark, dir)
-      try return Some(commitAppend(spark, batch, dir, base,
+      dir: String, batchId: Long, maxAttempts: Int = 10): Option[Long] =
+    retryConflicts(maxAttempts, dir) {
+      if (lastBatchId(spark, dir).exists(_ >= batchId)) None
+      else Some(commitAppend(spark, batch, dir, currentVersion(spark, dir),
         Map(BatchTag -> batchId.toString)))
-      catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("conflict") => last = e
-      }
     }
-    throw new IllegalStateException(
-      s"appendBatchExactlyOnce: $maxAttempts attempts all conflicted at $dir", last)
-  }
 
   /** Small-file compaction as a SNAPSHOT COMMIT — [[Storage.compact]]'s
     * maintenance job made safe against concurrent readers: the current

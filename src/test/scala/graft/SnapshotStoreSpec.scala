@@ -100,8 +100,10 @@ class SnapshotStoreSpec extends SparkSpec {
   test("optimistic concurrency: stale base fails fast; a raced publish fails at the rename") {
     val dir = newTable()
     SnapshotStore.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir, None)
-    // stale expectedBase: rejected before any staging work
-    val e = intercept[IllegalArgumentException] {
+    // stale expectedBase: rejected before any staging work, with the
+    // DEDICATED conflict type the retry loops key on (message matching
+    // would misclassify errors whose text merely contains "conflict")
+    val e = intercept[graft.sources.SnapshotConflictException] {
       SnapshotStore.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir, None)
     }
     assert(e.getMessage.contains("conflict"))
@@ -199,9 +201,21 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.appendBatchExactlyOnce(spark, replay, dir, 0L).isEmpty)
     assert(SnapshotStore.currentVersion(spark, dir) == v)
 
-    // a compactor between batches must not erase the replay watermark
+    // a compactor between batches must not erase the replay watermark —
+    // nor may ANY other commit kind (an upsert via commitRetry is
+    // untagged; the watermark is table state and inherits through it)
     SnapshotStore.compactSnapshot(spark, dir)
     assert(SnapshotStore.appendBatchExactlyOnce(spark, replay, dir, 0L).isEmpty)
+    SnapshotStore.commitRetry(spark, dir, base =>
+      base.get.unionByName(Seq((99L, "upsert")).toDF("id", "v")))
+    assert(SnapshotStore.appendBatchExactlyOnce(spark, replay, dir, 0L).isEmpty,
+      "an untagged head commit must not reset the stream watermark")
+    // and a PERMANENT error (schema mismatch) propagates immediately
+    // instead of spinning the retry loop as a pseudo-conflict
+    intercept[IllegalArgumentException] {
+      SnapshotStore.appendBatchExactlyOnce(spark,
+        Seq((5, "x")).toDF("id", "v"), dir, 7L) // Int id, not Long
+    }
 
     // resume from the same checkpoint: new data lands once, old offers don't
     val mem2 = MemoryStream[Long]
@@ -209,7 +223,7 @@ class SnapshotStoreSpec extends SparkSpec {
     val q2 = sink(mem2.toDF()).start()
     try { mem2.addData(3L, 4L); q2.processAllAvailable() } finally q2.stop()
     assert(rowsOf(SnapshotStore.read(spark, dir)) ==
-      Set(1L -> "r1", 2L -> "r2", 3L -> "r3", 4L -> "r4"),
+      Set(1L -> "r1", 2L -> "r2", 99L -> "upsert", 3L -> "r3", 4L -> "r4"),
       "restart lost or duplicated rows")
   }
 
