@@ -113,30 +113,57 @@ object TextQueries {
     * consumers (touchedNodes, the relabel union, and — via them — the
     * faces' scoping joins) would otherwise re-run the probe join each.
     *
-    * Scale caveat shared with the standing generators: the probe join is
-    * bucket-keyed, so an oversized (boilerplate) band key concentrates
-    * candidates the way candidatePairs' skew guard routes around — an
-    * arrival batch is |batch|-bounded per bucket, but a pathological key
-    * still warrants the same star-expansion treatment if batches grow.
+    * SKEW GUARD (the candidatePairs contract, applied to the probe): an
+    * oversized (boilerplate) band key would concentrate arrival×bucket
+    * candidates the way the standing generators' guard routes around, so
+    * arrival-touched buckets above `maxBucket` switch to the STAR form —
+    * every member (old and new) links to the bucket's min id, preserving
+    * connectivity through the bucket exactly (CC labels, and hence
+    * apply ≡ recompute, are unchanged) while bounding pairs at n−1 per
+    * bucket. Oversized buckets NO arrival lands in contribute nothing,
+    * same as the exact path. With no overflow (every fixture here) the
+    * plan and results are exactly the unguarded form.
     */
-  private final case class Relabel(newPairs: DataFrame, touchedNodes: DataFrame,
+  private[graft] final case class Relabel(newPairs: DataFrame, touchedNodes: DataFrame,
       touchedComps: DataFrame, touchedLabels: DataFrame, relabeled: DataFrame)
 
-  private def incrementalRelabel(bandsAll: DataFrame, bandsNew: DataFrame,
-      oldPairs: DataFrame, labelsOld: DataFrame): Relabel = {
+  private[graft] def incrementalRelabel(bandsAll: DataFrame, bandsNew: DataFrame,
+      oldPairs: DataFrame, labelsOld: DataFrame,
+      maxBucket: Int = Dedup.DefaultMaxBucket): Relabel = {
     // incremental candidates: each arrival pairs with every member of the
     // buckets it lands in (old members AND other arrivals). `bandsAll` is
     // the WHOLE index (old ∪ new) — taken as one frame so a caller whose
     // index is a single table (d25b) probes it in one scan instead of
     // union-of-complementary-filters
-    val newPairs = bandsNew
+    def probe(arrivals: DataFrame, members: DataFrame): DataFrame = arrivals
       .select(col("band_key"), col("doc_id").as("x"))
-      .join(bandsAll
+      .join(members
         .select(col("band_key"), col("doc_id").as("y")), "band_key")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct().trackedCheckpoint()
+    val raw = Dedup.oversizedKeys(bandsAll.select("band_key", "doc_id"),
+        Seq("band_key"), maxBucket, "incremental probe") match {
+      case None => probe(bandsNew, bandsAll)
+      case Some(over) =>
+        // only arrival-touched oversized buckets star; the rest of the
+        // probe stays exact
+        val overTouched = over
+          .join(bandsNew.select("band_key"), Seq("band_key"), "left_semi")
+        val small = probe(
+          bandsNew.join(broadcast(overTouched), Seq("band_key"), "left_anti"),
+          bandsAll.join(broadcast(overTouched), Seq("band_key"), "left_anti"))
+        val reps = bandsAll
+          .join(broadcast(overTouched), Seq("band_key"), "left_semi")
+          .groupBy("band_key").agg(min(col("doc_id")).as("__rep"))
+        val stars = bandsAll
+          .join(broadcast(reps), Seq("band_key"))
+          .filter(col("doc_id") =!= col("__rep"))
+          .select(least(col("doc_id"), col("__rep")).as("a"),
+            greatest(col("doc_id"), col("__rep")).as("b"))
+        small.unionByName(stars)
+    }
+    val newPairs = raw.distinct().trackedCheckpoint()
     val touchedNodes = newPairs.select(col("a").as("doc_id"))
       .unionByName(newPairs.select(col("b").as("doc_id"))).distinct()
     val touchedComps = labelsOld

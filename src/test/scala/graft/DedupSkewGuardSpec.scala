@@ -118,6 +118,34 @@ class DedupSkewGuardSpec extends SparkSpec {
       "identical signatures must estimate J=1 against the representative")
   }
 
+  test("incremental probe guard: arrival-touched oversized bucket stars, labels unchanged") {
+    import spark.implicits._
+    // one oversized bucket B (members 1..6 + arrival 7), one small bucket
+    // S (member 10 + arrival 11), one oversized bucket with NO arrival
+    // (members 20..26 — must contribute nothing)
+    val bandsAll = (
+      (1L to 6L).map(i => ("B", i)) ++ Seq(("B", 7L)) ++
+        Seq(("S", 10L), ("S", 11L)) ++ (20L to 26L).map(i => ("U", i))
+      ).toDF("band_key", "doc_id")
+    val bandsNew = Seq(("B", 7L), ("S", 11L)).toDF("band_key", "doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    def run(maxBucket: Int) = graft.queries.TextQueries
+      .incrementalRelabel(bandsAll, bandsNew, empty, emptyLabels, maxBucket)
+    val guarded = run(maxBucket = 5)
+    val exact = run(maxBucket = 10000)
+    // guarded: B stars to its min (6 pairs: 2..7 each with 1); S stays the
+    // exact arrival probe (10,11); U is untouched by any arrival -> nothing
+    val gp = guarded.newPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gp == ((2L to 7L).map(i => 1L -> i).toSet + (10L -> 11L)), s"got $gp")
+    // exact path: arrival 7 pairs with each of 1..6 -> same component; the
+    // guard must land on the SAME labels (apply ≡ recompute is label-level)
+    def labels(r: graft.queries.TextQueries.Relabel) =
+      r.relabeled.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(labels(guarded) == labels(exact), "guard changed CC labels")
+    Dedup.drainGuardEngagements()
+  }
+
   test("engagement record: peek is non-destructive, drain clears") {
     // Verify's mid-run sidecar depends on peek NOT draining — a draining
     // peek would race the end-of-run notice and drop labels between flushes
