@@ -142,14 +142,18 @@ object TextQueries {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-    val raw = Dedup.oversizedKeys(bandsAll.select("band_key", "doc_id"),
+    // the size pass is scoped to ARRIVAL-TOUCHED buckets (semi-join on the
+    // bucket key, exchange-free against a bucketed index): an unscoped
+    // pass would scan the whole index per invocation — O(corpus) work
+    // inside an operator whose contract is cost ∝ touched set
+    val touchedBuckets = bandsAll.select("band_key", "doc_id")
+      .join(bandsNew.select("band_key"), Seq("band_key"), "left_semi")
+    val raw = Dedup.oversizedKeys(touchedBuckets,
         Seq("band_key"), maxBucket, "incremental probe") match {
       case None => probe(bandsNew, bandsAll)
-      case Some(over) =>
-        // only arrival-touched oversized buckets star; the rest of the
-        // probe stays exact
-        val overTouched = over
-          .join(bandsNew.select("band_key"), Seq("band_key"), "left_semi")
+      case Some(overTouched) =>
+        // oversized here means oversized AND arrival-touched; the rest of
+        // the probe stays exact
         val small = probe(
           bandsNew.join(broadcast(overTouched), Seq("band_key"), "left_anti"),
           bandsAll.join(broadcast(overTouched), Seq("band_key"), "left_anti"))
