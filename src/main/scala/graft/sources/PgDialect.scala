@@ -6,7 +6,11 @@ import org.apache.spark.sql.types._
 
 /** PostgreSQL sink dialect — pure statement builders for everything the
   * reference's pg side emits, byte-for-byte testable without a database
-  * (this container has no Postgres; PgDialectSpec golden-files each shape).
+  * (PgDialectSpec golden-files each shape) AND, when the container ships
+  * PostgreSQL binaries, executed against a live server: PgLiveSpec feeds
+  * each builder's exact output through psql and asserts the reference's
+  * observable semantics (DEFAULT resolution, targetless ON CONFLICT
+  * dedup, sequence restart, CLUSTER, text[] round-trip).
   *
   * The reference's sink statements (all via pg-promise):
   *   - multi-row `insert into "t"("c1","c2",...) values(...),(...)` with
