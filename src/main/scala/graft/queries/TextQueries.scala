@@ -142,12 +142,16 @@ object TextQueries {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-    // the size pass is scoped to ARRIVAL-TOUCHED buckets (semi-join on the
-    // bucket key, exchange-free against a bucketed index): an unscoped
-    // pass would scan the whole index per invocation — O(corpus) work
-    // inside an operator whose contract is cost ∝ touched set
+    // the size pass is scoped to ARRIVAL-TOUCHED buckets: an unscoped pass
+    // would scan the whole index per invocation — O(corpus) work inside an
+    // operator whose contract is cost ∝ touched set. The arrival-key side
+    // is batch-bounded, hence BROADCAST explicitly: bandsAll may be
+    // checkpointed frames (d13) whose unknown size stats would otherwise
+    // plan a sort-merge join shuffling the whole standing index just to
+    // run a size check that normally returns "no overflow"
     val touchedBuckets = bandsAll.select("band_key", "doc_id")
-      .join(bandsNew.select("band_key"), Seq("band_key"), "left_semi")
+      .join(broadcast(bandsNew.select("band_key").distinct()),
+        Seq("band_key"), "left_semi")
     val raw = Dedup.oversizedKeys(touchedBuckets,
         Seq("band_key"), maxBucket, "incremental probe") match {
       case None => probe(bandsNew, bandsAll)
@@ -160,11 +164,12 @@ object TextQueries {
         val reps = bandsAll
           .join(broadcast(overTouched), Seq("band_key"), "left_semi")
           .groupBy("band_key").agg(min(col("doc_id")).as("__rep"))
+        // __rep is the bucket minimum, so rep < doc_id by construction —
+        // the same star form as candidatePairs (the lockstep NOTE in Dedup)
         val stars = bandsAll
           .join(broadcast(reps), Seq("band_key"))
           .filter(col("doc_id") =!= col("__rep"))
-          .select(least(col("doc_id"), col("__rep")).as("a"),
-            greatest(col("doc_id"), col("__rep")).as("b"))
+          .select(col("__rep").as("a"), col("doc_id").as("b"))
         small.unionByName(stars)
     }
     val newPairs = raw.distinct().trackedCheckpoint()

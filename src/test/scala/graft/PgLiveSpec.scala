@@ -32,15 +32,22 @@ class PgLiveSpec extends AnyFunSuite {
     (code, out.toString)
   }
 
+  // numeric sort: lexicographic would prefer "9.6" over "15" on a
+  // multi-version install
   private val pgBin = Option(new java.io.File("/usr/lib/postgresql").listFiles())
-    .getOrElse(Array.empty).sortBy(_.getName).lastOption
-    .map(_.getAbsolutePath + "/bin")
+    .getOrElse(Array.empty)
+    .sortBy(f => f.getName.takeWhile(_.isDigit).toIntOption.getOrElse(-1))
+    .lastOption.map(_.getAbsolutePath + "/bin")
 
   // one throwaway cluster per suite run: initdb + socket-only start as the
   // postgres OS user (postgres refuses to run as root). Cleaned in the JVM
   // shutdown hook — scalatest per-suite afterAll would race a canceled run.
   private lazy val server: Option[(String, Int)] = pgBin.flatMap { bin =>
-    if (!new java.io.File(s"$bin/initdb").canExecute) None
+    // psql comes from the SAME versioned bin as the server — a bare PATH
+    // psql may be absent (failing hard instead of canceling) or an
+    // unrelated major version
+    if (!new java.io.File(s"$bin/initdb").canExecute ||
+        !new java.io.File(s"$bin/psql").canExecute) None
     else {
       val root = s"/tmp/graft-pglive-${java.util.UUID.randomUUID}"
       val (data, sock, port) = (s"$root/data", s"$root/sock", 54331)
@@ -48,7 +55,11 @@ class PgLiveSpec extends AnyFunSuite {
         s"install -d -m 700 -o postgres $data && install -d -o postgres $sock && " +
           s"""su postgres -s /bin/bash -c "cd /tmp && $bin/initdb -D $data --auth=trust -U postgres" && """ +
           s"""su postgres -s /bin/bash -c "cd /tmp && $bin/pg_ctl -D $data -l $data/log -o '-k $sock -p $port -c listen_addresses=' start"""")
-      if (rc1 != 0) { info(s"live PG unavailable: $o1"); None }
+      if (rc1 != 0) {
+        info(s"live PG unavailable: $o1")
+        sh(s"rm -rf $root") // a failed initdb/start must not leak tens of MB
+        None
+      }
       else {
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
           sh(s"""su postgres -s /bin/bash -c "cd /tmp && $bin/pg_ctl -D $data -m immediate stop"; rm -rf $root""")
@@ -64,7 +75,7 @@ class PgLiveSpec extends AnyFunSuite {
     val f = java.io.File.createTempFile("graft-pg", ".sql")
     try {
       java.nio.file.Files.write(f.toPath, sql.getBytes("UTF-8"))
-      sh(s"psql -h $sock -p $port -U postgres -v ON_ERROR_STOP=1 -At -f ${f.getAbsolutePath}")
+      sh(s"${pgBin.get}/psql -h $sock -p $port -U postgres -v ON_ERROR_STOP=1 -At -f ${f.getAbsolutePath}")
     } finally { f.delete(); () }
   }
 
