@@ -98,4 +98,80 @@ object QualityAudit {
           col(s"`${c.name}`").as("n_violations"))): _*)).as("kv"))
       .select(col("kv.check_name"), col("kv.n_violations"))
   }
+
+  /** Column-level profile metrics — the inputs to [[drift]], the monitoring
+    * face next to [[audit]]'s contract face: audit asks "does this snapshot
+    * honor its own rules", drift asks "did this snapshot's DISTRIBUTION
+    * move since the last one" (the question a training-data pipeline asks
+    * before every ingest — schema-valid data can still silently shift).
+    * Float-valued metrics are rounded to 6dp inside the aggregation so the
+    * SQL replay is engine-exact (the repo-wide convention).
+    */
+  sealed trait Metric { def name: String }
+  /** Total rows (as double, like every metric — one homogeneous unpivot). */
+  case object RowCount extends Metric { val name = "row_count" }
+  /** Fraction of NULL cells in the column (0..1, 6dp). */
+  final case class NullRate(col: String) extends Metric {
+    val name = s"null_rate($col)"
+  }
+  /** Arithmetic mean of a numeric column (6dp). */
+  final case class MeanOf(col: String) extends Metric {
+    val name = s"mean($col)"
+  }
+  /** Exact distinct-value count (cardinality drift — new enum values,
+    * collapsed id spaces).
+    */
+  final case class DistinctOf(col: String) extends Metric {
+    val name = s"n_distinct($col)"
+  }
+  /** Any caller-supplied aggregate; the caller owns determinism/rounding. */
+  final case class CustomMetric(name: String, agg: Column) extends Metric
+
+  private def metricAgg(m: Metric): Column = m match {
+    case RowCount => count(lit(1)).cast("double")
+    case NullRate(c) =>
+      round(avg(when(col(c).isNull, lit(1.0)).otherwise(lit(0.0))), 6)
+    case MeanOf(c) => round(avg(col(c)), 6)
+    case DistinctOf(c) => countDistinct(col(c)).cast("double")
+    case CustomMetric(_, a) => a
+  }
+
+  /** One row per metric, computed in ONE aggregation pass (the audit()
+    * compile: however many metrics ride along, the table is scanned once).
+    */
+  def profile(df: DataFrame, metrics: Seq[Metric]): DataFrame = {
+    require(metrics.nonEmpty, "profile needs at least one metric")
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      "duplicate metric names would collide in the output")
+    require(metrics.forall(!_.name.contains("`")),
+      "metric names must not contain backticks")
+    val aggs = metrics.map(m => metricAgg(m).as(m.name))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(metrics.map(m =>
+        struct(lit(m.name).as("metric"),
+          col(s"`${m.name}`").cast("double").as("value"))): _*)).as("kv"))
+      .select(col("kv.metric"), col("kv.value"))
+  }
+
+  /** Distribution-drift report between two snapshots of one table: each
+    * metric profiled on both sides (one scan per side, metric count free),
+    * then joined into `(metric, base_value, cur_value, drift_abs,
+    * drift_rel)`. `drift_rel` is NULL when the base value is 0 or either
+    * side is NULL (an empty base makes "relative" meaningless — the
+    * absolute column still reports). Derived columns are computed from the
+    * already-rounded profile values, so the SQL replay sees the identical
+    * inputs. At 100 TB: two linear scans and a |metrics|-row join — the
+    * alternative (per-metric actions) rescans each side N times.
+    */
+  def drift(base: DataFrame, cur: DataFrame,
+      metrics: Seq[Metric]): DataFrame = {
+    val b = profile(base, metrics).withColumnRenamed("value", "base_value")
+    val c = profile(cur, metrics).withColumnRenamed("value", "cur_value")
+    b.join(c, Seq("metric"))
+      .select(col("metric"), col("base_value"), col("cur_value"),
+        round(col("cur_value") - col("base_value"), 6).as("drift_abs"),
+        when(col("base_value") =!= 0,
+          round(abs(col("cur_value") - col("base_value")) /
+            abs(col("base_value")), 6)).as("drift_rel"))
+  }
 }

@@ -624,6 +624,31 @@ object AdvancedQueries {
         QualityAudit.Unique(Seq("o_orderkey"))))
     }),
 
+    // DD1: distribution-drift monitor — the fourth leg of the validation
+    // family (vd1 proves two snapshots EQUAL, dq1 proves one honors its
+    // contract, dd1 measures how far one MOVED): column-level profiles of
+    // a baseline and a current snapshot, one scan each, joined into a
+    // per-metric drift report. Fixture: baseline = the doc_id % 3 != 0
+    // slice ("yesterday's corpus"), current = the full corpus with text
+    // deterministically nulled on % 53 keys — row count, null rate, and
+    // mean all move by oracle-replayable amounts.
+    "dd1_stat_drift" -> ((s, d) => {
+      import graft.ops.QualityAudit
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val cur = docs.select(
+        col("doc_id"),
+        when(col("doc_id") % 53 === 0, lit(null).cast("string"))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      QualityAudit.drift(base, cur, Seq(
+        QualityAudit.RowCount,
+        QualityAudit.NullRate("text"),
+        QualityAudit.MeanOf("n_chars"),
+        QualityAudit.DistinctOf("lang"),
+        QualityAudit.DistinctOf("source")))
+    }),
+
     "cdc1_snapshot_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val prev = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -1554,6 +1579,36 @@ object AdvancedQueries {
          UNION ALL
          SELECT 'unique(o_orderkey)',
            (SELECT count(*) - count(DISTINCT o_orderkey) FROM dirty)::BIGINT""",
+    // dd1: each side's profile as a UNION ALL of scalar aggregates over
+    // the same deterministic slices; derived drift columns computed from
+    // the rounded profile values exactly like the Spark face
+    "dd1_stat_drift" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
+         cur AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents),
+         bp AS (
+           SELECT 'row_count' AS metric, count(*)::DOUBLE AS base_value FROM base
+           UNION ALL SELECT 'null_rate(text)',
+             round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM base
+           UNION ALL SELECT 'mean(n_chars)', round(avg(n_chars), 6) FROM base
+           UNION ALL SELECT 'n_distinct(lang)', count(DISTINCT lang)::DOUBLE FROM base
+           UNION ALL SELECT 'n_distinct(source)', count(DISTINCT source)::DOUBLE FROM base),
+         cp AS (
+           SELECT 'row_count' AS metric, count(*)::DOUBLE AS cur_value FROM cur
+           UNION ALL SELECT 'null_rate(text)',
+             round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM cur
+           UNION ALL SELECT 'mean(n_chars)', round(avg(n_chars), 6) FROM cur
+           UNION ALL SELECT 'n_distinct(lang)', count(DISTINCT lang)::DOUBLE FROM cur
+           UNION ALL SELECT 'n_distinct(source)', count(DISTINCT source)::DOUBLE FROM cur)
+         SELECT metric, base_value, cur_value,
+           round(cur_value - base_value, 6) AS drift_abs,
+           CASE WHEN base_value != 0
+                THEN round(abs(cur_value - base_value) / abs(base_value), 6)
+           END AS drift_rel
+         FROM bp JOIN cp USING (metric)""",
     "vd1_migration_diff" -> migrationDiffOracle,
     // tt1's oracle IS vd1's: the two pinned snapshot-store versions must
     // read back bit-identical to the frames that were committed

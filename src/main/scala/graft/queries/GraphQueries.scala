@@ -306,10 +306,65 @@ object GraphQueries {
     degrees(cur)
   }
 
+  /** Synchronous label propagation — community detection over an undirected
+    * edge frame (one row per edge, `u` < `v`, distinct). Every node starts
+    * labeled with its own id; each round it adopts the most frequent label
+    * among its NEIGHBORS, ties broken by the smallest label (the
+    * deterministic variant of classic LPA — no RNG, no visit order, so the
+    * unrolled-SQL oracle replays it bit-exact). The fourth iterative-graph
+    * shape in the module: pageRank's per-round work is fixed, bfs shrinks
+    * the frontier, kCore shrinks the graph — here per-round work is fixed
+    * like pageRank but the VALUE domain (labels) converges.
+    *
+    * Synchronous LPA can 2-cycle on bipartite structures (a lone edge swaps
+    * labels forever); a fixed round count replays identically in both
+    * engines, so the oracle can never diverge — callers pick `rounds` for
+    * the community resolution they want, not for termination.
+    *
+    * Scale shape per round: one keyed equi-join (edges ⋈ labels on the
+    * source key — the same stable hash partitioning every round), one
+    * (node, label) partial-agg count, one per-node window to pick the
+    * winning label. Rows per window partition = the node's DISTINCT
+    * neighbor-label count ≤ degree, the same per-hub bound tc1's oriented
+    * wedge join carries. Per-round label frames are checkpoint-tracked and
+    * superseded checkpoints released (the pageRank recipe).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ser = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val e = graft.ops.Checkpoints.tracked(edges, ser)
+    val both = graft.ops.Checkpoints.tracked(
+      e.select(col("u").as("src"), col("v").as("dst")).unionByName(
+        e.select(col("v").as("src"), col("u").as("dst"))), ser)
+    var labels = both.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .trackedCheckpoint()
+    var prevCkpt = labels
+    var j = 0
+    while (j < rounds) {
+      j += 1
+      val votes = both.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val next = votes.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .trackedCheckpoint()
+      graft.ops.Checkpoints.release(prevCkpt)
+      prevCkpt = next
+      labels = next
+    }
+    labels
+  }
+
   // kc1's contract constants — shared by the Spark face and the oracle
   // generator so the two can never run different geometry
   private val kcK = 6
   private val kcIters = 6
+
+  // lp1's round count — shared with the oracle generator (see kcK)
+  private val lpRounds = 4
 
   /** The part co-occurrence graph tc1/kc1 analyze: parts sharing an order
     * are linked; the deterministic %10 order slice keeps the fixture graph
@@ -418,7 +473,15 @@ object GraphQueries {
     // converge with one spare at both fixture scales (measured: fixpoint
     // at round 5); see [[kCore]] for why the early exit and the oracle's
     // fixed unroll agree.
-    "kc1_kcore" -> ((s, d) => kCore(partCoPairs(s, d), kcK, kcIters))
+    "kc1_kcore" -> ((s, d) => kCore(partCoPairs(s, d), kcK, kcIters)),
+
+    // LP1: label-propagation communities over the same part co-occurrence
+    // graph — "which parts cluster into co-purchased families" (the
+    // community face of graph analytics, next to tc1's motifs and kc1's
+    // density). Four synchronous rounds, most-frequent-neighbor-label with
+    // min-label tiebreak; the oracle replays the identical unrolled rounds.
+    "lp1_label_propagation" -> ((s, d) =>
+      labelPropagation(partCoPairs(s, d), lpRounds))
   )
 
   /** PR1 oracle: the same power iterations unrolled as CTEs r1..r`iters`,
@@ -565,6 +628,39 @@ object GraphQueries {
            SELECT node, count(*)::BIGINT AS deg
            FROM (SELECT u AS node FROM e$kcIters UNION ALL SELECT v FROM e$kcIters)
            GROUP BY node"""
+    },
+    // lp1: the same synchronous rounds unrolled (generated from the same
+    // lpRounds constant as the Spark face); MATERIALIZED for the kc1
+    // reason — each l_j feeds round j+1's join twice via the window subquery
+    "lp1_label_propagation" -> {
+      val head =
+        """WITH op AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+             FROM lineitem WHERE l_orderkey % 10 = 0),
+           e0 AS MATERIALIZED (
+             SELECT DISTINCT a.p AS u, b.p AS v
+             FROM op a JOIN op b ON a.k = b.k AND a.p < b.p),
+           be AS MATERIALIZED (
+             SELECT u AS src, v AS dst FROM e0
+             UNION ALL SELECT v, u FROM e0),
+           l0 AS MATERIALIZED (
+             SELECT DISTINCT src AS node, src AS label FROM be)"""
+      val rounds = (1 to lpRounds).map { j =>
+        s""",
+           v$j AS MATERIALIZED (
+             SELECT b.dst AS node, l.label, count(*) AS cnt
+             FROM be b JOIN l${j - 1} l ON b.src = l.node
+             GROUP BY 1, 2),
+           l$j AS MATERIALIZED (
+             SELECT node, label FROM (
+               SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label) AS r
+               FROM v$j) WHERE r = 1)"""
+      }.mkString
+      head + rounds +
+        s"""
+           SELECT node, label FROM l$lpRounds"""
     }
   )
 }

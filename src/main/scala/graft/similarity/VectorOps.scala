@@ -108,8 +108,24 @@ object VectorOps {
     * corpus per query instead of all of it. Complements LSH: IVF adapts to
     * the data distribution, LSH is oblivious but needs no training pass.
     */
+  /** @param corpusFilter FILTERED ANN: restrict the searchable corpus to
+    *                      rows satisfying the predicate (metadata filtering —
+    *                      "nearest neighbors among label-X vectors"). The
+    *                      filter is applied to the assigned corpus BEFORE the
+    *                      probe equi-join (pre-filtering): each query still
+    *                      probes nProbe cells but scans only the matching
+    *                      fraction of their inverted lists — the plan a
+    *                      100 TB serving path needs. The alternative
+    *                      (post-filter the top-k) silently under-fills k
+    *                      whenever matches are sparse. Cell GEOMETRY is
+    *                      untouched — centroids come from the full corpus, so
+    *                      one index serves every predicate. Queries with
+    *                      fewer than k in-predicate neighbors in the probed
+    *                      cells return fewer rows (never wrong rows).
+    */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
-      nCells: Int, nProbe: Int, k: Int): DataFrame = {
+      nCells: Int, nProbe: Int, k: Int,
+      corpusFilter: Option[Column] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
@@ -128,7 +144,11 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell").as(out): _*)
     }
-    val corpusCells = assign(withN, "n_id", "nv", "nn", 1, "cell")
+    val corpusCells0 = assign(withN, "n_id", "nv", "nn", 1, "cell")
+    // pre-filter: prune the inverted lists before the probe join, then drop
+    // the metadata column so it can't collide with query-side names
+    val corpusCells = corpusFilter.fold(corpusCells0)(p =>
+      corpusCells0.filter(p).select(col("n_id"), col("nv"), col("nn"), col("cell")))
     val q = withNorm(queries, "nv", "nn")
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
     val queryCells = assign(q, "q_id", "qv", "qn", nProbe, "cell")

@@ -145,6 +145,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation separates two triangles across a bridge") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge (3,4). Traced
+    // by hand round by round (min-label tiebreak): by round 3 the left
+    // triangle settles on label 1, the right on label 3 (the bridge pulls
+    // 3's early label into the right community), and round 4 is a no-op.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("u", "v")
+    val got = GraphQueries.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L,
+      6L -> 3L))
+    // converged: extra rounds change nothing
+    val more = GraphQueries.labelPropagation(e, rounds = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === got)
+  }
+
+  test("labelPropagation is deterministic under vote ties") {
+    // a lone edge is the worst tie case: each node's single neighbor vote
+    // swaps the labels every round (the classic sync-LPA 2-cycle). The
+    // fixed unroll makes that deterministic: even rounds = identity,
+    // odd rounds = swapped — never a coin flip.
+    val e = Seq((1L, 2L)).toDF("u", "v")
+    val odd = GraphQueries.labelPropagation(e, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd === Map(1L -> 2L, 2L -> 1L))
+    val even = GraphQueries.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("triangleStats counts each triangle once regardless of degree ties") {
     // K4: every node degree 3 (all tied — orientation falls back to the id
     // tiebreak); C(4,3)=4 triangles, wedges 4*C(3,2)=12, cc = 12/12 = 1.

@@ -152,6 +152,46 @@ class NorthStarSpec extends SparkSpec {
     assert(recall2 >= refinedRecall - 1e-9, s"iters=2 recall=$recall2 vs iters=1=$refinedRecall")
   }
 
+  test("filtered ivf ann: every hit satisfies the predicate, none are dropped to post-filtering") {
+    // ids INTERLEAVE the clusters (id % 8 — the PQ-test trick) so the
+    // first-8 centroid seeds span one vector per cluster and every cell
+    // holds a full 25-member cluster, ~13 of them even-id
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val v = centroids(i % 8).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      (i.toLong, v)
+    }
+    import spark.implicits._
+    // tag alternates WITHIN each cluster ((id/8) % 2 — id % 2 would equal
+    // cluster parity and empty the odd clusters wholesale), so every cell
+    // keeps ~13 in-predicate members
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+      .withColumn("tag", (col("n_id") / lit(8)).cast("long") % 2)
+    def tagOf(id: Long): Long = (id / 8) % 2
+    val q = df.filter(col("n_id") < 10).select(col("n_id"), col("nv"))
+    val filtered = VectorOps.ivfTopK(df, q, nCells = 8, nProbe = 2, k = 5,
+      corpusFilter = Some(col("tag") === 0)).collect()
+    assert(filtered.nonEmpty)
+    // predicate holds on every returned neighbor
+    assert(filtered.forall(r => tagOf(r.getLong(2)) == 0),
+      "a neighbor violated the corpus predicate")
+    // PRE-filtering keeps k filled from in-predicate rows: each query's own
+    // cell alone has ~13 tag-0 members, so all 5 slots fill for every
+    // query — a post-filtered top-5 (half its slots spent on tag-1 rows,
+    // then dropped) could not
+    val perQuery = filtered.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQuery.size == 10 && perQuery.forall(_ == 5),
+      s"under-filled k: ${perQuery.toSeq}")
+    // unfiltered search on the same geometry returns tag-1 rows too — the
+    // predicate is doing the restricting, not the fixture
+    val unfiltered = VectorOps.ivfTopK(df, q, nCells = 8, nProbe = 2, k = 5)
+      .collect()
+    assert(unfiltered.exists(r => tagOf(r.getLong(2)) == 1))
+  }
+
   test("ivf-pq ann: cluster-faithful retrieval under 16x code compression") {
     // PQ erases WITHIN-cluster distinctions by construction (same-cluster
     // members quantize to the same codes), so the meaningful quality bar is

@@ -79,6 +79,68 @@ class QualityAuditSpec extends SparkSpec {
     }
   }
 
+  test("drift reports per-metric movement with exact null semantics") {
+    val base = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)))
+      .toDF("id", "v")
+    val cur = Seq((1L, Some(10.0)), (2L, None), (3L, Some(40.0)),
+      (4L, Some(50.0))).toDF("id", "v")
+    val got = QualityAudit.drift(base, cur, Seq(
+      RowCount, NullRate("v"), MeanOf("v"), DistinctOf("v")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // row_count 3 -> 4: abs +1, rel 1/3
+    val rc = got("row_count")
+    assert(rc.getDouble(1) == 3.0 && rc.getDouble(2) == 4.0)
+    assert(rc.getDouble(3) == 1.0 && rc.getDouble(4) == 0.333333)
+    // null_rate 0 -> 0.25: base is 0 so rel is NULL, abs still reports
+    val nr = got("null_rate(v)")
+    assert(nr.getDouble(1) == 0.0 && nr.getDouble(2) == 0.25)
+    assert(nr.getDouble(3) == 0.25 && nr.isNullAt(4))
+    // mean ignores the NULL cell: (10+40+50)/3 vs (10+20+30)/3
+    val mn = got("mean(v)")
+    assert(mn.getDouble(1) == 20.0 && mn.getDouble(2) == 33.333333)
+    // distinct(v): 3 -> 3 (null not counted) — zero drift, rel 0
+    val dv = got("n_distinct(v)")
+    assert(dv.getDouble(1) == 3.0 && dv.getDouble(2) == 3.0)
+    assert(dv.getDouble(3) == 0.0 && dv.getDouble(4) == 0.0)
+  }
+
+  test("an empty base side keeps absolute drift and nulls relative drift") {
+    val base = Seq.empty[(Long, Option[Double])].toDF("id", "v")
+    val cur = Seq((1L, Some(5.0))).toDF("id", "v")
+    val got = QualityAudit.drift(base, cur, Seq(RowCount, MeanOf("v")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rc = got("row_count")
+    assert(rc.getDouble(1) == 0.0 && rc.getDouble(2) == 1.0)
+    assert(rc.getDouble(3) == 1.0 && rc.isNullAt(4), "rel vs a 0 base is NULL")
+    // avg over zero rows is NULL: every derived column stays NULL, never 0
+    val mn = got("mean(v)")
+    assert(mn.isNullAt(1) && mn.getDouble(2) == 5.0)
+    assert(mn.isNullAt(3) && mn.isNullAt(4))
+  }
+
+  test("a profile is one aggregation pass per side") {
+    val plan = QualityAudit.profile(rows, Seq(
+      RowCount, NullRate("score"), MeanOf("score"), DistinctOf("status")))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r if r.nodeName.contains("Relation") => r
+    }
+    assert(scans.size <= 1, s"expected a single scan:\n$plan")
+  }
+
+  test("malformed metrics are rejected up front") {
+    intercept[IllegalArgumentException] {
+      QualityAudit.profile(rows, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      QualityAudit.profile(rows, Seq(RowCount, CustomMetric("row_count", count(lit(1)).cast("double"))))
+    }
+    intercept[IllegalArgumentException] {
+      QualityAudit.profile(rows, Seq(CustomMetric("bad`name", count(lit(1)).cast("double"))))
+    }
+  }
+
   test("malformed checks are rejected up front, not at parse/execute time") {
     // backtick in a Custom name would break out of the quoted identifier
     intercept[IllegalArgumentException] {

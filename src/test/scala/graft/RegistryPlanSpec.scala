@@ -38,6 +38,10 @@ class RegistryPlanSpec extends SparkSpec {
       "IVF training cost — the SEARCH join is the cell equi-join"),
     "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
       "run per Lloyd pass — search stays the cell equi-join"),
+    "v15_knn_filtered" -> ("v4's O(n*k) broadcast-centroid assignment; the " +
+      "metadata predicate then PRUNES the assigned corpus before the cell " +
+      "equi-join (pre-filtered search — see the dedicated filter-placement " +
+      "test below)"),
     "v9_knn_ivfpq" -> ("v4's O(n*k) broadcast-centroid coarse assignment plus the " +
       "O(n*m*ksub) broadcast-codebook PQ encode — the ADC search itself is the " +
       "cell equi-join then (b, cell) equi-joins over code ids"),
@@ -152,6 +156,29 @@ class RegistryPlanSpec extends SparkSpec {
     // carries every untouched standing record without recomputation
     assert(plan.contains("LeftSemi"), s"d25b lost the touched-cluster semi-join:\n$plan")
     assert(plan.contains("LeftAnti"), s"d25b lost the untouched-record anti-join:\n$plan")
+  }
+
+  test("v15 prunes the corpus by predicate BELOW the probe join (pre-filtered ANN)") {
+    val df = SparkEntry.queries("v15_knn_filtered")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    // the probe join is the equi-join on the cell id
+    val probeJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(probeJoins.nonEmpty, s"no cell equi-join found:\n$plan")
+    val probe = probeJoins.head // pre-order: the topmost cell join
+    // the metadata predicate must sit in a join INPUT subtree — scanning a
+    // full inverted list and filtering the top-k after the join would both
+    // under-fill k and waste the probe's selectivity at scale
+    val preFiltered = probe.children.exists(side => side.collect {
+      case f: Filter if f.condition.references.exists(_.name == "label") => f
+    }.nonEmpty)
+    assert(preFiltered, s"label predicate not below the probe join:\n$plan")
+    // and the label column is consumed below the join — nothing above it
+    // can post-filter what is no longer in scope
+    assert(!probe.output.exists(_.name == "label"),
+      s"label column leaked above the probe join:\n$plan")
   }
 
   test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
