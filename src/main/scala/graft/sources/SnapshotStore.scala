@@ -362,6 +362,43 @@ object SnapshotStore {
         Map(BatchTag -> batchId.toString)))
     }
 
+  /** EXACTLY-ONCE streaming MERGE: [[appendBatchExactlyOnce]] covers
+    * append-only ingest; this is the read-modify-write shape — upserts,
+    * SCD1 dimension maintenance, incremental golden records — where a
+    * micro-batch must both ADD and RETIRE rows of the standing table.
+    * `transform` receives the current snapshot (None = the table doesn't
+    * exist yet — the first batch creates it) and returns the full next
+    * snapshot, committed with the batch id riding the manifest: a crash
+    * anywhere re-delivers the batch, the watermark probe sees the id
+    * already applied, and the replay is a no-op — state and data still
+    * publish in ONE atomic operation, so there is no window where the
+    * merge landed but the batch is unrecorded (or vice versa). A publish
+    * race with a concurrent writer (a compactor, another stream) loses the
+    * rename, re-reads the NEW base, re-runs `transform` on it, and
+    * retries — the merge is re-derived, never replayed onto a stale base.
+    * Wire as:
+    * {{{
+    *   stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *     val batch = b.localCheckpoint() // transform may run twice on conflict
+    *     SnapshotStore.transformBatchExactlyOnce(spark, dir, id) { cur =>
+    *       merge(cur, batch)
+    *     }; ()
+    *   }
+    * }}}
+    */
+  def transformBatchExactlyOnce(spark: SparkSession, dir: String,
+      batchId: Long, maxAttempts: Int = 10)(
+      transform: Option[DataFrame] => DataFrame): Option[Long] =
+    retryConflicts(maxAttempts, dir) {
+      if (lastBatchId(spark, dir).exists(_ >= batchId)) None
+      else {
+        val base = currentVersion(spark, dir)
+        Some(commitCore(spark,
+          transform(base.map(v => read(spark, dir, Some(v)))), dir, base,
+          append = false, Map(BatchTag -> batchId.toString)))
+      }
+    }
+
   /** Small-file compaction as a SNAPSHOT COMMIT — [[Storage.compact]]'s
     * maintenance job made safe against concurrent readers: the current
     * version's rows are rewritten into ceil(bytes/targetBytes) files and

@@ -227,6 +227,82 @@ class SnapshotStoreSpec extends SparkSpec {
       "restart lost or duplicated rows")
   }
 
+  test("streaming MERGE is exactly-once: batches retire and add rows, replays are swallowed") {
+    val dir = newTable()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-merge-ckpt").toString
+    // (key, value) upsert stream: per batch, last write wins per key — the
+    // SCD1 shape appendBatchExactlyOnce cannot express (it can only add)
+    val mem1 = MemoryStream[(Long, String)]
+    def sink(df: org.apache.spark.sql.DataFrame) = df.toDF("k", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val batch = b.localCheckpoint() // transform may run twice on conflict
+        SnapshotStore.transformBatchExactlyOnce(spark, dir, id) {
+          case None => batch
+          case Some(standing) =>
+            standing.join(batch.select("k"), Seq("k"), "left_anti")
+              .unionByName(batch)
+        }; ()
+      }
+      .option("checkpointLocation", ckpt)
+    val q1 = sink(mem1.toDF()).start()
+    try {
+      mem1.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()
+      mem1.addData((2L, "B"), (3L, "c")); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+      Set(1L -> "a", 2L -> "B", 3L -> "c"), "upsert must retire 2->b")
+    // each batch is one version; the pre-merge state stays time-travelable
+    assert(SnapshotStore.currentVersion(spark, dir).contains(1L))
+    assert(rowsOf(SnapshotStore.read(spark, dir, Some(0L))) ==
+      Set(1L -> "a", 2L -> "b"))
+
+    // crash-replay by hand: an already-applied batch id is swallowed even
+    // with different (garbage) contents — the transform must not even run
+    var ran = false
+    assert(SnapshotStore.transformBatchExactlyOnce(spark, dir, 1L) { _ =>
+      ran = true; Seq((99L, "boom")).toDF("k", "v")
+    }.isEmpty)
+    assert(!ran, "a replayed batch must be swallowed before the transform runs")
+    assert(SnapshotStore.currentVersion(spark, dir).contains(1L))
+
+    // resume from the same checkpoint: the WAL's committed offset (two
+    // addData blocks) skips the re-offered history, genuinely new data
+    // merges exactly once (the watermark's own crash-replay guard is the
+    // hand-replay above)
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, "a"), (2L, "b"))
+    mem2.addData((2L, "B"), (3L, "c"))
+    val q2 = sink(mem2.toDF()).start()
+    try { mem2.addData((1L, "A2")); q2.processAllAvailable() } finally q2.stop()
+    assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+      Set(1L -> "A2", 2L -> "B", 3L -> "c"),
+      "restart lost, duplicated, or failed to upsert")
+  }
+
+  test("a merge that loses the publish race re-derives on the fresh base") {
+    val dir = newTable()
+    SnapshotStore.commit(spark, Seq((1L, "a")).toDF("k", "v"), dir, None)
+    var calls = 0
+    val got = SnapshotStore.transformBatchExactlyOnce(spark, dir, 0L) { cur =>
+      calls += 1
+      // an interloper (compactor, second stream) lands AFTER our read,
+      // BEFORE our publish — exactly the optimistic-concurrency window
+      if (calls == 1)
+        SnapshotStore.commitRetry(spark, dir,
+          b => b.get.unionByName(Seq((9L, "z")).toDF("k", "v")))
+      cur.get.unionByName(Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(calls == 2, "the loser must re-run its transform on the fresh base")
+    assert(got.contains(2L))
+    // the merge re-derived FROM the interloper's rows — not replayed onto
+    // the stale base (which would have lost 9->z)
+    assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+      Set(1L -> "a", 9L -> "z", 2L -> "b"))
+  }
+
   test("vacuum deletes only files no surviving manifest references") {
     val dir = newTable()
     SnapshotStore.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir, None)
