@@ -174,4 +174,58 @@ object QualityAudit {
           round(abs(col("cur_value") - col("base_value")) /
             abs(col("base_value")), 6)).as("drift_rel"))
   }
+
+  /** Population Stability Index — the binned-distribution drift metric
+    * [[drift]]'s scalar moments can't see (a distribution can shift shape
+    * with its mean and null rate unmoved). Bin edges are the BASE side's
+    * exact `nBins`-quantiles (the standard PSI recipe: the baseline defines
+    * the bins, the current population is scored against them; the
+    * percentile ≡ quantile_cont interpolation pairing is engine-exact, the
+    * p1/stat2 precedent), bin id = how many edges the value exceeds, and
+    * each side's bin SHARES join into per-bin terms
+    * `(p − q) · ln(p/q)` — their sum is the PSI (< 0.1 stable, > 0.25
+    * shifted, by the usual reading). Zero shares are floored at `eps`
+    * inside the log (the standard convention), so an emptied or
+    * newly-populated bin contributes a large-but-finite term instead of
+    * an infinity. NULL values fall into no bin and are excluded from both
+    * shares (null-rate movement is [[NullRate]]'s business).
+    *
+    * Scale shape: one exact-percentile aggregation plus one binned count
+    * over each side — the bin step is a broadcast of the single-row edge
+    * frame into a map-side expression, and everything after the counts is
+    * |bins|-row metadata (the global share window runs over nBins rows,
+    * never data).
+    */
+  def psi(base: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"psi needs at least 2 bins, got $nBins")
+    require(eps > 0, s"psi eps must be positive, got $eps")
+    // probs snapped to 6-decimal values: i/nBins.toDouble would print as
+    // e.g. 0.30000000000000004, and the SQL replay's 0.3 literal parses to
+    // a (negligibly but not identically) different double — snapping makes
+    // the printed literal round-trip to the same double in both engines
+    val probs = (1 until nBins).map(i => math.rint(i * 1e6 / nBins) / 1e6)
+    val edges = base.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("e"))
+    def share(df: DataFrame, out: String): DataFrame = {
+      val bin = probs.indices
+        .map(i => when(col(valueCol) > col("e").getItem(i), 1).otherwise(0))
+        .reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      df.filter(col(valueCol).isNotNull)
+        .crossJoin(broadcast(edges))
+        .select(bin.cast("bigint").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          round(col("n").cast("double") / sum(col("n")).over(w), 6).as(out))
+    }
+    share(base, "base_share").join(share(cur, "cur_share"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("base_share"), lit(0.0)).as("base_share"),
+        coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
+      .withColumn("psi_term",
+        round((col("base_share") - col("cur_share")) *
+          log(greatest(col("base_share"), lit(eps)) /
+            greatest(col("cur_share"), lit(eps))), 6))
+  }
 }

@@ -649,6 +649,21 @@ object AdvancedQueries {
         QualityAudit.DistinctOf("source")))
     }),
 
+    // DD2: PSI — the binned-distribution drift dd1's scalar moments can't
+    // see. Baseline = the % 3 != 0 slice; current = the full corpus with
+    // every % 7 doc's n_chars tripled (a real upper-tail shift: the mean
+    // moves a little, the top deciles move a lot — exactly the shape PSI
+    // exists to flag). Bin edges are the base side's exact deciles
+    // (percentile ≡ quantile_cont), replayed closed-form by the oracle.
+    "dd2_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val cur = docs.select(
+        when(col("doc_id") % 7 === 0, col("n_chars") * 3)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.QualityAudit.psi(base, cur, "n_chars")
+    }),
+
     "cdc1_snapshot_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val prev = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -1609,6 +1624,45 @@ object AdvancedQueries {
                 THEN round(abs(cur_value - base_value) / abs(base_value), 6)
            END AS drift_rel
          FROM bp JOIN cp USING (metric)""",
+    // dd2: decile edges via quantile_cont (percentile's DuckDB twin), bin
+    // id = count of edges exceeded (list_filter lambda = the Spark side's
+    // indicator sum), shares rounded 6dp, then the same eps-floored
+    // (p − q)·ln(p/q) terms from the rounded shares
+    "dd2_psi_drift" ->
+      """WITH base AS (
+           SELECT n_chars FROM documents WHERE doc_id % 3 != 0),
+         cur AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars * 3 ELSE n_chars END
+             AS n_chars
+           FROM documents),
+         e AS (
+           SELECT quantile_cont(n_chars,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+           FROM base WHERE n_chars IS NOT NULL),
+         bs AS (
+           SELECT bin, round(count(*)::DOUBLE
+               / (SELECT count(*) FROM base WHERE n_chars IS NOT NULL), 6)
+             AS base_share
+           FROM (
+             SELECT len(list_filter(e.e, x -> b.n_chars > x))::BIGINT AS bin
+             FROM base b, e WHERE b.n_chars IS NOT NULL)
+           GROUP BY bin),
+         cs AS (
+           SELECT bin, round(count(*)::DOUBLE
+               / (SELECT count(*) FROM cur WHERE n_chars IS NOT NULL), 6)
+             AS cur_share
+           FROM (
+             SELECT len(list_filter(e.e, x -> c.n_chars > x))::BIGINT AS bin
+             FROM cur c, e WHERE c.n_chars IS NOT NULL)
+           GROUP BY bin)
+         SELECT bin,
+           coalesce(base_share, 0.0) AS base_share,
+           coalesce(cur_share, 0.0) AS cur_share,
+           round((coalesce(base_share, 0.0) - coalesce(cur_share, 0.0))
+             * ln(greatest(coalesce(base_share, 0.0), 0.000001)
+                  / greatest(coalesce(cur_share, 0.0), 0.000001)), 6)
+             AS psi_term
+         FROM bs FULL JOIN cs USING (bin)""",
     "vd1_migration_diff" -> migrationDiffOracle,
     // tt1's oracle IS vd1's: the two pinned snapshot-store versions must
     // read back bit-identical to the frames that were committed

@@ -129,6 +129,49 @@ class QualityAuditSpec extends SparkSpec {
     assert(scans.size <= 1, s"expected a single scan:\n$plan")
   }
 
+  test("psi: identical populations score zero, a shift scores high, bins partition exactly") {
+    val base = (1L to 100L).map(v => Tuple1(v)).toDF("x")
+    // self-comparison: every bin's shares match, every term is exactly 0
+    val self = QualityAudit.psi(base, base, "x", nBins = 4).collect()
+    assert(self.length == 4)
+    assert(self.forall(r => r.getDouble(1) == r.getDouble(2)))
+    assert(self.forall(_.getDouble(3) == 0.0))
+    // shares partition the population: each of 4 bins holds ~25 of 100
+    assert(math.abs(self.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(self.forall(r => r.getDouble(1) >= 0.24 && r.getDouble(1) <= 0.26))
+    // a hard right-shift: the current population vacates the low bins and
+    // overflows the top one — PSI lands far above the 0.25 "shifted" bar
+    val cur = (61L to 160L).map(v => Tuple1(v)).toDF("x")
+    val shifted = QualityAudit.psi(base, cur, "x", nBins = 4)
+      .collect().map(_.getDouble(3)).sum
+    assert(shifted > 0.25, s"expected a flagged shift, psi=$shifted")
+    // and the direction is visible per bin: bin 0 emptied, bin 3 overflowed
+    val byBin = QualityAudit.psi(base, cur, "x", nBins = 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byBin(0L)._2 < byBin(0L)._1)
+    assert(byBin(3L)._2 > byBin(3L)._1)
+  }
+
+  test("psi: emptied and newly-populated bins stay finite via the eps floor") {
+    val base = (1L to 100L).map(v => Tuple1(v)).toDF("x")
+    // disjoint current population: every base bin empties on the cur side,
+    // all cur mass lands in the top bin — terms must be finite, never
+    // NaN/Inf/NULL (the ln(p/0) hazard the eps floor exists for)
+    val cur = (1000L to 1099L).map(v => Tuple1(v)).toDF("x")
+    val rows = QualityAudit.psi(base, cur, "x", nBins = 4).collect()
+    assert(rows.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN &&
+      !r.getDouble(3).isInfinite))
+    // NULL values fall into no bin and perturb no share
+    val withNulls = base.unionByName(
+      Seq.fill(50)(Tuple1(null.asInstanceOf[java.lang.Long]))
+        .toDF("x").select(col("x").cast("long").as("x")))
+    val clean = QualityAudit.psi(base, base, "x", nBins = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val noisy = QualityAudit.psi(withNulls, withNulls, "x", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(noisy == clean, "nulls must be excluded from both shares")
+  }
+
   test("malformed metrics are rejected up front") {
     intercept[IllegalArgumentException] {
       QualityAudit.profile(rows, Seq.empty)

@@ -26,6 +26,10 @@ class RegistryPlanSpec extends SparkSpec {
     "tx10_bigram_loglik" -> "cross join is a single broadcast scalar (corpus bigram total)",
     "q22_idle_balances" -> "cross join is a single broadcast scalar (positive-balance average)",
     "q11_important_parts" -> "cross join is a single broadcast scalar (global value threshold)",
+    "dd2_psi_drift" -> ("both crosses are the SAME single-row broadcast " +
+      "frame (the base side's decile-edge array) riding into each side's " +
+      "map-side bin expression; everything after the binned counts is " +
+      "|bins|-row metadata"),
     "tx14_vocab_coverage" -> "cross join is a single broadcast scalar (corpus token total)",
     "tc1_triangle_count" -> ("the only non-equi join is the final census assembly: a " +
       "crossJoin of two SINGLE-ROW aggregate frames (degree census x triangle count), " +
