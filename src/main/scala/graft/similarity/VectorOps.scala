@@ -59,6 +59,75 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR'98) —
+    * the diversity stage of a retrieval stack: from each query's `shortlist`
+    * most-relevant candidates, greedily select `k` results where step t
+    * maximizes `selW·rel(d) − divW·max_{s∈selected} sim(d, s)` (step 1's
+    * diversity term is the empty-set max, 0). RAG context assembly runs
+    * exactly this: near-duplicate passages crowd out coverage if top-k
+    * ships unre-ranked.
+    *
+    * `selW`/`divW` are SEPARATE weights, not λ/(1−λ): 1−0.7 is
+    * 0.30000000000000004 as a double, and the SQL replay's 0.3 literal
+    * would diverge in the last ulp — callers pass both as exact decimals
+    * (the dd2 probs convention). rel and sim are rounded 6dp (their inner
+    * products are dim-length summations, where accumulation order differs
+    * between engines); the combined score is then deliberately NOT rounded:
+    * `selW·rel − divW·sim` over already-rounded operands is three IEEE ops
+    * on identical doubles — bit-exact in both engines — while a 6dp round
+    * of it HITS DECIMAL TIES by construction (a 1-digit weight times a
+    * 6-decimal value ends in ...5 whenever the operand's last digit is
+    * odd·5, and the engines break ties differently: observed
+    * 0.2600395 → 0.260039 in DuckDB (half-even), 0.26004 in Spark
+    * (half-up)). The greedy argmax (score DESC, id ASC) sorts those same
+    * bit-exact doubles.
+    *
+    * Scale shape: the shortlist is the bounded brute-force broadcast pass
+    * (|Q| fixed — v1's documented shape; swap in ivfTopK for a corpus-side
+    * index at serving scale), and every greedy step is |Q|·shortlist rows
+    * joined against |Q|·(t−1) selected rows — constant per query, never a
+    * corpus scan. The k-step loop is a fixed unroll: k is a serving
+    * constant (3–10), not data-dependent.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int, k: Int,
+      selW: Double, divW: Double): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got $shortlist/$k")
+    val cn = withNorm(corpus, "nv", "nn").select(col("n_id"), col("nv"), col("nn"))
+    // shortlist reused by every greedy step: checkpoint-tracked so the
+    // brute-force pass runs once, not k times
+    val sl = graft.ops.Checkpoints.tracked(
+      bruteForceTopK(corpus, queries, shortlist)
+        .select(col("q_id"), col("n_id"), col("cos").as("rel"))
+        .join(cn, "n_id"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("q_id"), lit(step.toLong).as("step"), col("n_id"),
+          col("rel"), col("score"), col("nv"), col("nn"))
+    // step 1: empty selected set -> pure relevance, diversity term 0
+    var selected = pick(
+      sl.withColumn("score", lit(selW) * col("rel")), 1)
+    (2 to k).foreach { t =>
+      val cand = sl.join(selected.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val scored = cand
+        .join(selected.select(col("q_id"), col("nv").as("sv"), col("nn").as("sn")),
+          Seq("q_id"))
+        .withColumn("sim",
+          round(cosineWithNorms(col("nv"), col("sv"), col("nn"), col("sn")), 6))
+        .groupBy("q_id", "n_id").agg(
+          first(col("rel")).as("rel"), max(col("sim")).as("max_sim"))
+        .join(cn, "n_id")
+        .withColumn("score",
+          lit(selW) * col("rel") - lit(divW) * col("max_sim"))
+      selected = selected.unionByName(pick(scored, t))
+    }
+    selected.select(col("q_id"), col("step"), col("n_id"), col("rel"),
+      col("score"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed -> identical plan every
     * run); nPlanes sign bits form the LSH bucket id.
     */

@@ -192,6 +192,30 @@ class NorthStarSpec extends SparkSpec {
     assert(unfiltered.exists(r => tagOf(r.getLong(2)) == 1))
   }
 
+  test("mmr rerank: redundancy is traded away, zero diversity weight degenerates to top-k") {
+    import spark.implicits._
+    // 2D fixture: c1 (5 deg off the query) and c2 (7 deg) are near-dups of
+    // each other; c3 (-40 deg) is less relevant but fresh
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r))
+    }
+    val corpus = Seq((1L, v(5)), (2L, v(7)), (3L, v(-40)))
+      .toDF("n_id", "nv")
+    val q = Seq((100L, v(0))).toDF("q_id", "qv")
+    // equal weights: c2's ~1.0 similarity to the already-picked c1
+    // outweighs its relevance edge over c3 — the diversified pick
+    val picks = VectorOps.mmrRerank(corpus, q, shortlist = 3, k = 2,
+      selW = 0.5, divW = 0.5).orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(picks.toSeq == Seq((1L, 1L), (2L, 3L)),
+      s"expected c1 then the diverse c3, got ${picks.toSeq}")
+    // divW = 0 is exactly relevance order: c1, c2, c3
+    val plain = VectorOps.mmrRerank(corpus, q, shortlist = 3, k = 3,
+      selW = 1.0, divW = 0.0).orderBy("step").collect().map(_.getLong(2))
+    assert(plain.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("ivf-pq ann: cluster-faithful retrieval under 16x code compression") {
     // PQ erases WITHIN-cluster distinctions by construction (same-cluster
     // members quantize to the same codes), so the meaningful quality bar is

@@ -71,6 +71,13 @@ class RegistryPlanSpec extends SparkSpec {
     "v12_knn_truncated_rerank" -> ("v1's bounded broadcast-query brute force " +
       "on 16-dim prefixes (one pass, 20-query side broadcast); the rerank " +
       "touches only the |Q|*shortlist survivors by id"),
+    // (v16_mmr_rerank's shortlist is v1's bounded broadcast-query brute
+    // force, but it is checkpoint-TRACKED — built once, reused by every
+    // greedy step — so the registry face's plan is checkpoint-cut and
+    // carries no quadratic node; v1's un-cached face still pins the
+    // brute-force shape. The greedy steps themselves join |Q|*shortlist
+    // candidates against |Q|*(t-1) selected rows — equi-joins, constant
+    // per query.)
     // (v13_prototypicality_prune consumed km1's Lloyd shape inline until
     // round 14; it now reads the SHARED standing cell assignment — built
     // once per (session, fixture), localCheckpointed — so its registry-face
