@@ -32,4 +32,32 @@ object RangeJoin {
       .filter(col(xCol) >= col(loCol) && col(xCol) < col(hiCol))
       .drop("__cell")
   }
+
+  /** INTERVAL-OVERLAP join: every pair of intervals `[aLo, aHi)` × `[bLo,
+    * bHi)` with a non-empty intersection — the two-sided generalization of
+    * [[grid]] (sessions × promotion windows, shifts × incidents, any
+    * temporal-overlap question). Same grid recipe, both sides registered in
+    * every cell they span; a pair sharing several cells is emitted EXACTLY
+    * ONCE without a distinct: only the cell containing the overlap's start
+    * (`greatest(aLo, bLo)` — a cell both sides registered by construction)
+    * emits it, so the dedup is a map-side filter, never a shuffle.
+    *
+    * Scale shape: each side costs |rows| × avg-span/cellSize replicated
+    * rows, the join is an equi-join on cell id, and the residual
+    * overlap/start-cell filters are map-side. Column names must be
+    * disjoint across the two inputs (the usual join contract).
+    */
+  def overlap(
+      a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      cellSize: Double): DataFrame = {
+    val cellOf: Column => Column = c => floor(c / cellSize).cast("bigint")
+    def spanned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__cell",
+        explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(1e-9)))))
+    spanned(a, aLo, aHi).join(spanned(b, bLo, bHi), "__cell")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__cell") === greatest(cellOf(col(aLo)), cellOf(col(bLo))))
+      .drop("__cell")
+  }
 }

@@ -1069,6 +1069,25 @@ object AdvancedQueries {
         .select("o_orderkey", "band_id")
     }),
 
+    // IV1: interval-OVERLAP join — rj1's two-sided generalization (which
+    // promo bands does each order's price window intersect). Both sides
+    // grid-registered, equi-join on cell, pairs spanning several shared
+    // cells deduped map-side by the overlap-start-cell rule (see
+    // RangeJoin.overlap) — never a distinct shuffle.
+    "iv1_interval_join" -> ((s, d) => {
+      val bands = s.range(12).select(
+        col("id").as("band_id"),
+        (col("id") * 40000.0).as("b_lo"),
+        (col("id") * 40000.0 + 60000.0).as("b_hi"))
+      val windows = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").as("a_lo"),
+        (col("o_totalprice") + 25000.0).as("a_hi"))
+      graft.ops.RangeJoin.overlap(windows, bands,
+          "a_lo", "a_hi", "b_lo", "b_hi", cellSize = 40000.0)
+        .select("o_orderkey", "band_id")
+    }),
+
     // Salted skew join: results identical to the plain join, hot keys spread
     // over 16 reducers (small side replicated per salt).
     "sk2_salted_join" -> ((s, d) => {
@@ -1840,6 +1859,14 @@ object AdvancedQueries {
       """SELECT o_orderkey, i AS band_id
          FROM orders, range(12) t(i)
          WHERE o_totalprice >= i * 40000 AND o_totalprice < i * 40000 + 60000""",
+    // iv1: the overlap predicate from first principles — the grid/dedup
+    // mechanics on the Spark side are a cost measure that must not change
+    // the pair set
+    "iv1_interval_join" ->
+      """SELECT o_orderkey, i AS band_id
+         FROM orders, range(12) t(i)
+         WHERE o_totalprice < i * 40000 + 60000
+           AND i * 40000 < o_totalprice + 25000""",
     "sk2_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
