@@ -136,6 +136,36 @@ object AdvancedQueries {
           count(lit(1)).as("n"))
     }),
 
+    // STAT3: MAD outlier audit — the robust-outlier face next to stat2's
+    // robust mean (a z-score threshold breaks exactly when outliers are
+    // present, since they inflate the stddev that defines them; the
+    // median/MAD pair is 50%-breakdown robust). Three passes, each keyed:
+    // per-group exact median, per-group MAD (median absolute deviation,
+    // one broadcast join + percentile), then the outlier count at the
+    // classic |x − med| > 3·MAD fence. Raw (unrounded) med/MAD drive the
+    // fence — percentile ≡ quantile_cont is engine-exact (p1/stat2), and
+    // 3·MAD is one IEEE multiply on identical doubles; outputs round 6dp.
+    "stat3_mad_outliers" -> ((s, d) => {
+      // the fixture's n_chars has no 3-MAD outliers at any sf, so the face
+      // injects deterministic dirt (the dq1 precedent): every % 97 doc's
+      // length is 20x'd — the fence must fire with an oracle-replayed count
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          when(col("doc_id") % 97 === 0, col("n_chars") * 20)
+            .otherwise(col("n_chars")).cast("double").as("x"))
+      val med = docs.groupBy("lang").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("dv", abs(col("x") - col("med")))
+      val mad = dev.groupBy("lang").agg(expr("percentile(dv, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy("lang").agg(
+          round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          count(lit(1)).as("n"),
+          count(when(col("dv") > lit(3.0) * col("mad"), lit(1)))
+            .as("n_outliers"))
+    }),
+
     // Exact grouped distinct counts (two different keys in one pass —
     // Catalyst plans the expand + two-phase aggregate).
     "cnt1_distinct_counts" -> ((s, d) =>
@@ -1380,6 +1410,28 @@ object AdvancedQueries {
     // (rank = p·(n−1), linear between neighbors), and the clip is the
     // same least/greatest expression — only the means are order-sensitive
     // fp sums, hence the 6dp round on both sides
+    // stat3: the same three passes; the fence compares raw quantile_cont
+    // values (engine-exact), only the reported med/mad round
+    "stat3_mad_outliers" ->
+      """WITH d AS (
+           SELECT lang,
+             (CASE WHEN doc_id % 97 = 0 THEN n_chars * 20 ELSE n_chars
+              END)::DOUBLE AS x
+           FROM documents),
+         m AS (
+           SELECT lang, quantile_cont(x, 0.5) AS med FROM d GROUP BY lang),
+         dev AS (
+           SELECT d.lang, abs(d.x - m.med) AS dv, m.med
+           FROM d JOIN m USING (lang)),
+         md AS (
+           SELECT lang, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY lang)
+         SELECT dev.lang, round(min(dev.med), 6) AS med,
+           round(min(md.mad), 6) AS mad,
+           count(*)::BIGINT AS n,
+           count(CASE WHEN dev.dv > 3.0 * md.mad THEN 1 END)::BIGINT
+             AS n_outliers
+         FROM dev JOIN md ON dev.lang = md.lang
+         GROUP BY dev.lang""",
     "stat2_winsorized" ->
       """WITH b AS (
            SELECT lang,
