@@ -237,6 +237,52 @@ object TextQueries {
         .select(col("doc_id"), col("rank"), col("word"), round(col("score"), 6).as("score"))
     }),
 
+    // TX19: DISTINCTIVE TERMS per corpus slice — log-odds ratio with a
+    // Dirichlet prior (Monroe et al. 2008, "Fightin' Words"), the
+    // corpus-COMPARISON face next to tx9's within-doc tf-idf: which words
+    // are overrepresented in THIS language's slice vs the rest, z-scored
+    // so rare flukes don't top the list (raw log-odds without the
+    // variance term ranks hapaxes first). The curation use: slice
+    // fingerprinting and contamination screening between corpus sources.
+    // Shapes: one token explode, three keyed aggregations off the same
+    // (lang, word) counts, a 1-row broadcast for the corpus totals, one
+    // per-lang top-k window. Every z input is an integer count, and the
+    // scoring chain is one fixed parenthesization mirrored textually in
+    // the oracle (the tx17 discipline) — engine-exact without rounding
+    // anything but the output.
+    "tx19_distinctive_terms" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val lw = words.groupBy("lang", "word").agg(count(lit(1)).as("y"))
+        .localCheckpoint() // three consumers below — explode the corpus once
+      val perLang = lw.groupBy("lang").agg(sum("y").as("n"))
+      val perWord = lw.groupBy("word").agg(sum("y").as("t"))
+      val globals = lw.agg(sum("y").as("big_n"),
+        countDistinct("word").as("vocab"))
+      val a0 = lit(0.01) * col("vocab")
+      val scored = lw.join(perLang, "lang").join(perWord, "word")
+        .crossJoin(broadcast(globals))
+        .withColumn("yr", col("t") - col("y"))
+        .withColumn("nr", col("big_n") - col("n"))
+        .withColumn("delta",
+          log((col("y") + lit(0.01)) /
+              (col("n") + a0 - col("y") - lit(0.01))) -
+          log((col("yr") + lit(0.01)) /
+              (col("nr") + a0 - col("yr") - lit(0.01))))
+        .withColumn("z", col("delta") /
+          sqrt(lit(1.0) / (col("y") + lit(0.01)) +
+               lit(1.0) / (col("yr") + lit(0.01))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("z").desc, col("word").asc)
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("word"),
+          round(col("z"), 6).as("z"))
+    }),
+
     // TX17: Okapi BM25 top-k retrieval for a fixed 3-term query — the
     // ranking function actually used where tx9's raw tf-idf is the teaching
     // form. Shapes: the tx9 token pipeline filtered to the query terms
@@ -2292,6 +2338,35 @@ object TextQueries {
     // hash-indistinguishable from rebuilding every golden record — the
     // apply ≡ recompute contract, d13's precedent applied to survivorship
     "d25b_golden_record_incremental" -> goldenRecordOracle,
+    // tx19: the same fixed parenthesization, every decimal literal cast
+    // ::DOUBLE (a naked 0.01 is DECIMAL in DuckDB and its exact arithmetic
+    // would diverge from the Spark side's double chain)
+    "tx19_distinctive_terms" ->
+      """WITH words AS (
+           SELECT lang, word
+           FROM documents,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) u(word)
+           WHERE word != ''),
+         lw AS (SELECT lang, word, count(*)::BIGINT AS y FROM words GROUP BY 1, 2),
+         pl AS (SELECT lang, sum(y)::BIGINT AS n FROM lw GROUP BY 1),
+         pw AS (SELECT word, sum(y)::BIGINT AS t FROM lw GROUP BY 1),
+         gl AS (SELECT sum(y)::BIGINT AS big_n,
+                  count(DISTINCT word)::BIGINT AS vocab FROM lw),
+         scored AS (
+           SELECT lw.lang, lw.word,
+             (ln((y + 0.01::DOUBLE) /
+                 (n + 0.01::DOUBLE * vocab - y - 0.01::DOUBLE))
+              - ln(((t - y) + 0.01::DOUBLE) /
+                   ((big_n - n) + 0.01::DOUBLE * vocab - (t - y) - 0.01::DOUBLE)))
+             / sqrt(1.0::DOUBLE / (y + 0.01::DOUBLE)
+                    + 1.0::DOUBLE / ((t - y) + 0.01::DOUBLE)) AS z
+           FROM lw JOIN pl USING (lang) JOIN pw USING (word) CROSS JOIN gl)
+         SELECT lang, rank, word, z FROM (
+           SELECT lang, word,
+             row_number() OVER (PARTITION BY lang ORDER BY z DESC, word) AS rank,
+             round(z, 6) AS z
+           FROM scored)
+         WHERE rank <= 3""",
     "tx9_tfidf_top_terms" ->
       """WITH words AS (
            SELECT doc_id, word

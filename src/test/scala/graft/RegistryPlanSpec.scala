@@ -31,6 +31,9 @@ class RegistryPlanSpec extends SparkSpec {
       "map-side bin expression; everything after the binned counts is " +
       "|bins|-row metadata"),
     "tx14_vocab_coverage" -> "cross join is a single broadcast scalar (corpus token total)",
+    "tx19_distinctive_terms" -> ("cross join is a single broadcast scalar " +
+      "pair (corpus token total + vocabulary size); the slice/word/global " +
+      "count joins are all equi-keyed"),
     "tc1_triangle_count" -> ("the only non-equi join is the final census assembly: a " +
       "crossJoin of two SINGLE-ROW aggregate frames (degree census x triangle count), " +
       "1x1 by construction; the wedge and closing joins are equi-joins"),
