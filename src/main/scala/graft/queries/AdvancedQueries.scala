@@ -26,6 +26,61 @@ object AdvancedQueries {
       .unionByName(a.filter(col("doc_id") % 103 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
 
+  /** The oracle twin of [[scd2Intervals]] — the CTE chain cdc4 and cdc7
+    * both replay (ends with an `intervals` CTE).
+    */
+  private val scd2IntervalCtes =
+    """snaps AS (
+           SELECT o_orderkey AS k, v.ver,
+             (round(o_totalprice * 100)::BIGINT
+               + CASE WHEN v.ver >= 2 AND o_orderkey % 7 = 0 THEN 100000 ELSE 0 END
+               + CASE WHEN v.ver >= 3 AND o_orderkey % 11 = 0 THEN 50000 ELSE 0 END)::BIGINT AS val
+           FROM orders, (VALUES (1), (2), (3)) v(ver)),
+         marked AS (
+           SELECT k, ver, val,
+             CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w != val
+                  THEN 1 ELSE 0 END AS chg
+           FROM snaps WINDOW w AS (PARTITION BY k ORDER BY ver)),
+         runs AS (
+           SELECT k, ver, val,
+             sum(chg) OVER (PARTITION BY k ORDER BY ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM marked),
+         intervals AS (
+           SELECT k, min(val) AS v, min(ver)::BIGINT AS ver_from,
+             max(ver)::BIGINT AS ver_to
+           FROM runs GROUP BY k, run)"""
+
+  /** cdc4/cdc7's shared SCD2 build: three deterministic snapshot versions
+    * of the orders dimension collapsed into validity intervals
+    * `(k, v, ver_from, ver_to)` — change detection by lag, run ids by
+    * prefix-sum, one grouped collapse per run.
+    */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val cents = round(col("o_totalprice") * 100).cast("bigint")
+    val snaps = (1 to 3).map { ver =>
+      o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
+        (cents +
+          when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
+          when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
+          .as("val"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("k").orderBy("ver")
+    val runs = snaps
+      .withColumn("chg",
+        when(lag(col("val"), 1).over(w).isNull ||
+          lag(col("val"), 1).over(w) =!= col("val"), 1).otherwise(0))
+      .withColumn("run",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy("k", "run")
+      .agg(min(col("val")).as("v"),
+        min(col("ver")).cast("bigint").as("ver_from"),
+        max(col("ver")).cast("bigint").as("ver_to"))
+      .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: filtered 3-way join, grouped revenue, deterministic
     // top-10. Filters reach the scans; top-k is TakeOrderedAndProject.
@@ -761,29 +816,26 @@ object AdvancedQueries {
     // dimension-history build, all window + agg (no iteration). Three
     // deterministic snapshot versions are carved from orders (bumps at
     // %7 from v2 and %11 from v3, integer cents).
-    "cdc4_scd2_intervals" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val o = Tables.orders(s, d)
-      val cents = round(col("o_totalprice") * 100).cast("bigint")
-      val snaps = (1 to 3).map { ver =>
-        o.select(col("o_orderkey").as("k"), lit(ver).as("ver"),
-          (cents +
-            when(lit(ver) >= 2 && col("o_orderkey") % 7 === 0, 100000L).otherwise(0L) +
-            when(lit(ver) >= 3 && col("o_orderkey") % 11 === 0, 50000L).otherwise(0L))
-            .as("val"))
-      }.reduce(_ unionByName _)
-      val w = Window.partitionBy("k").orderBy("ver")
-      val runs = snaps
-        .withColumn("chg",
-          when(lag(col("val"), 1).over(w).isNull ||
-            lag(col("val"), 1).over(w) =!= col("val"), 1).otherwise(0))
-        .withColumn("run",
-          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      runs.groupBy("k", "run")
-        .agg(min(col("val")).as("v"),
-          min(col("ver")).cast("bigint").as("ver_from"),
-          max(col("ver")).cast("bigint").as("ver_to"))
-        .select(col("k"), col("v"), col("ver_from"), col("ver_to"))
+    "cdc4_scd2_intervals" -> ((s, d) => scd2Intervals(s, d)),
+
+    // CDC7: POINT-IN-TIME JOIN — the lookup an SCD2 table exists FOR
+    // (cdc4 builds the history, cdc6 maintains it, this queries it): each
+    // fact row joins the dimension version that was valid AT ITS OWN
+    // version/time. Deterministic fact timestamps (orderkey % 3 + 1 spans
+    // all three snapshot versions). Plan shape: a plain keyed EQUI-join on
+    // k with the validity range as a residual filter — fan-out bounded by
+    // versions-per-key (≤3 here; version-count in general), never a
+    // nested-loop. At 100 TB this is the same shuffle the plain fact⋈dim
+    // join pays; the temporal predicate rides free.
+    "cdc7_pit_join" -> ((s, d) => {
+      val dim = scd2Intervals(s, d)
+      val facts = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("fk"), col("l_linenumber"),
+        (col("l_orderkey") % 3 + 1).as("at_ver"))
+      facts.join(dim,
+          col("fk") === col("k") &&
+            col("at_ver").between(col("ver_from"), col("ver_to")))
+        .select(col("k"), col("l_linenumber"), col("at_ver"), col("v"))
     }),
 
     // CDC → SCD2 MAINTENANCE: apply a NEW snapshot to an EXISTING SCD2
@@ -1784,25 +1836,17 @@ object AdvancedQueries {
            FROM orders WHERE o_orderkey % 3 != 0)
          SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS total_cents
          FROM next GROUP BY g""",
-    "cdc4_scd2_intervals" ->
-      """WITH snaps AS (
-           SELECT o_orderkey AS k, v.ver,
-             (round(o_totalprice * 100)::BIGINT
-               + CASE WHEN v.ver >= 2 AND o_orderkey % 7 = 0 THEN 100000 ELSE 0 END
-               + CASE WHEN v.ver >= 3 AND o_orderkey % 11 = 0 THEN 50000 ELSE 0 END)::BIGINT AS val
-           FROM orders, (VALUES (1), (2), (3)) v(ver)),
-         marked AS (
-           SELECT k, ver, val,
-             CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w != val
-                  THEN 1 ELSE 0 END AS chg
-           FROM snaps WINDOW w AS (PARTITION BY k ORDER BY ver)),
-         runs AS (
-           SELECT k, ver, val,
-             sum(chg) OVER (PARTITION BY k ORDER BY ver
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-           FROM marked)
-         SELECT k, min(val) AS v, min(ver)::BIGINT AS ver_from, max(ver)::BIGINT AS ver_to
-         FROM runs GROUP BY k, run""",
+    "cdc4_scd2_intervals" -> s"""WITH $scd2IntervalCtes
+         SELECT k, v, ver_from, ver_to FROM intervals""",
+    // cdc7: the same interval rebuild, then the validity lookup from first
+    // principles — one equi+range join
+    "cdc7_pit_join" -> s"""WITH $scd2IntervalCtes
+         SELECT i.k, f.l_linenumber, f.at_ver, i.v
+         FROM (SELECT l_orderkey AS k, l_linenumber,
+                 (l_orderkey % 3 + 1)::BIGINT AS at_ver
+               FROM lineitem) f
+         JOIN intervals i
+           ON i.k = f.k AND f.at_ver BETWEEN i.ver_from AND i.ver_to""",
     // cdc6's oracle IS cdc4's full three-snapshot rebuild: apply ≡ rebuild
     // (%13 keys absent from v3 = deletes; %17 keys present only at v3 =
     // births — the rebuild covers both, so the hash proves the delete and
