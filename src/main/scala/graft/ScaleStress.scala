@@ -123,7 +123,17 @@ object ScaleStress {
     // not the corpus (measured r100 = 2.1) — in the roster because
     // incremental maintenance REGRESSING to a full rebuild is precisely
     // the failure this sweep exists to catch
-    "ppr1_personalized_pagerank", "d25b_golden_record_incremental")
+    "ppr1_personalized_pagerank", "d25b_golden_record_incremental",
+    // round-16 second-pass additions, the two expensive new faces: lp1's
+    // per-round label join + vote window is the fourth iterative-graph
+    // shape (measured r100 = 11.0, the pr1/kc1 band); cdc7's point-in-time
+    // lookup is the fact⋈SCD2 equi-join whose residual range predicate
+    // must stay a filter on a keyed join at scale (measured r100 = 7.9,
+    // SortMergeJoin). The other seven second-pass faces are query-side
+    // bounded or overhead-dominated sub-second scans (measured r100 =
+    // 0.57-1.37 in the late-additions table) — no distributed shape left
+    // to stress
+    "lp1_label_propagation", "cdc7_pit_join")
 
   val ratioBound = 15.0
 
