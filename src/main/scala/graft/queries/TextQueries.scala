@@ -88,7 +88,9 @@ object TextQueries {
     * TRUNCATES past the pad width, which would silently break the
     * ordering for 10^pad-char texts).
     */
-  private def goldenMerge(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  // private[graft]: StreamingGoldenRecordSpec drives the same merge through
+  // the snapshot store's exactly-once streaming commits
+  private[graft] def goldenMerge(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val labeled = docs.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
     val textKey = concat(lpad(length(col("text")).cast("string"), 12, "0"),
