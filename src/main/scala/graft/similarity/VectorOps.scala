@@ -191,10 +191,22 @@ object VectorOps {
     *                      one index serves every predicate. Queries with
     *                      fewer than k in-predicate neighbors in the probed
     *                      cells return fewer rows (never wrong rows).
+    * @param tombstones   DELETED ids (a 1-column `n_id` frame): anti-joined
+    *                      out of the assigned corpus before the probe join —
+    *                      the index-lifecycle DELETE (v9c's append is the
+    *                      insert) that serves correct results WITHOUT
+    *                      retraining or rewriting the index. Deletes are a
+    *                      TABLE (takedowns, opt-outs, dedup victims), not a
+    *                      column predicate, hence the anti-join rather than
+    *                      corpusFilter; at serving scale the tombstone set
+    *                      is small and broadcasts. Cell geometry untouched
+    *                      (deleted centroids still define their cells —
+    *                      they index, they just never surface).
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
       nCells: Int, nProbe: Int, k: Int,
-      corpusFilter: Option[Column] = None): DataFrame = {
+      corpusFilter: Option[Column] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
@@ -216,8 +228,11 @@ object VectorOps {
     val corpusCells0 = assign(withN, "n_id", "nv", "nn", 1, "cell")
     // pre-filter: prune the inverted lists before the probe join, then drop
     // the metadata column so it can't collide with query-side names
-    val corpusCells = corpusFilter.fold(corpusCells0)(p =>
+    val corpusCells1 = corpusFilter.fold(corpusCells0)(p =>
       corpusCells0.filter(p).select(col("n_id"), col("nv"), col("nn"), col("cell")))
+    // tombstones: same pre-probe pruning, as an anti-join on id
+    val corpusCells = tombstones.fold(corpusCells1)(t =>
+      corpusCells1.join(broadcast(t.select("n_id")), Seq("n_id"), "left_anti"))
     val q = withNorm(queries, "nv", "nn")
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
     val queryCells = assign(q, "q_id", "qv", "qn", nProbe, "cell")

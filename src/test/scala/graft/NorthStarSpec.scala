@@ -192,6 +192,41 @@ class NorthStarSpec extends SparkSpec {
     assert(unfiltered.exists(r => tagOf(r.getLong(2)) == 1))
   }
 
+  test("tombstoned ivf ann: deleted ids never surface, survivors re-fill the k slots") {
+    // the filtered-ANN fixture (interleaved clusters, seeds span them)
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val v = centroids(i % 8).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      (i.toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val q = df.filter(col("n_id") < 10).select(col("n_id"), col("nv"))
+    val before = VectorOps.ivfTopK(df, q, nCells = 8, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // kill every id the untombstoned search returned for query 0: the
+    // hardest case — all five of that query's former answers are gone
+    val deadIds = before.filter(_._1 == 0L).map(_._2).toSet
+    val dead = deadIds.toSeq.toDF("n_id")
+    val after = VectorOps.ivfTopK(df, q, nCells = 8, nProbe = 2, k = 5,
+      tombstones = Some(dead)).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(after.forall(p => !deadIds.contains(p._2)),
+      "a tombstoned id surfaced")
+    // k re-fills from survivors: each cell still holds ~20 live members
+    val perQuery = after.groupBy(_._1).map(_._2.length)
+    assert(perQuery.size == 10 && perQuery.forall(_ == 5),
+      s"under-filled k after deletes: ${perQuery.toSeq}")
+    // and queries whose answers were untouched return them unchanged
+    val touched = before.filter(p => deadIds.contains(p._2)).map(_._1).toSet
+    val beforeByQ = before.groupBy(_._1); val afterByQ = after.groupBy(_._1)
+    (0L until 10L).filterNot(touched).foreach { qid =>
+      assert(beforeByQ(qid).toSet == afterByQ(qid).toSet, s"query $qid drifted")
+    }
+  }
+
   test("mmr rerank: redundancy is traded away, zero diversity weight degenerates to top-k") {
     import spark.implicits._
     // 2D fixture: c1 (5 deg off the query) and c2 (7 deg) are near-dups of

@@ -49,6 +49,9 @@ class RegistryPlanSpec extends SparkSpec {
       "metadata predicate then PRUNES the assigned corpus before the cell " +
       "equi-join (pre-filtered search — see the dedicated filter-placement " +
       "test below)"),
+    "v17_knn_tombstoned" -> ("v4's O(n*k) broadcast-centroid assignment; " +
+      "the tombstone table is then ANTI-JOINED out of the assigned corpus " +
+      "before the cell equi-join (see the dedicated placement test below)"),
     "v9_knn_ivfpq" -> ("v4's O(n*k) broadcast-centroid coarse assignment plus the " +
       "O(n*m*ksub) broadcast-codebook PQ encode — the ADC search itself is the " +
       "cell equi-join then (b, cell) equi-joins over code ids"),
@@ -193,6 +196,24 @@ class RegistryPlanSpec extends SparkSpec {
     // can post-filter what is no longer in scope
     assert(!probe.output.exists(_.name == "label"),
       s"label column leaked above the probe join:\n$plan")
+  }
+
+  test("v17 removes tombstones BELOW the probe join (serving-time delete, no index rewrite)") {
+    val df = SparkEntry.queries("v17_knn_tombstoned")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val probeJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(probeJoins.nonEmpty, s"no cell equi-join found:\n$plan")
+    val probe = probeJoins.head
+    // the tombstone anti-join must sit in a probe INPUT subtree: filtering
+    // the top-k after the join would silently under-fill k near deletions
+    val preAnti = probe.children.exists(side => side.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.nonEmpty)
+    assert(preAnti, s"tombstone anti-join not below the probe join:\n$plan")
   }
 
   test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
