@@ -200,6 +200,10 @@ object QualityAudit {
       nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(nBins >= 2, s"psi needs at least 2 bins, got $nBins")
     require(eps > 0, s"psi eps must be positive, got $eps")
+    // valueCol lands inside an expr() string — fail fast on anything that
+    // isn't a plain identifier instead of parsing garbage (or worse)
+    require(valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"psi valueCol must be a plain identifier, got '$valueCol'")
     // probs snapped to 6-decimal values: i/nBins.toDouble would print as
     // e.g. 0.30000000000000004, and the SQL replay's 0.3 literal parses to
     // a (negligibly but not identically) different double — snapping makes

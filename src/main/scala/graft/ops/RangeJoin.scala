@@ -52,8 +52,13 @@ object RangeJoin {
       aLo: String, aHi: String, bLo: String, bHi: String,
       cellSize: Double): DataFrame = {
     val cellOf: Column => Column = c => floor(c / cellSize).cast("bigint")
+    // empty intervals ([x, x) or inverted) are dropped up front: the
+    // standard overlap predicate lo1 < hi2 AND lo2 < hi1 assumes non-empty
+    // inputs — fed an empty [5, 5) it happily "overlaps" [4, 6), and the
+    // cell sequence would even run BACKWARDS (sequence(c, c-1) descends).
+    // An empty set intersects nothing; make that true by construction.
     def spanned(df: DataFrame, lo: String, hi: String) =
-      df.withColumn("__cell",
+      df.filter(col(lo) < col(hi)).withColumn("__cell",
         explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(1e-9)))))
     spanned(a, aLo, aHi).join(spanned(b, bLo, bHi), "__cell")
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))

@@ -176,6 +176,14 @@ class QualityAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       QualityAudit.profile(rows, Seq.empty)
     }
+    // psi's valueCol is interpolated into an expr() string: reject
+    // non-identifier names before they reach the parser
+    intercept[IllegalArgumentException] {
+      QualityAudit.psi(rows, rows, "score, score)")
+    }
+    intercept[IllegalArgumentException] {
+      QualityAudit.psi(rows, rows, "score", nBins = 1)
+    }
     intercept[IllegalArgumentException] {
       QualityAudit.profile(rows, Seq(RowCount, CustomMetric("row_count", count(lit(1)).cast("double"))))
     }

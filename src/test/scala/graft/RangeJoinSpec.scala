@@ -29,6 +29,16 @@ class RangeJoinSpec extends SparkSpec {
       s"expected exactly {a1-b1, a1-b3} once each, got $got")
   }
 
+  test("overlap: empty intervals intersect nothing") {
+    // [15, 15) is the empty set — the raw predicate lo1 < hi2 AND lo2 < hi1
+    // would match it against [10, 20); the operator must not
+    val a = Seq((1L, 15.0, 15.0), (2L, 30.0, 25.0)) // empty + inverted
+    val b = Seq((1L, 10.0, 20.0), (2L, 20.0, 40.0))
+    assert(pairsOf(a, b, cellSize = 10.0).isEmpty)
+    // and symmetric: an empty right side matches nothing either
+    assert(pairsOf(b.map(x => (x._1, x._2, x._3)), a, cellSize = 10.0).isEmpty)
+  }
+
   test("overlap: brute-force agreement on seeded random intervals") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { trial =>
@@ -40,6 +50,7 @@ class RangeJoinSpec extends SparkSpec {
       }
       val want = (for {
         (ai, alo, ahi) <- a; (bi, blo, bhi) <- b
+        if alo < ahi && blo < bhi // non-empty (the operator's contract)
         if alo < bhi && blo < ahi
       } yield (ai, bi)).sorted
       // deliberately mismatched cell size (intervals up to 30 wide, cells
