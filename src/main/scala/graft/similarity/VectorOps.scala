@@ -82,21 +82,27 @@ object VectorOps {
     * (half-up)). The greedy argmax (score DESC, id ASC) sorts those same
     * bit-exact doubles.
     *
-    * Scale shape: the shortlist is the bounded brute-force broadcast pass
-    * (|Q| fixed — v1's documented shape; swap in ivfTopK for a corpus-side
-    * index at serving scale), and every greedy step is |Q|·shortlist rows
+    * Scale shape: the shortlist stage is PLUGGABLE (`shortlistOf`) — the
+    * default is the bounded brute-force broadcast pass (v1's documented
+    * shape, exact relevance), and a serving deployment passes
+    * `ivfTopK(_, _, cells, probes, _)` to shortlist through the index
+    * instead of scanning the corpus per query (spec-pinned in
+    * NorthStarSpec). Either way every greedy step is |Q|·shortlist rows
     * joined against |Q|·(t−1) selected rows — constant per query, never a
     * corpus scan. The k-step loop is a fixed unroll: k is a serving
     * constant (3–10), not data-dependent.
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int, k: Int,
-      selW: Double, divW: Double): DataFrame = {
+      selW: Double, divW: Double,
+      shortlistOf: (DataFrame, DataFrame, Int) => DataFrame = bruteForceTopK)
+      : DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got $shortlist/$k")
     val cn = withNorm(corpus, "nv", "nn").select(col("n_id"), col("nv"), col("nn"))
     // shortlist reused by every greedy step: checkpoint-tracked so the
-    // brute-force pass runs once, not k times
+    // candidate-generation pass runs once, not k times. Any generator with
+    // the (q_id, rank, n_id, cos) contract fits; rel = its 6dp cos.
     val sl = graft.ops.Checkpoints.tracked(
-      bruteForceTopK(corpus, queries, shortlist)
+      shortlistOf(corpus, queries, shortlist)
         .select(col("q_id"), col("n_id"), col("cos").as("rel"))
         .join(cn, "n_id"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

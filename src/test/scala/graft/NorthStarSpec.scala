@@ -251,6 +251,42 @@ class NorthStarSpec extends SparkSpec {
     assert(plain.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mmr rerank composes with an ivf shortlist (the serving-scale shape)") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val v = centroids(i % 8).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      (i.toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val q = df.filter(col("n_id") < 6)
+      .select(col("n_id").as("q_id"), col("nv").as("qv"))
+    // shortlist through the index instead of the brute-force corpus scan
+    // (the generator contract is (q_id, rank, n_id, cos); ivfTopK takes
+    // (n_id, nv)-shaped queries, so the lambda adapts the column names)
+    val viaIvf: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+      (c, qs, n) => VectorOps.ivfTopK(c,
+        qs.select(col("q_id").as("n_id"), col("qv").as("nv")),
+        nCells = 8, nProbe = 2, k = n)
+    val picks = VectorOps.mmrRerank(df, q, shortlist = 10, k = 3,
+      selW = 0.5, divW = 0.5, shortlistOf = viaIvf).collect()
+    // k fills per query, no duplicate selections
+    val byQ = picks.groupBy(_.getLong(0))
+    assert(byQ.size == 6 && byQ.values.forall(_.length == 3))
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getLong(2)).distinct.length == 3, "duplicate pick"))
+    // divW = 0 over the same shortlist is exactly the ivf top-k order
+    val plain = VectorOps.mmrRerank(df, q, shortlist = 3, k = 3,
+      selW = 1.0, divW = 0.0, shortlistOf = viaIvf)
+      .orderBy("q_id", "step").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = viaIvf(df, q, 3)
+      .orderBy("q_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(plain.toSeq == want.toSeq)
+  }
+
   test("ivf-pq ann: cluster-faithful retrieval under 16x code compression") {
     // PQ erases WITHIN-cluster distinctions by construction (same-cluster
     // members quantize to the same codes), so the meaningful quality bar is

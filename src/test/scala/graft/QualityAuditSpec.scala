@@ -192,6 +192,32 @@ class QualityAuditSpec extends SparkSpec {
     }
   }
 
+  test("drift and psi wire directly onto snapshot-store versions (the deployed shape)") {
+    // the dd1/dd2 registry faces compare fixture slices; operationally the
+    // two sides are two VERSIONS of one snapshot table — prove the wiring:
+    // pinned version reads are plain DataFrames, so the monitors run on
+    // them unchanged, and a commit landing mid-monitor can't skew either
+    // side (reads stay pinned)
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val v0 = (1L to 80L).map(i => (i, i * 10.0)).toDF("id", "v")
+    // v1 doubles the top half's values and drops ids % 7
+    val v1 = (1L to 80L).filter(_ % 7 != 0)
+      .map(i => (i, if (i > 40) i * 20.0 else i * 10.0)).toDF("id", "v")
+    SnapshotStore.commit(spark, v0, dir, None)
+    SnapshotStore.commit(spark, v1, dir, Some(0L))
+    val base = SnapshotStore.read(spark, dir, Some(0L))
+    val cur = SnapshotStore.read(spark, dir) // current = v1
+    val d = QualityAudit.drift(base, cur, Seq(RowCount, MeanOf("v")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("row_count").getDouble(1) == 80.0)
+    assert(d("row_count").getDouble(2) == 69.0)
+    assert(d("mean(v)").getDouble(3) > 0.0, "upper-half doubling must lift the mean")
+    val psiTotal = QualityAudit.psi(base, cur, "v", nBins = 4)
+      .collect().map(_.getDouble(3)).sum
+    assert(psiTotal > 0.1, s"distribution shift must register, psi=$psiTotal")
+  }
+
   test("malformed checks are rejected up front, not at parse/execute time") {
     // backtick in a Custom name would break out of the quoted identifier
     intercept[IllegalArgumentException] {
