@@ -213,6 +213,31 @@ object TextQueries {
         col("doc_id"),
         TextAnalysis.fingerprintBow(col("text")).as("fp"))),
 
+    // TX20: MIXED-LANGUAGE detection — the curation screen tx3's whole-doc
+    // lang-id can't give (a doc that is half English half German id's
+    // confidently as one of them and poisons both language buckets): run
+    // the same marker heuristic on each HALF and flag disagreement.
+    // The fixture's text is synthetic English-ish regardless of its lang
+    // label, so the pathology is INJECTED deterministically (the
+    // dq1/stat3 precedent): every %31 doc gets a German-marker tail
+    // appended — the concatenated-pages shape a crawler produces — and
+    // must flag as mixed with an oracle-replayed count. Scale: pure
+    // per-row regex work, shuffle-free; the real pipeline drops or
+    // splits flagged docs before anything tokenizes them.
+    "tx20_mixed_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mixed = docs.select(col("doc_id"),
+        when(col("doc_id") % 31 === 0,
+          concat(col("text"), lit(mixTail))).otherwise(col("text"))
+          .as("text"))
+      val half = floor(length(col("text")) / 2).cast("int")
+      val head = TextAnalysis.langId(col("text").substr(lit(1), half))
+      val tail = TextAnalysis.langId(
+        col("text").substr(half + 1, length(col("text"))))
+      mixed.select(col("doc_id"), head.as("lang_head"), tail.as("lang_tail"),
+        (head =!= tail).as("is_mixed"))
+    }),
+
     // TX9: per-doc top-3 tf-idf terms — the relational tf-idf composition
     // (term explode -> tf agg -> df agg -> broadcast N -> score window).
     // Two shuffles (tf and df, both keyed) + a broadcast of the scalar doc
@@ -1582,6 +1607,14 @@ object TextQueries {
        WHERE len(w) >= 3"""
   private[queries] val shingleCte = shingleCteFor("doc_id")
 
+  /** tx20's injected German tail — one constant shared by the Spark face
+    * and the oracle (four marker repetitions: comfortably outscores the
+    * ~half-doc of English markers the tail half retains). ASCII only, no
+    * quote characters, so the SQL literal is the verbatim string.
+    */
+  private val mixTail =
+    " der die das und ist nicht" * 4
+
   // Oracle mirror of Dedup.withMinhashSig: two 60-bit values per seeded md5.
   // minhashWidth is THE signature width — the face passes it to
   // withMinhashSig and the oracle loops/divisors derive from it, so a
@@ -2499,6 +2532,41 @@ object TextQueries {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
          FROM documents""",
+    // tx20: the lang-id CASE is GENERATED from the same langMarkers table
+    // the Spark expression folds over (identical patterns, identical
+    // en-wins-ties priority), applied to each half; the injected tail is
+    // the same shared constant
+    "tx20_mixed_lang" -> {
+      def langCase(h: String): String = {
+        val ms = graft.text.TextAnalysis.langMarkers
+        def score(p: String) = s"len(regexp_extract_all(lower($h), '$p'))"
+        val ss = ms.map { case (l, p) => l -> score(p) }
+        val whens = ss.init.zipWithIndex.map { case ((l, sc), i) =>
+          val conds = ss.drop(i + 1).map(_._2)
+            .map(r => s"$sc >= $r").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n                ")
+        s"CASE ${whens}\n                ELSE '${ss.last._1}' END"
+      }
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN text || '$mixTail'
+                  ELSE text END AS text
+           FROM documents),
+         halves AS (
+           SELECT doc_id,
+             substr(text, 1, (length(text) // 2)::INT) AS ha,
+             substr(text, (length(text) // 2)::INT + 1) AS hb
+           FROM m),
+         scored AS (
+           SELECT doc_id,
+             ${langCase("ha")} AS lang_head,
+             ${langCase("hb")} AS lang_tail
+           FROM halves)
+         SELECT doc_id, lang_head, lang_tail,
+           lang_head != lang_tail AS is_mixed
+         FROM scored"""
+    },
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
          FROM documents GROUP BY 1""",
