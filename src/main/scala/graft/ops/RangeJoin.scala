@@ -16,17 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** MINIMUM-RESOLUTION CONTRACT (both [[grid]] and [[overlap]]): the
+    * half-open upper bound is realized by registering an interval only up
+    * to `cellOf(hi − 1e-9)` — an ABSOLUTE epsilon. Callers must therefore
+    * feed data whose granularity is ≫ 1e-9 (dates, timestamps, prices,
+    * integer axes all qualify by many orders of magnitude): an interval or
+    * overlap narrower than 1e-9, or a `lo` within 1e-9 below another
+    * side's `hi` across a cell boundary, is treated as empty and dropped.
+    * A relative epsilon would need to ride into every SQL oracle replaying
+    * the cell registration; the absolute form is what the rj1/iv1 oracles
+    * pin, and the contract here is the price of that exactness.
+    */
+  val Epsilon = 1e-9
+
   /** @param points    must carry `xCol`
     * @param intervals must carry `loCol`, `hiCol` (lo inclusive, hi exclusive)
-    * @param cellSize  grid pitch; pick ~= typical interval span
+    * @param cellSize  grid pitch; pick ~= typical interval span (must be > 0
+    *                  and ≫ [[Epsilon]] — see the resolution contract above)
     */
   def grid(
       points: DataFrame, intervals: DataFrame,
       xCol: String, loCol: String, hiCol: String,
       cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0, got $cellSize")
     val cellOf: Column => Column = c => floor(c / cellSize).cast("bigint")
     val cells = intervals.withColumn("__cell",
-      explode(sequence(cellOf(col(loCol)), cellOf(col(hiCol) - lit(1e-9)))))
+      explode(sequence(cellOf(col(loCol)), cellOf(col(hiCol) - lit(Epsilon)))))
     points.withColumn("__cell", cellOf(col(xCol)))
       .join(cells, "__cell")
       .filter(col(xCol) >= col(loCol) && col(xCol) < col(hiCol))
@@ -36,7 +51,8 @@ object RangeJoin {
   /** INTERVAL-OVERLAP join: every pair of intervals `[aLo, aHi)` × `[bLo,
     * bHi)` with a non-empty intersection — the two-sided generalization of
     * [[grid]] (sessions × promotion windows, shifts × incidents, any
-    * temporal-overlap question). Same grid recipe, both sides registered in
+    * temporal-overlap question; subject to the same resolution contract —
+    * see [[Epsilon]]). Same grid recipe, both sides registered in
     * every cell they span; a pair sharing several cells is emitted EXACTLY
     * ONCE without a distinct: only the cell containing the overlap's start
     * (`greatest(aLo, bLo)` — a cell both sides registered by construction)
@@ -51,6 +67,7 @@ object RangeJoin {
       a: DataFrame, b: DataFrame,
       aLo: String, aHi: String, bLo: String, bHi: String,
       cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0, got $cellSize")
     val cellOf: Column => Column = c => floor(c / cellSize).cast("bigint")
     // empty intervals ([x, x) or inverted) are dropped up front: the
     // standard overlap predicate lo1 < hi2 AND lo2 < hi1 assumes non-empty
@@ -59,7 +76,7 @@ object RangeJoin {
     // An empty set intersects nothing; make that true by construction.
     def spanned(df: DataFrame, lo: String, hi: String) =
       df.filter(col(lo) < col(hi)).withColumn("__cell",
-        explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(1e-9)))))
+        explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(Epsilon)))))
     spanned(a, aLo, aHi).join(spanned(b, bLo, bHi), "__cell")
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
       .filter(col("__cell") === greatest(cellOf(col(aLo)), cellOf(col(bLo))))

@@ -173,17 +173,65 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Corpus-side nearest-cell assignment WITHOUT the n·k row explosion:
+    * the centroid set is reduced to ONE array-of-structs row (sorted by
+    * cell id), attached to every corpus row by a broadcast 1-row cross
+    * join, and each row computes its argmax-cosine cell with a single
+    * `aggregate` fold over that array — k fused dot products per row
+    * inside one expression, never k joined rows.
+    *
+    * Why this exists: with the corpus-scaled cell count ([[graft.queries
+    * .VectorQueries.ivfCells]], k ≈ √n) the old crossJoin+window
+    * assignment materializes n·k = n^1.5 rows through a shuffle+sort —
+    * the training pass would then grow FASTER than the serving pass it
+    * exists to shrink. The fold keeps assignment at n rows × O(k·dim)
+    * codegen-adjacent work (the dot is [[graft.functions.DotProduct]]'s
+    * tight eval loop) with one O(k·dim) broadcast — the same cost model a
+    * native IVF trainer has.
+    *
+    * Determinism: the array is sorted by cell id and the fold takes a
+    * STRICTLY greater cosine, so equal-cosine ties keep the smallest cell —
+    * exactly the window's `ORDER BY csim DESC, cell ASC` contract, on the
+    * same double values (same fused dot, same divide). Zero-norm vectors
+    * (cosine NaN) are assumed absent, as everywhere in this file.
+    *
+    * Returns every input column plus `cell` and `csim`.
+    */
+  private def foldAssign(df: DataFrame, centroids: DataFrame,
+      vec: String, norm: String): DataFrame = {
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv"), col("cn")))).as("cents"))
+    val init = struct(
+      lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cell"))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        aggregate(col("cents"), init, (acc, c) => {
+          val sim = dot(col(vec), c.getField("cv")) /
+            (col(norm) * c.getField("cn"))
+          when(sim > acc.getField("s"),
+            struct(sim.as("s"), c.getField("cell").as("cell")))
+            .otherwise(acc)
+        }))
+      .drop("cents")
+      .withColumn("cell", col("best.cell"))
+      .withColumn("csim", col("best.s"))
+      .drop("best")
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells` cells
     * (centroids = the first nCells vectors by id — a deterministic sample,
     * the standard "train on a sample" quantizer), then answer queries by
     * probing the `nProbe` nearest cells only.
     *
-    * Scale shape: assignment is corpus ⋈ broadcast(centroids) (one pass);
-    * search is an equi-join on cell id, touching ~nProbe/nCells of the
-    * corpus per query instead of all of it. Complements LSH: IVF adapts to
-    * the data distribution, LSH is oblivious but needs no training pass.
-    */
-  /** @param corpusFilter FILTERED ANN: restrict the searchable corpus to
+    * Scale shape: corpus assignment is the [[foldAssign]] broadcast fold
+    * (n rows × k dots, no row explosion); the bounded query side keeps the
+    * crossJoin+window probe (it needs the top-`nProbe` cells, and |Q| is a
+    * serving batch); search is an equi-join on cell id, touching
+    * ~nProbe/nCells of the corpus per query instead of all of it.
+    * Complements LSH: IVF adapts to the data distribution, LSH is
+    * oblivious but needs no training pass.
+    *
+    * @param corpusFilter FILTERED ANN: restrict the searchable corpus to
     *                      rows satisfying the predicate (metadata filtering —
     *                      "nearest neighbors among label-X vectors"). The
     *                      filter is applied to the assigned corpus BEFORE the
@@ -217,9 +265,11 @@ object VectorOps {
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    // cell assignment: nearest centroid by cosine. The rank window partitions
-    // by the ROW ID alone — ids are unique, so that is the per-row rank, and
-    // the shuffle/compare key is one long, never the 64-double vector.
+    // query-side cell probe: nearest `rankLimit` centroids by cosine. The
+    // rank window partitions by the ROW ID alone — ids are unique, so that
+    // is the per-row rank, and the shuffle/compare key is one long, never
+    // the 64-double vector. Bounded: |Q| is a serving batch, so q·k rows
+    // are fine here; the CORPUS side uses the no-explosion foldAssign.
     def assign(df: DataFrame, idCol: String, vec: String, norm: String,
         rankLimit: Int, out: String) = {
       val keep = df.columns.map(col)
@@ -231,7 +281,8 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell").as(out): _*)
     }
-    val corpusCells0 = assign(withN, "n_id", "nv", "nn", 1, "cell")
+    val corpusCells0 = foldAssign(withN, centroids, "nv", "nn")
+      .select(withN.columns.map(col).toIndexedSeq :+ col("cell"): _*)
     // pre-filter: prune the inverted lists before the probe join, then drop
     // the metadata column so it can't collide with query-side names
     val corpusCells1 = corpusFilter.fold(corpusCells0)(p =>
@@ -288,18 +339,19 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell"): _*)
     }
-    // train: per iteration, assign to the previous centroids and take the
-    // per-cell vector mean
+    // train: per iteration, assign to the previous centroids (foldAssign —
+    // no n·k row explosion per pass) and take the per-cell vector mean
     val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      assignTo(cents, withN, "n_id", "nv", "nn", 1)
+      foldAssign(withN, cents, "nv", "nn")
         .groupBy("cell")
         .agg(vecMean(col("nv")).as("mv"))
         .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
     }
     // search: same probe shape as ivfTopK, against the trained centroids
-    val corpusCells = assignTo(refined, withN, "n_id", "nv", "nn", 1)
+    val corpusCells = foldAssign(withN, refined, "nv", "nn")
+      .select(withN.columns.map(col).toIndexedSeq :+ col("cell"): _*)
     val q = withNorm(queries, "nv", "nn")
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
     val queryCells = assignTo(refined, q, "q_id", "qv", "qn", nProbe)
@@ -332,22 +384,18 @@ object VectorOps {
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val seeds = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    def scored(cents: DataFrame) = {
-      val w = Window.partitionBy(col("n_id")).orderBy(col("csim").desc, col("cell").asc)
-      withN.crossJoin(broadcast(cents))
-        .withColumn("csim", cosineWithNorms(col("nv"), col("cv"), col("nn"), col("cn")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-    }
+    // assignment is the no-explosion broadcast fold (see foldAssign): same
+    // argmax on the same doubles as the historical crossJoin+window, n rows
+    // per pass instead of n·k
     val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      scored(cents)
+      foldAssign(withN, cents, "nv", "nn")
         .groupBy("cell")
         .agg(vecMean(col("nv")).as("mv"))
         .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
     }
-    scored(refined)
+    foldAssign(withN, refined, "nv", "nn")
       .select(col("n_id"), col("nv"), col("nn"), col("cell"),
         round(col("csim"), 6).as("csim"))
   }
@@ -495,7 +543,8 @@ object VectorOps {
     // coarse IVF quantizer: first-nCells vectors by id (deterministic sample)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    val corpusCells = coarseAssign(withN, centroids, "n_id", 1)
+    // corpus assignment via the no-explosion broadcast fold (see foldAssign)
+    val corpusCells = foldAssign(withN, centroids, "nv", "nn")
       .select("n_id", "cell")
     // ---- PQ codebook over (residual) unit-vector sub-blocks ----
     val unit = withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))
@@ -544,7 +593,7 @@ object VectorOps {
       m: Int, dsub: Int): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-    val cells = coarseAssign(withN, model.centroids, "n_id", 1)
+    val cells = foldAssign(withN, model.centroids, "nv", "nn")
       .select("n_id", "cell")
     val subs = subBlocks(
       withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),

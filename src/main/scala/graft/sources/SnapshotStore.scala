@@ -122,9 +122,41 @@ object SnapshotStore {
       expectedBase: Option[Long], tags: Map[String, String] = Map.empty): Long =
     commitCore(spark, df, dir, expectedBase, append = true, tags)
 
+  /** A commit staged to the brink of its publish: data files moved under
+    * `data/` (unreferenced, invisible), manifest written at its hidden
+    * `tmp` name — everything except the atomic `tmp -> fin` metadata op.
+    * [[commitCore]] publishes immediately; [[commitGroup]] stages every
+    * member table first and lets ONE group-manifest publish decide them
+    * all.
+    */
+  private case class StagedCommit(fs: FileSystem, next: Long, tmp: Path,
+      fin: Path, dataDir: Path, moved: Seq[String]) {
+    /** Discard a staged commit that will never publish (lost race). */
+    def abandon(): Unit = {
+      fs.delete(tmp, false)
+      moved.foreach(n => fs.delete(new Path(dataDir, n), false))
+    }
+  }
+
   private def commitCore(spark: SparkSession, df: DataFrame, dir: String,
       expectedBase: Option[Long], append: Boolean,
       tags: Map[String, String]): Long = {
+    val st = stageCore(spark, df, dir, expectedBase, append, tags)
+    if (!publishAtomic(st.fs, st.tmp, st.fin)) {
+      // the loser's freshly staged files are referenced by nothing and its
+      // retry will stage anew — reclaim now rather than leaving one
+      // batch-sized orphan set per lost race for vacuum's horizon
+      st.abandon()
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict at $dir: version ${st.next} was " +
+          "published concurrently — re-read and retry")
+    }
+    st.next
+  }
+
+  private def stageCore(spark: SparkSession, df: DataFrame, dir: String,
+      expectedBase: Option[Long], append: Boolean,
+      tags: Map[String, String]): StagedCommit = {
     require(tags.keys.forall(k => !k.contains("=") && !k.contains("\n")) &&
       tags.values.forall(v => !v.contains("\n")), s"malformed tags: $tags")
     val (fs, p) = fsOf(spark, dir)
@@ -190,18 +222,7 @@ object SnapshotStore {
     try out.write((df.schema.json +: (tagLines ++ carried ++ moved))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new Path(md, manifestName(next))
-    if (!publishAtomic(fs, tmp, fin)) {
-      fs.delete(tmp, false)
-      // the loser's freshly staged files are referenced by nothing and its
-      // retry will stage anew — reclaim now rather than leaving one
-      // batch-sized orphan set per lost race for vacuum's horizon
-      moved.foreach(n => fs.delete(new Path(dataDir, n), false))
-      throw new SnapshotConflictException(
-        s"snapshot commit conflict at $dir: version $next was " +
-          "published concurrently — re-read and retry")
-    }
-    next
+    StagedCommit(fs, next, tmp, new Path(md, manifestName(next)), dataDir, moved)
   }
 
   /** Publish `tmp` as `fin` with EXACTLY-ONE-WINS semantics. On HDFS,
@@ -347,7 +368,9 @@ object SnapshotStore {
     * ledger idea with the ledger folded INTO the commit — so there is no
     * crash window between "rows landed" and "batch recorded". A replayed
     * (already-applied) batch returns None and writes nothing; a publish
-    * race with another writer retries on a fresh base. Wire as:
+    * race with another writer retries on a fresh base. One stream per
+    * table: see the single-writer-stream contract on
+    * [[transformBatchExactlyOnce]]. Wire as:
     * {{{
     *   stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
     *     SnapshotStore.appendBatchExactlyOnce(spark, b, dir, id); ()
@@ -373,9 +396,20 @@ object SnapshotStore {
     * already applied, and the replay is a no-op — state and data still
     * publish in ONE atomic operation, so there is no window where the
     * merge landed but the batch is unrecorded (or vice versa). A publish
-    * race with a concurrent writer (a compactor, another stream) loses the
-    * rename, re-reads the NEW base, re-runs `transform` on it, and
-    * retries — the merge is re-derived, never replayed onto a stale base.
+    * race with a concurrent writer loses the rename, re-reads the NEW
+    * base, re-runs `transform` on it, and retries — the merge is
+    * re-derived, never replayed onto a stale base.
+    *
+    * SINGLE-WRITER-STREAM CONTRACT (same as [[appendBatchExactlyOnce]]):
+    * the replay watermark is ONE per-table scalar (the manifest's batch
+    * tag), so exactly one STREAM may tag batches into a table. Safe
+    * concurrent writers are the NON-TAGGING kind — compaction, vacuum, a
+    * batch backfill — which the retry loop handles. A second stream
+    * committing its own batch ids into the same table would advance the
+    * watermark past this stream's ids and its batches would be silently
+    * swallowed by the `lastBatchId >= batchId` probe; fan-in across
+    * streams needs one table per stream (or a composite tag) plus a
+    * downstream union — which is what the golden-record lifecycle does.
     * Wire as:
     * {{{
     *   stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
@@ -480,5 +514,254 @@ object SnapshotStore {
           s.getModificationTime < horizon)
     residue.foreach(s => fs.delete(s.getPath, true))
     dead.size
+  }
+
+  // ------------------------- COMMIT GROUPS -------------------------
+  //
+  // One ATOMIC commit spanning N tables — the primitive the streaming
+  // golden-record lifecycle previously approximated by committing five
+  // tables in reverse dependency order and re-deriving on crash. A group
+  // lives at `groupDir`, member tables at `groupDir/<table>` as ordinary
+  // SnapshotStore tables, and a GROUP MANIFEST (`_group/g%08d.group`)
+  // pins (table -> table version) for every member:
+  //
+  //   - each member's next snapshot is STAGED to the brink (data files
+  //     moved, per-table manifest at its hidden tmp name — stageCore);
+  //   - ONE publishAtomic of the group manifest is the commit point for
+  //     all of them: it records each member's pinned version AND its tmp
+  //     manifest name;
+  //   - the per-table manifests are then PROMOTED tmp -> public
+  //     (best-effort: a crash mid-promotion is repaired by the next
+  //     group read or commit, which re-runs the promotion from the tmp
+  //     names the group manifest recorded — promotion is idempotent
+  //     because publishAtomic refuses an existing destination).
+  //
+  // Old-or-new across ALL tables, never a mix, holds for GROUP readers
+  // ([[readGroup]] resolves the group version first, then reads each
+  // member at its pinned version). A plain per-table [[read]] still sees
+  // consistent PER-TABLE snapshots (possibly one promotion behind until
+  // repair). Tables written through a group must take writes ONLY
+  // through [[commitGroup]] (the single-writer-group contract — the
+  // group allocates member versions optimistically, and an independent
+  // per-table commit would race the promotion names).
+
+  private val GroupDir = "_group"
+  private val GroupBatchTag = "batch"
+  private def groupManifestName(g: Long) = f"g$g%08d.group"
+  private def parseGroupVersion(name: String): Option[Long] =
+    if (name.startsWith("g") && name.endsWith(".group"))
+      name.stripPrefix("g").stripSuffix(".group").toLongOption
+    else None
+
+  /** Highest committed group version (one directory listing). */
+  def groupVersion(spark: SparkSession, groupDir: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, groupDir)
+    val gd = new Path(p, GroupDir)
+    if (!fs.exists(gd)) None
+    else fs.listStatus(gd).toSeq
+      .flatMap(s => parseGroupVersion(s.getPath.getName)).sorted.lastOption
+  }
+
+  /** A group manifest's member lines: table -> (version, tmpManifestName).
+    * The tmp name is carried for crash repair; it is empty once meaningless
+    * (carried-forward members keep the name their writing group recorded).
+    */
+  def groupMembers(spark: SparkSession, groupDir: String,
+      g: Long): Map[String, (Long, String)] = {
+    val (fs, p) = fsOf(spark, groupDir)
+    val lines = {
+      val in = fs.open(new Path(new Path(p, GroupDir), groupManifestName(g)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    lines.filterNot(_.startsWith("#")).map { l =>
+      val Array(t, v, tmp) = l.split("=", 3)
+      t -> (v.toLong, tmp)
+    }.toMap
+  }
+
+  private def groupTags(spark: SparkSession, groupDir: String,
+      g: Long): Map[String, String] = {
+    val (fs, p) = fsOf(spark, groupDir)
+    val in = fs.open(new Path(new Path(p, GroupDir), groupManifestName(g)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2)).collect { case Array(k, v) => k -> v }
+      .toMap
+    finally in.close()
+  }
+
+  private def lastGroupBatchId(spark: SparkSession, groupDir: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, groupDir)
+    val gd = new Path(p, GroupDir)
+    if (!fs.exists(gd)) return None
+    fs.listStatus(gd).toSeq
+      .flatMap(s => parseGroupVersion(s.getPath.getName)).sorted.reverse
+      .iterator
+      .flatMap(g => groupTags(spark, groupDir, g).get(GroupBatchTag))
+      .flatMap(_.toLongOption).nextOption()
+  }
+
+  /** Finish a group version's per-table manifest promotions (idempotent:
+    * an already-public manifest is skipped; a missing one is published
+    * from the tmp name the group manifest recorded). Called by readers and
+    * committers so a crash between group publish and promotion heals on
+    * the next touch.
+    */
+  private def repairGroup(spark: SparkSession, groupDir: String, g: Long): Unit =
+    groupMembers(spark, groupDir, g).foreach { case (t, (v, tmpName)) =>
+      val (fs, p) = fsOf(spark, s"$groupDir/$t")
+      val md = new Path(p, ManifestDir)
+      val fin = new Path(md, manifestName(v))
+      if (!fs.exists(fin)) {
+        val tmp = new Path(md, tmpName)
+        if (tmpName.isEmpty || !fs.exists(tmp))
+          sys.error(s"commit group $groupDir g$g: member $t v$v has neither " +
+            "a public manifest nor its staged tmp — unrecoverable")
+        publishAtomic(fs, tmp, fin)
+        ()
+      }
+    }
+
+  /** A member table's write inside one [[commitGroup]]: full-snapshot
+    * semantics ([[GroupFull]] — the transform receives the table's current
+    * pinned snapshot, None = doesn't exist yet, and returns the complete
+    * next one: labels, golden records, any read-modify-write state) or
+    * append semantics ([[GroupAppend]] — the staged manifest carries the
+    * base file list forward and adds only the batch's files, keeping the
+    * data plane O(batch) however large the table: fact logs, band
+    * indexes, pair stores).
+    */
+  sealed trait GroupWrite
+  final case class GroupFull(transform: Option[DataFrame] => DataFrame)
+    extends GroupWrite
+  final case class GroupAppend(batch: DataFrame) extends GroupWrite
+
+  /** One ATOMIC commit across member tables — [[transformBatchExactlyOnce]]
+    * lifted to N tables with a single commit point. Members of the previous
+    * group NOT written this time are carried forward at their pinned
+    * versions, so every group version resolves every member table.
+    * `batchId` makes the whole group exactly-once under streaming replay:
+    * a replayed id is a no-op returning None — EITHER all N tables
+    * advanced, or none (there is no per-table replay window, which is
+    * precisely what the reverse-dependency-order workaround could not
+    * say).
+    *
+    * Returns the committed group version (None = replay no-op). A publish
+    * race abandons every staged member and retries on the fresh base.
+    */
+  def commitGroup(spark: SparkSession, groupDir: String,
+      writes: Map[String, GroupWrite],
+      batchId: Option[Long] = None, maxAttempts: Int = 10): Option[Long] =
+    commitGroupImpl(spark, groupDir, writes, batchId, maxAttempts,
+      promote = true)
+
+  /** TEST SEAM (spec-only): commit the group manifest but "crash" before
+    * any per-table promotion — reproducing the exact window
+    * [[repairGroup]] exists for, so the crash matrix can pin old-or-new
+    * across ALL members rather than trusting the comment.
+    */
+  private[graft] def commitGroupCrashBeforePromotion(spark: SparkSession,
+      groupDir: String, writes: Map[String, GroupWrite],
+      batchId: Option[Long] = None): Option[Long] =
+    commitGroupImpl(spark, groupDir, writes, batchId, maxAttempts = 10,
+      promote = false)
+
+  private def commitGroupImpl(spark: SparkSession, groupDir: String,
+      writes: Map[String, GroupWrite], batchId: Option[Long],
+      maxAttempts: Int, promote: Boolean): Option[Long] = {
+    require(writes.nonEmpty, "commitGroup: empty writes")
+    writes.keys.foreach(t => require(
+      !t.contains("=") && !t.contains("\n") && !t.contains("/"),
+      s"malformed table name: $t"))
+    retryConflicts(maxAttempts, groupDir) {
+      val prevG = groupVersion(spark, groupDir)
+      // heal any unpromoted members first: bases below must be readable
+      prevG.foreach(g => repairGroup(spark, groupDir, g))
+      if (batchId.exists(id => lastGroupBatchId(spark, groupDir).exists(_ >= id))) None
+      else {
+        val prev = prevG.map(g => groupMembers(spark, groupDir, g))
+          .getOrElse(Map.empty)
+        val nextG = prevG.map(_ + 1).getOrElse(0L)
+        // stage every member to the brink — nothing is visible yet
+        val staged = writes.toSeq.sortBy(_._1).map { case (t, w) =>
+          val dir = s"$groupDir/$t"
+          val base = currentVersion(spark, dir)
+          val st = w match {
+            case GroupFull(transform) =>
+              val df = transform(base.map(v => read(spark, dir, Some(v))))
+              stageCore(spark, df, dir, base, append = false, Map.empty)
+            case GroupAppend(batch) =>
+              stageCore(spark, batch, dir, base, append = base.isDefined,
+                Map.empty)
+          }
+          (t, st)
+        }
+        val (fs, p) = fsOf(spark, groupDir)
+        val gd = new Path(p, GroupDir)
+        fs.mkdirs(gd)
+        val tagLines = batchId.toSeq.map(id => s"#$GroupBatchTag=$id")
+        val written = staged.map { case (t, st) =>
+          t -> ((st.next, st.tmp.getName))
+        }.toMap
+        val lines = (prev ++ written).toSeq.sortBy(_._1)
+          .map { case (t, (v, tmp)) => s"$t=$v=$tmp" }
+        val gtmp = new Path(gd,
+          s".${groupManifestName(nextG)}.tmp-${java.util.UUID.randomUUID}")
+        val out = fs.create(gtmp, false)
+        try out.write((tagLines ++ lines).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // THE commit point: all members become the group's truth here
+        if (!publishAtomic(fs, gtmp, new Path(gd, groupManifestName(nextG)))) {
+          fs.delete(gtmp, false)
+          staged.foreach(_._2.abandon())
+          throw new SnapshotConflictException(
+            s"commit group conflict at $groupDir: g$nextG was published " +
+              "concurrently — re-read and retry")
+        }
+        // promotion (best-effort; crash here is healed by repairGroup)
+        if (promote)
+          staged.foreach { case (_, st) => publishAtomic(st.fs, st.tmp, st.fin) }
+        Some(nextG)
+      }
+    }
+  }
+
+  /** Read member `table` at group version `g` (current when None) — the
+    * cross-table-consistent read: every member resolved through ONE group
+    * manifest, old-or-new across all of them, never a mix.
+    */
+  def readGroup(spark: SparkSession, groupDir: String, table: String,
+      g: Option[Long] = None): DataFrame = {
+    val gv = g.orElse(groupVersion(spark, groupDir)).getOrElse(
+      sys.error(s"readGroup: $groupDir has no committed group"))
+    repairGroup(spark, groupDir, gv)
+    val (v, _) = groupMembers(spark, groupDir, gv).getOrElse(table,
+      sys.error(s"readGroup: table $table is not a member of $groupDir g$gv"))
+    read(spark, s"$groupDir/$table", Some(v))
+  }
+
+  /** Drop group manifests below `keepFromGroup` and vacuum each member
+    * table down to the oldest version any SURVIVING group references —
+    * the group-level retention policy (time travel across group versions
+    * >= keepFromGroup stays intact). Returns data files deleted.
+    */
+  def vacuumGroup(spark: SparkSession, groupDir: String, keepFromGroup: Long,
+      orphanMinAgeMs: Long = 3600000L): Int = {
+    val (fs, p) = fsOf(spark, groupDir)
+    val gd = new Path(p, GroupDir)
+    val groups = fs.listStatus(gd).toSeq
+      .flatMap(s => parseGroupVersion(s.getPath.getName)).sorted
+    val (drop, keep) = groups.partition(_ < keepFromGroup)
+    require(keep.nonEmpty, s"vacuumGroup would drop every group of $groupDir")
+    keep.foreach(g => repairGroup(spark, groupDir, g))
+    val floors = keep.flatMap(g => groupMembers(spark, groupDir, g).toSeq)
+      .groupMapReduce(_._1)(_._2._1)(math.min)
+    val deleted = floors.toSeq.sortBy(_._1).map { case (t, v) =>
+      vacuum(spark, s"$groupDir/$t", v, orphanMinAgeMs)
+    }.sum
+    drop.foreach(g => fs.delete(new Path(gd, groupManifestName(g)), false))
+    deleted
   }
 }

@@ -41,18 +41,21 @@ class RegistryPlanSpec extends SparkSpec {
       "normalization: seeds crossJoin broadcast(1-row seed count) to compute " +
       "p = 1/|S| — |seeds|x1 by construction; every iteration join is the " +
       "same keyed equi-join as pr1"),
-    "v4_knn_ivf" -> ("corpus x broadcast(16 centroids) assignment: O(n*k), the canonical " +
-      "IVF training cost — the SEARCH join is the cell equi-join"),
-    "v4b_knn_ivf_refined" -> ("same O(n*k) broadcast-centroid assignment as v4, " +
-      "run per Lloyd pass — search stays the cell equi-join"),
-    "v15_knn_filtered" -> ("v4's O(n*k) broadcast-centroid assignment; the " +
+    "v4_knn_ivf" -> ("the corpus-side BNLJ is the 1-ROW centroid-array attach " +
+      "(foldAssign: n rows x k in-expression dots, no n*k row explosion); the " +
+      "query side keeps the bounded O(q*k) broadcast-centroid probe — the " +
+      "SEARCH join is the cell equi-join"),
+    "v4b_knn_ivf_refined" -> ("same 1-row foldAssign attach as v4, run per " +
+      "Lloyd pass, plus the bounded query-side probe — search stays the cell " +
+      "equi-join"),
+    "v15_knn_filtered" -> ("v4's foldAssign attach + bounded query probe; the " +
       "metadata predicate then PRUNES the assigned corpus before the cell " +
       "equi-join (pre-filtered search — see the dedicated filter-placement " +
       "test below)"),
-    "v17_knn_tombstoned" -> ("v4's O(n*k) broadcast-centroid assignment; " +
+    "v17_knn_tombstoned" -> ("v4's foldAssign attach + bounded query probe; " +
       "the tombstone table is then ANTI-JOINED out of the assigned corpus " +
       "before the cell equi-join (see the dedicated placement test below)"),
-    "v9_knn_ivfpq" -> ("v4's O(n*k) broadcast-centroid coarse assignment plus the " +
+    "v9_knn_ivfpq" -> ("v4's foldAssign coarse attach + bounded query probe plus the " +
       "O(n*m*ksub) broadcast-codebook PQ encode — the ADC search itself is the " +
       "cell equi-join then (b, cell) equi-joins over code ids"),
     "v9b_knn_ivfpq_indexed" -> ("the QUERY side's O(q*k) broadcast-centroid probe " +
@@ -62,10 +65,10 @@ class RegistryPlanSpec extends SparkSpec {
       "assignment, broadcast-codebook encode over residuals); search is the cell " +
       "equi-join plus (b, code) equi-joins"),
     "v9c_knn_ivfpq_append" -> ("v9's bounded shapes split across the lifecycle: " +
-      "train on the standing corpus (O(n*k) broadcast-centroid assignment + " +
+      "train on the standing corpus (foldAssign attach + " +
       "broadcast-codebook encode), ivfpqEncode on arrivals (same shapes over the " +
       "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
-    "km1_kmeans_assign" -> ("v4b's O(n*k) broadcast-centroid Lloyd assignment, " +
+    "km1_kmeans_assign" -> ("v4b's 1-row foldAssign centroid-array attach, " +
       "run per iteration — the output is the assignment itself"),
     "v9d_knn_ivfpq_rerank" -> ("v9b's bounded query-side shapes (O(q*k) " +
       "broadcast-centroid probe + broadcast-codebook LUT over the FIXED query " +
