@@ -690,6 +690,142 @@ object VectorOps {
         round(max(col("verr")), 6).as("max_err"))
   }
 
+  /** The outcome of ACTING on [[pqDriftAudit]]'s retrain trigger:
+    * `drifted` = the cells whose reconstruction error tripped the
+    * threshold; `codebook` = CELL-LOCAL overlay codebooks trained for
+    * exactly those cells (cell, b, code, cv); `codes` = those cells'
+    * vectors re-encoded against their overlay (n_id, cell, b, code).
+    * Untouched cells keep the base codebook and their existing codes
+    * verbatim — the d13/d25b "apply is scoped to the touched set" recipe,
+    * applied to the index.
+    */
+  case class PqOverlay(drifted: DataFrame, codebook: DataFrame, codes: DataFrame)
+
+  /** CODEBOOK RETRAIN + CELL RE-ENCODE — the maintenance operator v11's
+    * drift audit exists to trigger: cells whose per-vector reconstruction
+    * error `||u_b − codeword||²` (summed in block order — v11's exact
+    * metric) averages above `factor ×` the corpus-wide mean get a
+    * CELL-LOCAL codebook (deterministic one-pass Lloyd: seed = the cell's
+    * first-`ksub` members' sub-blocks, 6dp-rounded means — the v4b/v9
+    * recipe scoped to the cell) and ONLY their vectors re-encode. A
+    * standing 100 TB index drifts cell-by-cell (new content lands in a
+    * few cells), so retraining the whole codebook — and re-encoding the
+    * whole corpus — per trigger is exactly the O(corpus) maintenance bill
+    * this operator avoids: the re-encode pass is SEMI-JOIN-scoped to
+    * drifted cells (plan-asserted in RegistryPlanSpec).
+    *
+    * Determinism: the trigger compares 6dp-ROUNDED means (the only
+    * order-sensitive reductions in the chain), so both engines pick the
+    * identical drifted set; the global mean is a 1-row driver scalar (the
+    * bounded-collect class the Lloyd/BPE loops already use).
+    */
+  def ivfpqRetrainDrifted(vectors: DataFrame, model: IvfPqModel,
+      m: Int, dsub: Int, ksub: Int, factor: Double): PqOverlay = {
+    val withN = withNorm(vectors, "nv", "nn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val subs = subBlocks(
+      withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      "u", m, dsub).trackedCheckpoint()
+    // v11's per-vector error, block-ordered fold
+    val cw = model.codebook.select(col("b"), col("cell").as("code"), col("cv"))
+    val verr = model.index
+      .join(subs, Seq("n_id", "b"))
+      .join(broadcast(cw), Seq("b", "code"))
+      .withColumn("err2", l2sq(col("sv"), col("cv")))
+      .groupBy("n_id", "cell")
+      .agg(array_sort(collect_list(struct(col("b"), col("err2")))).as("es"))
+      .select(col("n_id"), col("cell"),
+        aggregate(col("es"), lit(0.0), (acc, e) => acc + e.getField("err2")).as("verr"))
+      .trackedCheckpoint()
+    // trigger: per-cell mean vs the corpus mean, both 6dp-rounded (engine-
+    // exact); the corpus mean is a 1-row bounded driver scalar
+    val gErr = verr.agg(round(avg(col("verr")), 6)).head.getDouble(0)
+    val drifted = verr.groupBy("cell")
+      .agg(round(avg(col("verr")), 6).as("mean_err"))
+      .filter(col("mean_err") > lit(factor) * lit(gErr))
+      .select("cell")
+    // re-encode scope: the drifted cells' residents ONLY (semi-join)
+    val dsubs = subs
+      .join(model.index.select("n_id", "cell").distinct(), "n_id")
+      .join(broadcast(drifted), Seq("cell"), "left_semi")
+    // cell-local seeds: each drifted cell's first-ksub members by id
+    val wSeed = Window.partitionBy(col("cell")).orderBy(col("n_id"))
+    val seedIds = dsubs.select("cell", "n_id").distinct()
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= ksub)
+      .select(col("cell"), col("n_id"))
+    val oseed = dsubs.join(seedIds, Seq("cell", "n_id"), "left_semi")
+      .select(col("cell"), col("b"), col("n_id").as("code"), col("sv").as("cv"))
+    // one Lloyd pass within (cell, b): assign to seed, 6dp-rounded mean
+    def assignLocal(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("n_id"), col("b"))
+        .orderBy(col("d2").asc, col("code").asc)
+      dsubs.join(cb, Seq("cell", "b"))
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("n_id"), col("cell"), col("b"), col("sv"), col("code"))
+    }
+    val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
+    val ocb = assignLocal(oseed)
+      .groupBy("cell", "b", "code")
+      .agg(vecMean(col("sv")).as("mv"))
+      .select(col("cell"), col("b"), col("code"),
+        transform(col("mv"), x => round(x, 6)).as("cv"))
+    val ocodes = assignLocal(ocb)
+      .select(col("n_id"), col("cell"), col("b"), col("code"))
+    PqOverlay(drifted, ocb, ocodes)
+  }
+
+  /** ADC search against a base model PLUS a retrain overlay: candidates
+    * from untouched cells score through the base codebook's LUT (the
+    * (q, b, code) join [[ivfpqSearch]] runs), candidates from drifted
+    * cells through their cell-local overlay LUT ((q, cell, b, code)) —
+    * the untouched side of the index is carried VERBATIM (anti-join on
+    * the drifted set), so serving after a retrain touches exactly what
+    * the retrain touched and nothing else.
+    */
+  def ivfpqSearchOverlay(queries: DataFrame, model: IvfPqModel,
+      ov: PqOverlay, nProbe: Int, m: Int, dsub: Int, k: Int): DataFrame = {
+    val qN = withNorm(queries, "nv", "nn")
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val queryCells = coarseAssign(qN.withColumnRenamed("n_id", "q_id"),
+      model.centroids, "q_id", nProbe)
+    val qsubs = subBlocks(
+      qN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),
+      "u", m, dsub)
+      .select(col("n_id").as("q_id"), col("b"), col("sv"))
+    val baseLut = qsubs.join(broadcast(model.codebook), "b")
+      .withColumn("dp", dot(col("sv"), col("cv")))
+      .select(col("q_id"), col("b"), col("cell").as("code"), col("dp"))
+    val ovLut = qsubs.join(broadcast(
+        ov.codebook.withColumnRenamed("cell", "ocell")), "b")
+      .withColumn("dp", dot(col("sv"), col("cv")))
+      .select(col("q_id"), col("ocell").as("cell"), col("b"), col("code"), col("dp"))
+    // untouched index rows verbatim; drifted cells' rows from the re-encode
+    val untouched = model.index
+      .join(broadcast(ov.drifted), Seq("cell"), "left_anti")
+    val probedBase = queryCells.join(untouched, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id", "b", "code")
+      .join(baseLut, Seq("q_id", "b", "code"))
+      .select("q_id", "n_id", "b", "dp")
+    val probedOv = queryCells.join(ov.codes, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id", "cell", "b", "code")
+      .join(ovLut, Seq("q_id", "cell", "b", "code"))
+      .select("q_id", "n_id", "b", "dp")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
+    probedBase.unionByName(probedOv)
+      .groupBy("q_id", "n_id")
+      .agg(array_sort(collect_list(struct(col("b"), col("dp")))).as("ds"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("dp")).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Two-stage retrieval: ADC shortlist, then exact-cosine RERANK — the
     * standard production IVF-PQ serving shape. Stage 1 is [[ivfpqSearch]]
     * truncated at `shortlist` (the compressed-domain scan: candidates cost

@@ -342,6 +342,75 @@ class NorthStarSpec extends SparkSpec {
     assert(resid > 0.95, s"residual same-cluster share=$resid")
   }
 
+  test("pq retrain on drift: only drifted cells re-encode, their error drops, recall holds") {
+    // Drift scenario: the model trains on clusters 0..7 only; cluster 9's
+    // vectors then ARRIVE and encode against that stale model (v9c's
+    // append posture). Their cells' reconstruction error trips the
+    // trigger, the cell-local retrain gives them their own codewords, and
+    // cluster-9 queries recover same-cluster retrieval the stale
+    // codebook was fumbling — without touching the fitted cells' codes.
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for (m <- 0 until 20; c <- 0 until 10) yield {
+      val v = centroids(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((m * 10 + c).toLong, v)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("n_id", "embedding")
+      .select(col("n_id"), VectorOps.toDouble(col("embedding")).as("nv"))
+    val standing = df.filter(col("n_id") % 10 =!= 9)
+    val arrivals = df.filter(col("n_id") % 10 === 9)
+    val m0 = VectorOps.ivfpqTrain(standing, nCells = 16, m = 4, dsub = 16, ksub = 16)
+    val full = VectorOps.IvfPqModel(m0.centroids.localCheckpoint(),
+      m0.codebook.localCheckpoint(),
+      m0.index.unionByName(VectorOps.ivfpqEncode(arrivals, m0, 4, 16))
+        .localCheckpoint())
+    def share(got: Array[(Long, Long)]): Double =
+      got.count { case (q, n) => q % 10 == n % 10 }.toDouble / got.length
+    val q9 = arrivals
+    val before = share(VectorOps.ivfpqSearch(q9, full, nProbe = 4,
+      m = 4, dsub = 16, k = 5).collect().map(r => (r.getLong(0), r.getLong(2))))
+    val ov = VectorOps.ivfpqRetrainDrifted(df, full, m = 4, dsub = 16,
+      ksub = 16, factor = 1.25)
+    val driftedCells = ov.drifted.collect().map(_.getLong(0)).toSet
+    assert(driftedCells.nonEmpty, "the arrival cluster must trip the trigger")
+    // scope: every re-encoded vector lives in a drifted cell, and no
+    // untouched cell's codes appear in the overlay
+    val reenc = ov.codes.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(reenc.subsetOf(driftedCells), s"re-encode leaked outside drifted cells: $reenc vs $driftedCells")
+    // error on drifted cells drops: the overlay reconstruction beats the
+    // stale codebook on its own metric
+    val errBefore = VectorOps.pqDriftAudit(df, full, 4, 16)
+      .filter(col("cell").isin(driftedCells.toSeq: _*))
+      .agg(avg("mean_err")).head.getDouble(0)
+    val retrained = VectorOps.IvfPqModel(full.centroids,
+      ov.codebook.select(col("b"), col("code").as("cell"), col("cv")),
+      ov.codes.select(col("n_id"), col("cell"), col("b"), col("code")))
+    // audit the drifted cells against their own overlay: join through the
+    // overlay codebook keyed by (cell, b, code)
+    val subsErr = {
+      import org.apache.spark.sql.DataFrame
+      val withN = df.withColumn("nn", VectorOps.l2norm(col("nv")))
+      val u = withN.select(col("n_id"),
+        transform(col("nv"), x => x / col("nn")).as("u"))
+      val s2 = u.select(col("n_id"),
+          explode(sequence(lit(0), lit(3))).as("b"), col("u"))
+        .select(col("n_id"), col("b"), slice(col("u"), col("b") * 16 + 1, lit(16)).as("sv"))
+      ov.codes.join(s2, Seq("n_id", "b"))
+        .join(ov.codebook, Seq("cell", "b", "code"))
+        .withColumn("err2", graft.functions.L2Sq.l2sq(col("sv"), col("cv")))
+        .groupBy("n_id").agg(sum("err2").as("verr"))
+        .agg(avg("verr")).head.getDouble(0)
+    }
+    assert(subsErr < errBefore,
+      s"retrain must reduce drifted-cell reconstruction error: $subsErr vs $errBefore")
+    // recall: cluster-9 queries through the mixed index hold or improve
+    val after = share(VectorOps.ivfpqSearchOverlay(q9, full, ov, nProbe = 4,
+      m = 4, dsub = 16, k = 5).collect().map(r => (r.getLong(0), r.getLong(2))))
+    assert(after >= before - 1e-9, s"retrain lost recall: after=$after before=$before")
+  }
+
   test("ivf-pq ann on the fixture: far above chance, below uncompressed ivf (the trade)") {
     // Random fixture embeddings are PQ's worst case (no cluster structure
     // for the codebooks to exploit) — the pinned floor documents the

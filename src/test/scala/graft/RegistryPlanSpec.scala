@@ -70,6 +70,13 @@ class RegistryPlanSpec extends SparkSpec {
       "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
     "km1_kmeans_assign" -> ("v4b's 1-row foldAssign centroid-array attach, " +
       "run per iteration — the output is the assignment itself"),
+    "v18_pq_retrain_drifted" -> ("v9d's standing model + the bounded " +
+      "query-side probe; the retrain itself is equi-joins scoped to the " +
+      "drifted cells (semi-join) and the untouched index rides an " +
+      "anti-join — see the dedicated placement test"),
+    "v19_knn_filtered_tombstoned" -> ("v4's foldAssign attach + bounded " +
+      "query probe; predicate AND tombstones both prune the assigned " +
+      "corpus below the cell equi-join (see the composed placement test)"),
     "v9d_knn_ivfpq_rerank" -> ("v9b's bounded query-side shapes (O(q*k) " +
       "broadcast-centroid probe + broadcast-codebook LUT over the FIXED query " +
       "batch); the rerank joins only the |Q|*shortlist surviving pairs back to " +
@@ -217,6 +224,43 @@ class RegistryPlanSpec extends SparkSpec {
       case j: Join if j.joinType == LeftAnti => j
     }.nonEmpty)
     assert(preAnti, s"tombstone anti-join not below the probe join:\n$plan")
+  }
+
+  test("v19 composes v15's predicate and v17's tombstones, BOTH below the probe join") {
+    val df = SparkEntry.queries("v19_knn_filtered_tombstoned")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val probeJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(probeJoins.nonEmpty, s"no cell equi-join found:\n$plan")
+    val probe = probeJoins.head
+    val preFiltered = probe.children.exists(side => side.collect {
+      case f: Filter if f.condition.references.exists(_.name == "label") => f
+    }.nonEmpty)
+    assert(preFiltered, s"label predicate not below the probe join:\n$plan")
+    val preAnti = probe.children.exists(side => side.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.nonEmpty)
+    assert(preAnti, s"tombstone anti-join not below the probe join:\n$plan")
+    assert(!probe.output.exists(_.name == "label"),
+      s"label column leaked above the probe join:\n$plan")
+  }
+
+  test("v18 scopes the re-encode to drifted cells (semi-join) and carries untouched codes (anti-join)") {
+    val df = SparkEntry.queries("v18_pq_retrain_drifted")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    // the re-encode's input (dsubs) is semi-joined to the drifted set —
+    // losing it silently degrades retrain to an O(corpus) rebuild
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"v18 lost the drifted-cell semi-join:\n$plan")
+    // the untouched index rows ride an anti-join on the same set —
+    // losing it double-encodes (or drops) the untouched cells
+    val antis = plan.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(antis.nonEmpty, s"v18 lost the untouched-index anti-join:\n$plan")
   }
 
   test("v9b answers from the persisted index: no training stage, bucketed side exchange-free") {
