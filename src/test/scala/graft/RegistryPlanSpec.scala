@@ -70,6 +70,11 @@ class RegistryPlanSpec extends SparkSpec {
       "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
     "km1_kmeans_assign" -> ("v4b's 1-row foldAssign centroid-array attach, " +
       "run per iteration — the output is the assignment itself"),
+    "tt2_index_time_travel" -> ("both version legs serve through the " +
+      "bounded O(q*k) query-side probe against the PERSISTED group " +
+      "tables (one pinned manifest per version); the index sides are " +
+      "cell/code equi-joins and the diff is a (q_id, n_id) full-outer " +
+      "equi-join"),
     "v18_pq_retrain_drifted" -> ("v9d's standing model + the bounded " +
       "query-side probe; the retrain itself is equi-joins scoped to the " +
       "drifted cells (semi-join) and the untouched index rides an " +
