@@ -50,10 +50,13 @@ import org.apache.spark.sql.types.StructType
   *
   * 100 TB posture: the manifest is O(files-per-snapshot) text read once
   * per query planning, and "current" is one directory listing — no scan
-  * of data. At production file counts manifests would be chunked and
-  * checkpointed the way log-structured table formats do; the COMMIT
-  * PROTOCOL (immutable data + atomic single-rename publish + monotonic
-  * version names) is the part that carries unchanged.
+  * of data. Past `chunkInlineThreshold` carried files, append commits
+  * ROLL the carried list into immutable chunk files and reference them
+  * as `@chunk:` lines (manifest-of-manifests — the log-structured-format
+  * move), so per-commit manifest text is O(batch + files/threshold)
+  * however long the table lives; the COMMIT PROTOCOL (immutable data +
+  * atomic single-rename publish + monotonic version names) carries
+  * unchanged.
   */
 /** A commit lost the optimistic race (stale base or raced publish) — the
   * ONLY failure [[SnapshotStore.commitRetry]] retries. A dedicated type,
@@ -108,11 +111,10 @@ object SnapshotStore {
     * file list forward and adds only `df`'s freshly staged files — the
     * DATA plane is O(|batch|) however large the table, the ingest shape
     * full-snapshot [[commit]] (which would rewrite the world per
-    * micro-batch) cannot provide. The METADATA plane still copies the
-    * carried file-name list (O(table files) text per commit) — at
-    * production file counts that list gets chunked/checkpointed like any
-    * log-structured table format (the header's disclaimer); the commit
-    * protocol is what carries unchanged. Readers see no difference: a
+    * micro-batch) cannot provide. The METADATA plane rolls the carried
+    * list into chunk files past `chunkInlineThreshold` names (see the
+    * chunked-manifests section), so it is O(batch + files/threshold)
+    * text per commit, not O(table files). Readers see no difference: a
     * version is always just a file list. `tags` land in the manifest as
     * `#k=v` lines (see [[versionTags]]) — the hook
     * [[appendBatchExactlyOnce]] uses to make replayed streaming batches
@@ -130,11 +132,13 @@ object SnapshotStore {
     * all.
     */
   private case class StagedCommit(fs: FileSystem, next: Long, tmp: Path,
-      fin: Path, dataDir: Path, moved: Seq[String]) {
+      fin: Path, dataDir: Path, moved: Seq[String],
+      chunkWritten: Option[Path] = None) {
     /** Discard a staged commit that will never publish (lost race). */
     def abandon(): Unit = {
       fs.delete(tmp, false)
       moved.foreach(n => fs.delete(new Path(dataDir, n), false))
+      chunkWritten.foreach(c => fs.delete(c, false))
     }
   }
 
@@ -177,13 +181,34 @@ object SnapshotStore {
     // agreement is modulo nullability/metadata: reading files back marks
     // every column nullable (Spark's file-relation contract), so a
     // compacted version would otherwise refuse all further appends.
-    val carried = if (!append) Nil else base.toSeq.flatMap { v =>
-      val lines = manifestLines(fs, new Path(p, ManifestDir), v)
-      val stored = org.apache.spark.sql.types.DataType.fromJson(lines.head)
-      require(normalized(stored) == normalized(df.schema),
-        s"commitAppend schema mismatch at $dir v$v: appended frame's " +
-          s"columns/types must match the stored schema (${lines.head})")
-      dataFileNames(lines)
+    val (carried, chunkWritten) = if (!append) (Nil, None) else {
+      val body = base.toSeq.flatMap { v =>
+        val lines = manifestLines(fs, new Path(p, ManifestDir), v)
+        val stored = org.apache.spark.sql.types.DataType.fromJson(lines.head)
+        require(normalized(stored) == normalized(df.schema),
+          s"commitAppend schema mismatch at $dir v$v: appended frame's " +
+            s"columns/types must match the stored schema (${lines.head})")
+        bodyLines(lines)
+      }
+      // manifest-of-manifests: roll the inline carried names into an
+      // immutable chunk file once they cross the threshold, and carry the
+      // chunk REFERENCES — per-commit manifest text stays
+      // O(batch + files/threshold) however long the table lives. The
+      // chunk is unreferenced until the manifest publishes (crash = an
+      // orphan reclaimed by vacuum's horizon; a lost race deletes it in
+      // abandon()).
+      val (refs, inline) = body.partition(_.startsWith(ChunkRef))
+      if (inline.size < chunkInlineThreshold) (body, None)
+      else {
+        val cd = new Path(new Path(p, ManifestDir), ChunkDir)
+        fs.mkdirs(cd)
+        val cname = f"c-$next%08d-${java.util.UUID.randomUUID}.chunk"
+        val cpath = new Path(cd, cname)
+        val cout = fs.create(cpath, false)
+        try cout.write(inline.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        finally cout.close()
+        (refs :+ s"$ChunkRef$cname", Some(cpath))
+      }
     }
 
     // stage: write through Spark into a hidden sibling, then move the part
@@ -222,7 +247,8 @@ object SnapshotStore {
     try out.write((df.schema.json +: (tagLines ++ carried ++ moved))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    StagedCommit(fs, next, tmp, new Path(md, manifestName(next)), dataDir, moved)
+    StagedCommit(fs, next, tmp, new Path(md, manifestName(next)), dataDir,
+      moved, chunkWritten)
   }
 
   /** Publish `tmp` as `fin` with EXACTLY-ONE-WINS semantics. On HDFS,
@@ -256,8 +282,51 @@ object SnapshotStore {
     } else !fs.exists(fin) && fs.rename(tmp, fin)
   }
 
-  private def dataFileNames(manifest: Seq[String]): Seq[String] =
+  // ---- chunked manifests (manifest-of-manifests) ----
+  //
+  // An append commit carries the base version's file list forward, so a
+  // long-lived ingest table pays O(table files) manifest TEXT per commit
+  // even though its data plane is O(batch). Past `chunkInlineThreshold`
+  // inline names, the carried list ROLLS into an immutable CHUNK file
+  // (`_manifests/chunks/c-*.chunk`, one file name per line) and the
+  // manifest references it as one `@chunk:<name>` line — the
+  // manifest-of-manifests move every log-structured table format makes.
+  // Subsequent appends carry the chunk REFERENCES (O(chunks) lines) plus
+  // the inline tail; the tail re-rolls when it crosses the threshold
+  // again, so per-commit manifest text is O(batch + files/threshold).
+  // Chunks are immutable and shared across versions; vacuum deletes a
+  // chunk only when no surviving manifest references it (same orphan
+  // horizon as data files).
+
+  private val ChunkDir = "chunks"
+  private val ChunkRef = "@chunk:"
+
+  /** Inline carried-file names roll into a chunk past this count.
+    * private[graft] var: the chunked-manifest spec lowers it to drive the
+    * roll with small batches; production default 1000 keeps manifests a
+    * few KB up to ~megafile tables.
+    */
+  private[graft] var chunkInlineThreshold: Int = 1000
+
+  private def chunkLines(fs: FileSystem, md: Path, name: String): Seq[String] = {
+    val in = fs.open(new Path(new Path(md, ChunkDir), name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** A manifest's BODY lines (after schema + tags): `@chunk:` references
+    * and inline data-file names, unexpanded.
+    */
+  private def bodyLines(manifest: Seq[String]): Seq[String] =
     manifest.tail.filterNot(_.startsWith("#"))
+
+  /** The full data-file list of a manifest, chunk references expanded. */
+  private def dataFileNames(fs: FileSystem, md: Path,
+      manifest: Seq[String]): Seq[String] =
+    bodyLines(manifest).flatMap { l =>
+      if (l.startsWith(ChunkRef)) chunkLines(fs, md, l.stripPrefix(ChunkRef))
+      else Seq(l)
+    }
 
   // structural schema identity: nullability and field metadata erased at
   // every nesting level (names + types are what the files actually pin)
@@ -304,10 +373,11 @@ object SnapshotStore {
     val (fs, p) = fsOf(spark, dir)
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       sys.error(s"snapshot read: $dir has no committed version"))
-    val lines = manifestLines(fs, new Path(p, ManifestDir), v)
+    val md = new Path(p, ManifestDir)
+    val lines = manifestLines(fs, md, v)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
       .asInstanceOf[StructType]
-    val files = dataFileNames(lines).map(n => new Path(new Path(p, DataDir), n).toString)
+    val files = dataFileNames(fs, md, lines).map(n => new Path(new Path(p, DataDir), n).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
@@ -452,7 +522,7 @@ object SnapshotStore {
     val md = new Path(p, ManifestDir)
     // size from ONE data/ listing (per-file getFileStatus would be
     // O(files) sequential namenode round-trips at production file counts)
-    val names = dataFileNames(manifestLines(fs, md, base)).toSet
+    val names = dataFileNames(fs, md, manifestLines(fs, md, base)).toSet
     val bytes = fs.listStatus(new Path(p, DataDir)).toSeq
       .filter(s => names.contains(s.getPath.getName)).map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -485,8 +555,8 @@ object SnapshotStore {
       .flatMap(s => parseVersion(s.getPath.getName)).sorted
     val (drop, keep) = versions.partition(_ < keepFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $dir")
-    val live = keep.flatMap(v => dataFileNames(manifestLines(fs, md, v))).toSet
-    val retired = drop.flatMap(v => dataFileNames(manifestLines(fs, md, v))).toSet
+    val live = keep.flatMap(v => dataFileNames(fs, md, manifestLines(fs, md, v))).toSet
+    val retired = drop.flatMap(v => dataFileNames(fs, md, manifestLines(fs, md, v))).toSet
     val horizon = System.currentTimeMillis() - orphanMinAgeMs
     val dataDir = new Path(p, DataDir)
     val dead = fs.listStatus(dataDir).toSeq.filter { s =>
@@ -513,6 +583,23 @@ object SnapshotStore {
           s.getPath.getName.contains(".tmp-") &&
           s.getModificationTime < horizon)
     residue.foreach(s => fs.delete(s.getPath, true))
+    // chunk retention: a chunk is immutable and SHARED across versions —
+    // delete it only when no surviving manifest references it. Same
+    // retired-or-horizon rule as data files (a never-referenced chunk may
+    // be an in-flight commit's roll; see the orphan note above).
+    val cd = new Path(md, ChunkDir)
+    if (fs.exists(cd)) {
+      def refsOf(vs: Seq[Long]): Set[String] = vs.flatMap(v =>
+        bodyLines(manifestLines(fs, md, v))
+          .filter(_.startsWith(ChunkRef)).map(_.stripPrefix(ChunkRef))).toSet
+      // drop manifests are already deleted; their refs were read above via
+      // retired file expansion, so recompute from what SURVIVES
+      val liveChunks = refsOf(keep)
+      fs.listStatus(cd).toSeq
+        .filter(c => c.isFile && !liveChunks.contains(c.getPath.getName) &&
+          c.getModificationTime < horizon)
+        .foreach(c => fs.delete(c.getPath, false))
+    }
     dead.size
   }
 

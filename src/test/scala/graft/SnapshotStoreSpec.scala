@@ -350,6 +350,73 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  // ---------------------- chunked manifests ----------------------
+
+  private def manifestBody(dir: String, v: Long): Seq[String] = {
+    val f = new java.io.File(new java.io.File(dir, "_manifests"), f"v$v%08d.manifest")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().toList.tail.filterNot(_.startsWith("#"))
+    finally src.close()
+  }
+
+  test("chunked manifests: carried lists roll into chunks, every version reads exact") {
+    val dir = newTable()
+    val prior = SnapshotStore.chunkInlineThreshold
+    SnapshotStore.chunkInlineThreshold = 8
+    try {
+      SnapshotStore.commit(spark,
+        Seq((0L, "v0")).toDF("id", "v").repartition(4), dir, None)
+      (1 to 10).foreach { i =>
+        SnapshotStore.commitAppend(spark,
+          Seq((i.toLong, s"b$i")).toDF("id", "v").repartition(2),
+          dir, Some(i - 1L))
+      }
+      // reads exact at head and mid-history (chunk expansion is invisible)
+      assert(rowsOf(SnapshotStore.read(spark, dir)) ==
+        (Set(0L -> "v0") ++ (1 to 10).map(i => i.toLong -> s"b$i")))
+      assert(rowsOf(SnapshotStore.read(spark, dir, Some(5L))) ==
+        (Set(0L -> "v0") ++ (1 to 5).map(i => i.toLong -> s"b$i")))
+      // the head manifest's body is O(batch + chunks): the 24 carried
+      // files rolled into chunk references, inline tail under threshold
+      val body = manifestBody(dir, 10L)
+      assert(body.exists(_.startsWith("@chunk:")),
+        s"carried list never rolled into a chunk: $body")
+      val inline = body.filterNot(_.startsWith("@chunk:"))
+      assert(inline.size <= 8 + 2, s"inline tail not bounded: ${inline.size}")
+    } finally SnapshotStore.chunkInlineThreshold = prior
+  }
+
+  test("chunked manifests: a 10k-file table appends O(batch) manifest text; vacuum keeps shared chunks") {
+    val dir = newTable()
+    // one commit producing 10,000 real part files — the file-count regime
+    // the manifest-of-manifests exists for
+    SnapshotStore.commit(spark,
+      spark.range(10000).selectExpr("id", "cast(id as string) as v")
+        .repartition(10000), dir, None)
+    SnapshotStore.commitAppend(spark,
+      Seq((20000L, "x")).toDF("id", "v").repartition(1), dir, Some(0L))
+    val body1 = manifestBody(dir, 1L)
+    assert(body1.count(_.startsWith("@chunk:")) == 1,
+      s"10k carried names must roll into one chunk, got: ${body1.take(5)}")
+    assert(body1.size <= 5, s"append manifest not O(batch): ${body1.size} lines")
+    SnapshotStore.commitAppend(spark,
+      Seq((20001L, "y")).toDF("id", "v").repartition(1), dir, Some(1L))
+    assert(manifestBody(dir, 2L).size <= 6)
+    assert(SnapshotStore.read(spark, dir).count() == 10002L)
+    // dropping v0 must NOT reclaim the chunk v1/v2 still reference
+    SnapshotStore.vacuum(spark, dir, keepFrom = 1L, orphanMinAgeMs = 0L)
+    assert(SnapshotStore.read(spark, dir).count() == 10002L)
+    val chunkDir = new java.io.File(new java.io.File(dir, "_manifests"), "chunks")
+    assert(chunkDir.listFiles().nonEmpty, "shared chunk must survive vacuum")
+    // a full-snapshot rewrite strands the chunk; the next vacuum reclaims
+    // it together with the 10k data files
+    SnapshotStore.commit(spark,
+      Seq((1L, "small")).toDF("id", "v"), dir, Some(2L))
+    SnapshotStore.vacuum(spark, dir, keepFrom = 3L, orphanMinAgeMs = 0L)
+    assert(chunkDir.listFiles().isEmpty, "unreferenced chunk must be reclaimed")
+    assert(rowsOf(SnapshotStore.read(spark, dir)) == Set(1L -> "small"))
+  }
+
   // ------------------------- commit groups -------------------------
 
   import graft.sources.SnapshotStore.{GroupAppend, GroupFull}
