@@ -133,7 +133,16 @@ object ScaleStress {
     // bounded or overhead-dominated sub-second scans (measured r100 =
     // 0.57-1.37 in the late-additions table) — no distributed shape left
     // to stress
-    "lp1_label_propagation", "cdc7_pit_join")
+    "lp1_label_propagation", "cdc7_pit_join",
+    // round-17 additions: v18 is the act-on-drift retrain — the
+    // incremental-index-maintenance face whose failure class (regressing
+    // to an O(corpus) re-encode) is exactly what this sweep catches
+    // (measured r100 = 2.10); tt2 is the versioned-index lifecycle over
+    // commit groups (build + O(batch) append + two pinned-version
+    // searches + diff — its 100x leg stresses the snapshot-store read
+    // path at real index sizes). v19 stays out: a bounded serving query
+    // (v15/v17's shapes composed), no new distributed shape.
+    "v18_pq_retrain_drifted", "tt2_index_time_travel")
 
   val ratioBound = 15.0
 

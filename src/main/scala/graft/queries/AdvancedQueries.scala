@@ -419,8 +419,21 @@ object AdvancedQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("bigint").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          col("p_retailprice") * col("l_quantity") * 0.1), 2).as("sum_profit"))
+        // EXACT integer-scaled profit (in 1e-4 units): the monetary columns
+        // are 2dp decimals stored as doubles, so cents recover exactly and
+        // the group sum is an order-independent BIGINT — a plain
+        // round(sum(double), 2) straddled a half-cent boundary at sf0.1
+        // (engine summation order differs by ~1 ulp; the r17 fixture
+        // landed a group on x.xx5). Final 2dp rounding is integer
+        // half-away-from-zero, then one exact /100.0.
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
+            (lit(100L) - round(col("l_discount") * 100).cast("bigint")) -
+            round(col("p_retailprice") * 100).cast("bigint") *
+              col("l_quantity").cast("bigint") * lit(10L)).as("e4"))
+        .select(col("nation"), col("o_year"),
+          (when(col("e4") >= 0, floor((col("e4") + lit(50L)) / lit(100)))
+            .otherwise(-floor((-col("e4") + lit(50L)) / lit(100))) / lit(100.0))
+            .as("sum_profit"))
     }),
 
     // TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of the
@@ -1593,15 +1606,22 @@ object AdvancedQueries {
          SELECT s_acctbal, s_name, n_name, p_partkey, p_name
          FROM cand JOIN best ON p_partkey = bp AND s_acctbal = best_bal""",
     "q9_product_profit" ->
-      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
-         FROM lineitem
-         JOIN part ON l_partkey = p_partkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN orders ON l_orderkey = o_orderkey
-         WHERE p_name LIKE '%gear%'
-         GROUP BY 1, 2""",
+      """WITH r AS (
+           SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+             (round(l_extendedprice * 100)::BIGINT
+                * (100 - round(l_discount * 100)::BIGINT)
+              - round(p_retailprice * 100)::BIGINT * l_quantity::BIGINT * 10) AS e4
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE p_name LIKE '%gear%'),
+         g AS (SELECT nation, o_year, sum(e4) AS s FROM r GROUP BY 1, 2)
+         SELECT nation, o_year,
+           (CASE WHEN s >= 0 THEN floor((s + 50) / 100.0)
+                 ELSE -floor((-s + 50) / 100.0) END) / 100.0 AS sum_profit
+         FROM g""",
     "q11_important_parts" ->
       """WITH vals AS (
            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
