@@ -197,7 +197,8 @@ object VectorOps {
     *
     * Returns every input column plus `cell` and `csim`.
     */
-  private def foldAssign(df: DataFrame, centroids: DataFrame,
+  // private[graft]: NorthStarSpec pins fold ≡ window-argmax equivalence
+  private[graft] def foldAssign(df: DataFrame, centroids: DataFrame,
       vec: String, norm: String): DataFrame = {
     val centArr = centroids.agg(
       array_sort(collect_list(struct(col("cell"), col("cv"), col("cn")))).as("cents"))

@@ -342,6 +342,54 @@ class NorthStarSpec extends SparkSpec {
     assert(resid > 0.95, s"residual same-cluster share=$resid")
   }
 
+  test("foldAssign equals the window argmax on randomized vectors, ties included") {
+    // The round-17 assignment rewrite (broadcast 1-row array fold instead
+    // of crossJoin+window) must preserve the exact argmax contract —
+    // csim DESC, cell ASC on equal cosine. Randomized seeded vectors plus
+    // DELIBERATE ties: two centroids are the same direction (scaled
+    // copies), so every row's cosine against them is equal and only the
+    // smallest-cell tie-break separates the implementations.
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val df = vecs.toDF("n_id", "nv")
+      .select(col("n_id"), col("nv").cast("array<double>").as("nv"))
+      .withColumn("nn", VectorOps.l2norm(col("nv")))
+    // centroids: first 11 vectors, plus cell 900 = 2x cell 0's vector
+    // (same direction — a guaranteed cosine tie with cell 0 everywhere)
+    val cents = df.filter(col("n_id") < 11)
+      .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
+      .unionByName(df.filter(col("n_id") === 0)
+        .select(lit(900L).as("cell"),
+          transform(col("nv"), x => x * 2).as("cv"),
+          (col("nn") * 2).as("cn")))
+      .localCheckpoint()
+    val got = VectorOps.foldAssign(df, cents, "nv", "nn")
+      .select("n_id", "cell", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: the historical crossJoin + window argmax, same expression
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_id").orderBy(col("csim").desc, col("cell").asc)
+    val want = df.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.DotProduct.dot_product(col("nv"), col("cv")) /
+          (col("nn") * col("cn")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select("n_id", "cell", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (cell, csim)) =>
+      assert((cell, csim) == want(id), s"row $id: fold=$cell/$csim window=${want(id)}")
+    }
+    // the tie really exercised the tie-break: row 0's winner is cell 0
+    // (cos 1.0 against both 0 and 900 — smallest cell wins)
+    assert(got(0L)._1 == 0L)
+  }
+
   test("pq retrain on drift: only drifted cells re-encode, their error drops, recall holds") {
     // Drift scenario: the model trains on clusters 0..7 only; cluster 9's
     // vectors then ARRIVE and encode against that stale model (v9c's
