@@ -34,13 +34,38 @@ import org.apache.spark.sql.SparkSession
   * maps), and the test/bench JVMs are short-lived.
   */
 object Standing {
-  private val cache = new ConcurrentHashMap[(String, Int, String, String), AnyRef]()
+  private type Key = (String, Int, String, String)
+  private val cache = new ConcurrentHashMap[Key, AnyRef]()
+  private val locks = new ConcurrentHashMap[Key, Object]()
 
+  /** Build-once lookup. REENTRANT across keys: a builder may itself call
+    * [[artifact]] for a DIFFERENT artifact (a model builder resolving the
+    * cached corpus count) — a raw computeIfAbsent would throw
+    * IllegalStateException("Recursive update") on any nested access that
+    * lands in the same hash bin (this crashed the round-17 scale sweep,
+    * masked elsewhere only by cache-population order). The build runs
+    * OUTSIDE the map under a per-key monitor, so once-only still holds
+    * under concurrent callers of the same key while nested DIFFERENT-key
+    * builds just take their own monitor. Same-KEY recursion remains a
+    * caller bug (the reentrant monitor would double-build, not deadlock).
+    */
   def artifact[T <: AnyRef](s: SparkSession, sfDir: String, name: String)(
-      build: => T): T =
-    cache.computeIfAbsent(
-      (s.sparkContext.applicationId, System.identityHashCode(s), sfDir, name),
-      _ => build).asInstanceOf[T]
+      build: => T): T = {
+    val key: Key =
+      (s.sparkContext.applicationId, System.identityHashCode(s), sfDir, name)
+    val hit = cache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val built = build
+        cache.put(key, built)
+        built
+      }
+    }
+  }
 
   /** Release every artifact this session has built, across ALL fixtures:
     * cache entries are removed (so the next consumer rebuilds from
@@ -71,5 +96,7 @@ object Standing {
       Option(cache.remove(k)).toSeq.flatMap(frames)
         .foreach(graft.ops.Checkpoints.release)
     }
+    locks.keySet.asScala.filter(k => (k._1, k._2) == sid).toSeq
+      .foreach(locks.remove)
   }
 }

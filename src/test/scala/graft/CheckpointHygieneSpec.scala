@@ -64,4 +64,37 @@ class CheckpointHygieneSpec extends SparkSpec {
     Checkpoints.release(df)
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
+
+  test("Standing.artifact is reentrant across keys and once-only under races") {
+    import graft.sources.Standing
+    // nested DIFFERENT-key build: the inner lookup must not blow up the
+    // cache map (the r17 scale sweep crashed on exactly this shape —
+    // ConcurrentHashMap.computeIfAbsent throws "Recursive update" for
+    // nested access landing in the same bin)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val outer = Standing.artifact(spark, "/tmp/fixA", "hyg_outer") {
+      val inner = Standing.artifact(spark, "/tmp/fixA", "hyg_inner") {
+        builds.incrementAndGet(); java.lang.Long.valueOf(7L)
+      }
+      java.lang.Long.valueOf(inner.longValue() + 1)
+    }
+    assert(outer.longValue() == 8L && builds.get() == 1)
+    // once-only under 8 concurrent same-key callers
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        val v = Standing.artifact(spark, "/tmp/fixA", "hyg_race") {
+          Thread.sleep(50); java.lang.Long.valueOf(n.incrementAndGet().toLong)
+        }
+        got.add(v.longValue()); ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(n.get() == 1, s"same-key build ran ${n.get()} times")
+    assert(got.size == 8 && got.toArray.forall(_ == 1L))
+    Standing.release(spark)
+  }
 }
