@@ -256,17 +256,37 @@ object Bench {
         // prior-warm comparison scaled by the host calibration: on a host
         // running uniformly 1.5x slower, a 1.8x-of-prior warm number is
         // in-family, not an outlier worth a third run
+        def stallClass(v: Double): Boolean =
+          v > math.max(3.0, 2.0 * cold) ||
+            priorWarm.get(name).exists(p =>
+              v > 2.0 * p * hostFactor && v - p * hostFactor > 0.2)
         val jitterVsPrior = ok && priorWarm.get(name)
           .exists(p => warm0 > 2.0 * p * hostFactor && warm0 - p * hostFactor > 0.2)
         val warm =
           if (ok && (warm0 > math.max(3.0, 2.0 * cold) || jitterVsPrior)) {
-            val (third, ok3) = timed(name, fn)
-            // flag the row even when the third run FAILS (round-9 review):
-            // the phantom warm0 is then shipped as the only honest option,
-            // but a "remeasured" row whose value still looks like a stall
+            // flag the row even when every retry FAILS (round-9 review):
+            // a "remeasured" row whose value still looks like a stall
             // tells the reader the re-measurement could not clear it
             remeasured += name
-            if (ok3) math.min(warm0, third) else warm0
+            // Up to TWO extra warm-class runs (round-17 advice: a
+            // sustained scheduler stall outlives one retry — d19 shipped
+            // 21.75s while its own cold run read 3.92s), always keeping
+            // the MINIMUM: a re-measurement must never RAISE a number.
+            var best = warm0
+            var tries = 0
+            while (tries < 2 && stallClass(best)) {
+              val (t, okN) = timed(name, fn)
+              if (okN) best = math.min(best, t)
+              tries += 1
+            }
+            // If every warm run is still stall-class, CAP at the cold
+            // number: cold is a full same-session execution of the same
+            // query including first-touch I/O and codegen, so it upper-
+            // bounds the warm work — shipping it can only OVERSTATE warm
+            // cost, where the uncapped stall number is pure host noise
+            // (the one place measurement classes deliberately mix, and
+            // the row is already flagged in "remeasured").
+            if (stallClass(best)) math.min(best, cold) else best
           } else warm0
         results += ((name, warm, cold, ok, false))
         writeRecord()

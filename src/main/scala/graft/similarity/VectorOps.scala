@@ -685,9 +685,18 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("b"), col("err2")))).as("es"))
       .select(col("cell"),
         aggregate(col("es"), lit(0.0), (acc, e) => acc + e.getField("err2")).as("verr"))
-    verr.groupBy("cell")
+    // mean over micro-unit INTEGERS, not avg() over doubles: the
+    // per-vector error is deterministic (block-ordered fold) but a double
+    // avg is summation-order dependent, and a 6dp straddle here diverges
+    // the whole report row between engines. BIGINT sums are exact and
+    // order-independent; the final division is one IEEE op on identical
+    // integers in both engines (round-17 advice — same class as q9).
+    verr
+      .withColumn("vi", round(col("verr") * lit(1e6)).cast("bigint"))
+      .groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("verr")), 6).as("mean_err"),
+        round(sum(col("vi")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("mean_err"),
         round(max(col("verr")), 6).as("max_err"))
   }
 
@@ -738,12 +747,21 @@ object VectorOps {
       .select(col("n_id"), col("cell"),
         aggregate(col("es"), lit(0.0), (acc, e) => acc + e.getField("err2")).as("verr"))
       .trackedCheckpoint()
-    // trigger: per-cell mean vs the corpus mean, both 6dp-rounded (engine-
-    // exact); the corpus mean is a 1-row bounded driver scalar
-    val gErr = verr.agg(round(avg(col("verr")), 6)).head.getDouble(0)
-    val drifted = verr.groupBy("cell")
-      .agg(round(avg(col("verr")), 6).as("mean_err"))
-      .filter(col("mean_err") > lit(factor) * lit(gErr))
+    // trigger: per-cell mean vs the corpus mean. NOT avg() over doubles —
+    // that is summation-order dependent and a rounding straddle would flip
+    // whole cells in/out of the drifted set between engines (round-17
+    // advice; the q9 lesson applied to a set-valued decision). The
+    // per-vector error is deterministic (block-ordered fold), so scale it
+    // to micro-unit BIGINTs first: integer sums are exact in any order,
+    // and each mean is then ONE IEEE division of identical integers in
+    // both engines. The corpus mean is a 1-row bounded driver scalar.
+    val verrI = verr
+      .withColumn("vi", round(col("verr") * lit(1e6)).cast("bigint"))
+    val gRow = verrI.agg(sum(col("vi")), count(lit(1))).head
+    val gErr = gRow.getLong(0).toDouble / gRow.getLong(1)
+    val drifted = verrI.groupBy("cell")
+      .agg((sum(col("vi")).cast("double") / count(lit(1))).as("mean_vi"))
+      .filter(col("mean_vi") > lit(factor) * lit(gErr))
       .select("cell")
     // re-encode scope: the drifted cells' residents ONLY (semi-join)
     val dsubs = subs

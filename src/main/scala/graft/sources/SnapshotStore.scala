@@ -574,6 +574,32 @@ object SnapshotStore {
     // _manifests — both invisible to readers but unbounded disk if crashes
     // repeat. Same horizon rule: an in-flight commit's stage dir is
     // necessarily younger than it.
+    //
+    // GROUP-MEMBER exception (round-17 advice): when this table is a
+    // commit-group member, a PUBLISHED group manifest may still reference
+    // a member's staged tmp manifest by name — the crash window between
+    // group publish and per-table promotion that repairGroup heals from
+    // exactly that tmp file. It is committed state, not residue, however
+    // old it gets: deleting it makes that group version's member state
+    // permanently unrecoverable. Tmp names recorded in ANY surviving
+    // group manifest are excluded (promotion makes the tmp meaningless
+    // but the group record keeps the name; sparing a handful of tiny
+    // already-promoted tmp files is the safe side of the race).
+    val groupPinnedTmp: Set[String] = {
+      val parent = p.getParent
+      if (parent == null) Set.empty
+      else {
+        val gd = new Path(parent, GroupDir)
+        if (!fs.exists(gd)) Set.empty
+        else {
+          val tbl = p.getName
+          fs.listStatus(gd).toSeq
+            .flatMap(s => parseGroupVersion(s.getPath.getName))
+            .flatMap(g => groupMembers(spark, parent.toString, g).get(tbl))
+            .map(_._2).filter(_.nonEmpty).toSet
+        }
+      }
+    }
     val residue =
       fs.listStatus(p).toSeq.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(".stage-") &&
@@ -581,6 +607,7 @@ object SnapshotStore {
         fs.listStatus(md).toSeq.filter(s => s.isFile &&
           s.getPath.getName.startsWith(".") &&
           s.getPath.getName.contains(".tmp-") &&
+          !groupPinnedTmp.contains(s.getPath.getName) &&
           s.getModificationTime < horizon)
     residue.foreach(s => fs.delete(s.getPath, true))
     // chunk retention: a chunk is immutable and SHARED across versions —

@@ -37,6 +37,10 @@ object Standing {
   private type Key = (String, Int, String, String)
   private val cache = new ConcurrentHashMap[Key, AnyRef]()
   private val locks = new ConcurrentHashMap[Key, Object]()
+  // Per-thread stack of keys currently BUILDING on this thread — the
+  // same-key-recursion assert (fail fast beats a silent double-build).
+  private val building = ThreadLocal.withInitial(() =>
+    scala.collection.mutable.ArrayBuffer.empty[Key])
 
   /** Build-once lookup. REENTRANT across keys: a builder may itself call
     * [[artifact]] for a DIFFERENT artifact (a model builder resolving the
@@ -46,8 +50,16 @@ object Standing {
     * masked elsewhere only by cache-population order). The build runs
     * OUTSIDE the map under a per-key monitor, so once-only still holds
     * under concurrent callers of the same key while nested DIFFERENT-key
-    * builds just take their own monitor. Same-KEY recursion remains a
-    * caller bug (the reentrant monitor would double-build, not deadlock).
+    * builds just take their own monitor.
+    *
+    * NESTING CONTRACT (what keeps two monitors from deadlocking): a
+    * nested [[artifact]] call may target only a LEAF artifact — one whose
+    * builder takes no further Standing lock (today: the corpus/fixture
+    * count scalars). Leaves never wait on anything, so the wait-for graph
+    * is a two-level DAG with no cycle regardless of which threads build
+    * which composites concurrently. Same-KEY recursion (a builder
+    * resolving itself) is asserted against below — the reentrant monitor
+    * would otherwise double-build silently.
     */
   def artifact[T <: AnyRef](s: SparkSession, sfDir: String, name: String)(
       build: => T): T = {
@@ -55,12 +67,19 @@ object Standing {
       (s.sparkContext.applicationId, System.identityHashCode(s), sfDir, name)
     val hit = cache.get(key)
     if (hit != null) return hit.asInstanceOf[T]
+    val stack = building.get()
+    require(!stack.contains(key),
+      s"Standing.artifact: same-key recursion while building '$name' " +
+        s"($sfDir) — the builder resolves itself")
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
       val again = cache.get(key)
       if (again != null) again.asInstanceOf[T]
       else {
-        val built = build
+        stack += key
+        val built =
+          try build
+          finally stack.remove(stack.length - 1)
         cache.put(key, built)
         built
       }
@@ -96,7 +115,11 @@ object Standing {
       Option(cache.remove(k)).toSeq.flatMap(frames)
         .foreach(graft.ops.Checkpoints.release)
     }
-    locks.keySet.asScala.filter(k => (k._1, k._2) == sid).toSeq
-      .foreach(locks.remove)
+    // Lock objects are deliberately LEFT in place: removing them lets a
+    // builder racing this release mint a fresh lock for the same key and
+    // double-build it concurrently with the in-flight one. They are a few
+    // dozen bare Objects per session — leaking them until JVM exit is
+    // free; a use-after-release caller then simply rebuilds under the
+    // original monitor.
   }
 }
