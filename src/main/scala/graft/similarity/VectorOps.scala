@@ -219,6 +219,82 @@ object VectorOps {
       .drop("best")
   }
 
+  /** Two-level (IMI-style) coarse assignment — [[foldAssign]] with the
+    * single k-entry centroid array split into a routing tree, removing the
+    * CENTROID-BROADCAST CEILING:
+    *
+    * With corpus-scaled k = √n cells ([[graft.queries.VectorQueries
+    * .ivfCells]]), [[foldAssign]] packs all k centroids into ONE
+    * array-of-structs VALUE broadcast to every task. At true 100 TB
+    * (n ≈ 10^10–10^11 vectors) that is k·dim ≈ 316k–1M centroids × dim
+    * doubles — a multi-hundred-MB-to-GB single array value that hits
+    * Spark's per-value and broadcast limits long before the corpus does,
+    * and every row pays an O(k·dim) fold. The two-level shape (the FAISS
+    * IMI lineage's answer): the first `nSuper` centroids by cell id are
+    * SUPER-centroids; each centroid routes to its nearest super (k tiny
+    * rows through the plain fold — build-time); each corpus row folds
+    * over the nSuper supers, then over its super's CHILDREN array reached
+    * through a broadcast equi-join on the super id. Per-row CPU drops to
+    * O((nSuper + k/nSuper)·dim) ≈ O(√k·dim) = O(n^(1/4)·dim) at
+    * nSuper ≈ √k, and — the actual ceiling — the largest single broadcast
+    * VALUE drops from O(k·dim) to O(max-children-per-super·dim), expected
+    * O(√k·dim), because the children live as nSuper separate ROWS of a
+    * broadcast hash relation instead of one array value. (Routing skew
+    * can fatten one super's child array; the expected bound assumes
+    * near-balanced routing, the same assumption IMI itself makes —
+    * TwoLevelAssignSpec measures the fixture's actual max.)
+    *
+    * NOT identical to flat assignment in general: a vector whose nearest
+    * centroid lives under a DIFFERENT super than the vector's own nearest
+    * super gets the best child within its super — the standard IMI
+    * approximation. TwoLevelAssignSpec measures the fixture agreement;
+    * the v20 oracle replays THIS two-level chain closed-form, so
+    * correctness never rides on the approximation being exact.
+    *
+    * Tie contract: both folds take a STRICTLY greater cosine over a
+    * cell-id-sorted array — equal-cosine ties keep the smallest id at
+    * each level, the [[foldAssign]] contract applied twice.
+    *
+    * Returns every input column plus `cell` and `csim` (the assignment
+    * and its cosine, like [[foldAssign]]).
+    */
+  private[graft] def foldAssignTwoLevel(df: DataFrame, centroids: DataFrame,
+      nSuper: Int, vec: String, norm: String): DataFrame = {
+    val superC = centroids.orderBy(col("cell")).limit(nSuper)
+      .select(col("cell"), col("cv"), col("cn"))
+    // route each centroid to its nearest super-centroid (k rows — tiny)
+    val routed = foldAssign(
+      centroids.select(col("cell").as("child"), col("cv"), col("cn")),
+      superC, "cv", "cn")
+      .select(col("child"), col("cv"), col("cn"), col("cell").as("super"))
+    // per-super child arrays: nSuper rows, each value O(children·dim) —
+    // the payload a broadcast hash relation shards per key where the flat
+    // fold shipped one monolithic array value
+    val children = routed.groupBy("super")
+      .agg(array_sort(collect_list(
+        struct(col("child").as("cell"), col("cv"), col("cn")))).as("kids"))
+    // level 1: corpus row -> nearest super (fold over nSuper entries)
+    val withSuper = foldAssign(df, superC, vec, norm)
+      .withColumnRenamed("cell", "super")
+      .drop("csim")
+    // level 2: fold within the routed super's children
+    val init = struct(
+      lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cell"))
+    withSuper.join(broadcast(children), "super")
+      .withColumn("best",
+        aggregate(col("kids"), init, (acc, c) => {
+          val sim = dot(col(vec), c.getField("cv")) /
+            (col(norm) * c.getField("cn"))
+          when(sim > acc.getField("s"),
+            struct(sim.as("s"), c.getField("cell").as("cell")))
+            .otherwise(acc)
+        }))
+      .drop("kids")
+      .withColumn("cell", col("best.cell"))
+      .withColumn("csim", col("best.s"))
+      .drop("best", "super")
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells` cells
     * (centroids = the first nCells vectors by id — a deterministic sample,
     * the standard "train on a sample" quantizer), then answer queries by
@@ -261,7 +337,8 @@ object VectorOps {
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
       nCells: Int, nProbe: Int, k: Int,
       corpusFilter: Option[Column] = None,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      superCells: Option[Int] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
@@ -282,7 +359,11 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell").as(out): _*)
     }
-    val corpusCells0 = foldAssign(withN, centroids, "nv", "nn")
+    // superCells = Some(s): the two-level IMI-style assignment (v20) —
+    // same serving join downstream, different (scale-proof) build fold
+    val corpusCells0 = superCells.fold(
+        foldAssign(withN, centroids, "nv", "nn"))(s =>
+        foldAssignTwoLevel(withN, centroids, s, "nv", "nn"))
       .select(withN.columns.map(col).toIndexedSeq :+ col("cell"): _*)
     // pre-filter: prune the inverted lists before the probe join, then drop
     // the metadata column so it can't collide with query-side names

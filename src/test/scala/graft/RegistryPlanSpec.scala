@@ -70,6 +70,13 @@ class RegistryPlanSpec extends SparkSpec {
       "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
     "km1_kmeans_assign" -> ("v4b's 1-row foldAssign centroid-array attach, " +
       "run per iteration — the output is the assignment itself"),
+    "v20_knn_ivf_twolevel" -> ("v4's bounded shapes, two-level: the " +
+      "corpus-side crosses are 1-row broadcast array attaches (the nSuper " +
+      "super-centroid array, and the k-row routing pass's super array); " +
+      "the per-super children reach each row via a broadcast EQUI-join on " +
+      "the super id — the point of the shape: no single k-entry array " +
+      "value ever ships; the query probe is the bounded O(q*k) " +
+      "broadcast-centroid window"),
     "tt2_index_time_travel" -> ("both version legs serve through the " +
       "bounded O(q*k) query-side probe against the PERSISTED group " +
       "tables (one pinned manifest per version); the index sides are " +
