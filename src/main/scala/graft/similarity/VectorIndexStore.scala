@@ -67,6 +67,38 @@ object VectorIndexStore {
     SnapshotStore.commitGroup(spark, dir,
       Map(Tombstones -> GroupFull(_ => tombstones)), batchId)
 
+  /** PHYSICALLY APPLY the tombstone set — the maintenance face [[delete]]'s
+    * scaladoc promises: one atomic commit group that rewrites the index
+    * member WITHOUT the tombstoned rows and publishes an EMPTY tombstone
+    * set, so serving afterwards needs no anti-join at all. Why it must
+    * exist (round-17 verdict): [[delete]] alone makes the tombstone set
+    * grow forever and serving anti-joins it on every query — a GDPR-scale
+    * takedown wave turns the "small dimension" into a corpus-proportional
+    * join side. Compaction is the amortization point: pay one O(index)
+    * rewrite, then every subsequent query drops the anti-join entirely.
+    *
+    * Quantizers are untouched (carried forward at their pinned versions —
+    * deleted centroids still define cell geometry, v17's contract), old
+    * readers keep the pre-compaction version through the group pin (the
+    * tt2 property), and the whole transition is ONE group-manifest rename:
+    * no reader ever sees the index rewritten but the tombstones still
+    * pending, which would double-delete nothing but double-FILTER serving.
+    *
+    * No-op (returns None) when the current version has no tombstone set
+    * or an empty one — an empty rewrite would churn the whole index
+    * member for nothing.
+    */
+  def compact(spark: SparkSession, dir: String,
+      batchId: Option[Long] = None): Option[Long] =
+    tombstonesAt(spark, dir).filter(!_.isEmpty).flatMap { t =>
+      SnapshotStore.commitGroup(spark, dir, Map(
+        Index -> GroupFull(cur =>
+          cur.getOrElse(sys.error(s"compact($dir): no index member"))
+            .join(org.apache.spark.sql.functions.broadcast(t.select("n_id")),
+              Seq("n_id"), "left_anti")),
+        Tombstones -> GroupFull(_ => t.limit(0))), batchId)
+    }
+
   /** The model AS OF group version `g` (current when None) — every member
     * resolved through ONE group manifest, so quantizers and codes are
     * always the lockstep pair that was committed together.

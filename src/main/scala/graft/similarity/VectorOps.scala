@@ -695,10 +695,25 @@ object VectorOps {
     *
     * Contains NO training stage: against a persisted index the plan is
     * scan + equi-joins (asserted in RegistryPlanSpec for v9b).
+    *
+    * @param corpusKeep  FILTERED serving (v15's contract on the PQ index):
+    *                    an eligible-id frame (1-column n_id) semi-joined
+    *                    into the index rows BEFORE the probe join — each
+    *                    query scans only the matching fraction of its
+    *                    inverted lists; post-filtering the top-k would
+    *                    under-fill k wherever matches are sparse.
+    * @param tombstones  DELETED ids (1-column n_id) anti-joined out of the
+    *                    index rows before the probe join — v17's contract
+    *                    on the PQ index. [[graft.similarity
+    *                    .VectorIndexStore.compact]] is the maintenance
+    *                    face that makes this prune unnecessary by
+    *                    physically dropping the rows.
     */
   def ivfpqSearch(queries: DataFrame, model: IvfPqModel, nProbe: Int,
       m: Int, dsub: Int, k: Int, residual: Boolean = false,
-      perm: Seq[Int] = Nil): DataFrame = {
+      perm: Seq[Int] = Nil,
+      corpusKeep: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val qN = withNorm(queries, "nv", "nn")
       .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val queryCells = coarseAssign(qN.withColumnRenamed("n_id", "q_id"),
@@ -714,8 +729,14 @@ object VectorOps {
       .join(broadcast(model.codebook), "b")
       .withColumn("dp", dot(col("sv"), col("cv")))
       .select(col("q_id"), col("b"), col("cell").as("code"), col("dp"))
+    // serving-time prunes land on the index side BELOW the probe join
+    // (the v19 placement contract, applied to the PQ index)
+    val idx0 = corpusKeep.fold(model.index)(kp =>
+      model.index.join(broadcast(kp.select("n_id")), Seq("n_id"), "left_semi"))
+    val idx = tombstones.fold(idx0)(t =>
+      idx0.join(broadcast(t.select("n_id")), Seq("n_id"), "left_anti"))
     // probe: equi-join on cell — the bucketed index side needs no exchange
-    val cands = queryCells.join(model.index, "cell")
+    val cands = queryCells.join(idx, "cell")
       .filter(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id", "b", "code", "csim")
     val perBlock = cands.join(lut, Seq("q_id", "b", "code"))

@@ -77,4 +77,53 @@ class IndexLifecycleSpec extends SparkSpec {
     val cen2 = VectorIndexStore.modelAt(spark, dir, Some(2L)).centroids.count()
     assert(cen0 == cen2 && cen0 == 8L)
   }
+
+  test("compaction physically applies tombstones: serving unchanged, anti-join gone, old version intact") {
+    val df = clustered()
+    val dir = newDir()
+    val m0 = VectorOps.ivfpqTrain(df, nCells = 8, m = 4, dsub = 16, ksub = 16)
+    assert(VectorIndexStore.build(spark, dir, m0, Some(0L)).contains(0L))
+    val dead = df.filter(col("n_id") % 7 === 0).select("n_id").localCheckpoint()
+    assert(VectorIndexStore.delete(spark, dir, dead, Some(1L)).contains(1L))
+
+    val q = df.limit(8).localCheckpoint()
+    def serve(g: Option[Long], tomb: Option[org.apache.spark.sql.DataFrame]) =
+      VectorOps.ivfpqSearch(q, VectorIndexStore.modelAt(spark, dir, g),
+        nProbe = 4, m = 4, dsub = 16, k = 5, tombstones = tomb)
+    // pre-compaction serving: the tombstone anti-join, v17's contract
+    val before = serve(Some(1L), VectorIndexStore.tombstonesAt(spark, dir, Some(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // g2: compact — ONE commit group rewrites the index member and
+    // empties the tombstone set
+    assert(VectorIndexStore.compact(spark, dir, Some(2L)).contains(2L))
+    // serving AFTER compaction needs NO prune and returns the identical rows
+    val after = serve(None, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "serving changed across compaction")
+    // the plan property the compaction buys: no anti-join anywhere in the
+    // post-compaction serving plan (pre-compaction serving carries one)
+    val planBefore = serve(Some(1L),
+      VectorIndexStore.tombstonesAt(spark, dir, Some(1L)))
+      .queryExecution.optimizedPlan.toString
+    val planAfter = serve(None, None).queryExecution.optimizedPlan.toString
+    assert(planBefore.contains("LeftAnti"), "pre-compaction plan lost its anti-join")
+    assert(!planAfter.contains("LeftAnti"),
+      s"post-compaction serving still plans an anti-join:\n$planAfter")
+    // the tombstone member is EMPTY at the compacted version, and a
+    // second compact is a no-op (nothing to apply)
+    assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+    assert(VectorIndexStore.compact(spark, dir, Some(3L)).isEmpty)
+    // time travel: the pre-compaction version still reads the FULL index
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val idxAt1 = VectorIndexStore.modelAt(spark, dir, Some(1L)).index
+      .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+    val idxAt2 = VectorIndexStore.modelAt(spark, dir, Some(2L)).index
+      .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deadIds.subsetOf(idxAt1), "version pin lost pre-compaction rows")
+    assert(idxAt2.intersect(deadIds).isEmpty, "compaction left tombstoned rows")
+    assert(idxAt2 == idxAt1 -- deadIds, "compaction dropped a live row")
+    // quantizers carried forward untouched
+    assert(VectorIndexStore.modelAt(spark, dir, Some(2L)).centroids.count() == 8L)
+  }
 }

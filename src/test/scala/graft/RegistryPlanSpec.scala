@@ -82,6 +82,15 @@ class RegistryPlanSpec extends SparkSpec {
       "tables (one pinned manifest per version); the index sides are " +
       "cell/code equi-joins and the diff is a (q_id, n_id) full-outer " +
       "equi-join"),
+    "v21_index_compaction" -> ("v9b's bounded O(q*k) query-side probe " +
+      "against the COMPACTED persisted group index; the index side is the " +
+      "cell equi-join with NO prune joins at all — compaction's whole " +
+      "point (see the dedicated lifecycle test)"),
+    "tt3_takedown_audit" -> ("tt2's bounded shapes with v19's prunes: " +
+      "both legs serve through the O(q*k) query-side probe; the keep " +
+      "semi-join and the version-pinned tombstone anti-join sit on the " +
+      "index side below the cell equi-join (see the composed placement " +
+      "test), and the diff is a (q_id, n_id) full-outer equi-join"),
     "v18_pq_retrain_drifted" -> ("v9d's standing model + the bounded " +
       "query-side probe; the retrain itself is equi-joins scoped to the " +
       "drifted cells (semi-join) and the untouched index rides an " +
@@ -258,6 +267,39 @@ class RegistryPlanSpec extends SparkSpec {
     assert(preAnti, s"tombstone anti-join not below the probe join:\n$plan")
     assert(!probe.output.exists(_.name == "label"),
       s"label column leaked above the probe join:\n$plan")
+  }
+
+  test("tt3 composes the keep semi-join and version-pinned tombstone anti-join BELOW the probe join") {
+    // v19's composed-placement gate, PQ-index edition: both serving-time
+    // prunes must land on the index side of the cell equi-join — filtering
+    // the ADC top-k after the join would under-fill k twice over
+    val df = SparkEntry.queries("tt3_takedown_audit")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val probeJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(probeJoins.nonEmpty, s"no cell equi-join found:\n$plan")
+    // BOTH legs' probe joins must carry the keep semi-join below them;
+    // the post-takedown leg additionally carries the tombstone anti-join
+    val withSemiBelow = probeJoins.count(_.children.exists(side => side.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty))
+    assert(withSemiBelow >= 2,
+      s"keep semi-join below only $withSemiBelow probe joins:\n$plan")
+    val withAntiBelow = probeJoins.count(_.children.exists(side => side.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.nonEmpty))
+    assert(withAntiBelow >= 1,
+      s"version-pinned tombstone anti-join not below a probe join:\n$plan")
+  }
+
+  test("v21 serves the compacted index with NO prune joins at all") {
+    val df = SparkEntry.queries("v21_index_compaction")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
+      s"post-compaction serving still plans a prune join:\n$plan")
   }
 
   test("v18 scopes the re-encode to drifted cells (semi-join) and carries untouched codes (anti-join)") {
