@@ -548,14 +548,25 @@ object AdvancedQueries {
     // ends in l_quantity — the aggregated value itself — so rows still tied
     // are full duplicates OF THAT VALUE and any tie order yields the same
     // frame multiset, hence the same median, in both engines.
+    //
+    // PLAN (round-18): NOT the window operator — PARTITION BY over a
+    // 3-value flag puts each flag's whole run into one task, so the sort
+    // is 3 single-threaded spilling tasks at any cluster size (measured
+    // r10 = 6.31). MovingFrame.movingMedian range-partitions the full
+    // sort key across all cores and carries the 9-row frame history over
+    // partition boundaries with a bounded tail exchange; the oracle (the
+    // window form in DuckDB) is unchanged — the hash match IS the
+    // re-shape ≡ window equivalence, and MovingFrameSpec pins it
+    // in-Spark against the window route.
     "w5_median_window" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .rowsBetween(-9, 0)
-      Tables.lineitem(s, d).select(
+      val li = Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        round(expr("percentile(l_quantity, 0.5)").over(w), 6).as("med10"))
+        col("l_quantity"))
+      graft.ops.MovingFrame.movingMedian(li, "l_returnflag",
+        Seq("l_orderkey", "l_linenumber", "l_quantity"), "l_quantity",
+        frame = 10, out = "med10")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("med10"), 6).as("med10"))
     }),
 
     // U2: schema-evolution union — the old snapshot lacks a column the new
