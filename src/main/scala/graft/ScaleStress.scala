@@ -142,7 +142,16 @@ object ScaleStress {
     // searches + diff — its 100x leg stresses the snapshot-store read
     // path at real index sizes). v19 stays out: a bounded serving query
     // (v15/v17's shapes composed), no new distributed shape.
-    "v18_pq_retrain_drifted", "tt2_index_time_travel")
+    "v18_pq_retrain_drifted", "tt2_index_time_travel",
+    // round-18 additions: v20's two-level assignment is the BUILD-path
+    // face whose whole reason to exist is scale (the routing tree must
+    // not regress to an n·k explosion or a monolithic broadcast); v21 is
+    // the compaction lifecycle (an O(index) rewrite regressing to
+    // something worse is this sweep's failure class); w5 re-enters after
+    // its round-18 re-shape (range-partitioned moving frames — the 3-task
+    // window sort it replaced measured r10 = 6.31). tt3 stays out: a
+    // bounded serving diff over tt2's machinery (v19's rationale).
+    "v20_knn_ivf_twolevel", "v21_index_compaction", "w5_median_window")
 
   val ratioBound = 15.0
 

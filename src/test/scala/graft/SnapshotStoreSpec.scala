@@ -417,6 +417,59 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rowsOf(SnapshotStore.read(spark, dir)) == Set(1L -> "small"))
   }
 
+  test("chunked manifests: interleaved appends and vacuums keep exactly the referenced chunks") {
+    // The retention rule under SUSTAINED maintenance (round-17 verdict
+    // stretch): chunks are immutable and SHARED across versions, appends
+    // keep rolling new ones, and a vacuum between any two appends must
+    // reclaim precisely the chunks no surviving manifest references —
+    // never one a pinned version still needs. Threshold 20 puts a ~200
+    // file table deep into the manifest-of-manifests regime (many chunks,
+    // layered sharing) without a six-figure file count in the suite; the
+    // 100k-file scale leg is graft.VacuumStress's measured run.
+    val prior = SnapshotStore.chunkInlineThreshold
+    SnapshotStore.chunkInlineThreshold = 20
+    try {
+      val dir = newTable()
+      SnapshotStore.commit(spark,
+        spark.range(200).selectExpr("id", "cast(id as string) as v")
+          .repartition(200), dir, None)
+      var expected = 200L
+      def chunkFiles(): Set[String] = {
+        val cd = new java.io.File(new java.io.File(dir, "_manifests"), "chunks")
+        // drop Hadoop local-FS .crc sidecars — invisible to the store
+        Option(cd.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+          .filterNot(_.startsWith("."))
+      }
+      def referencedChunks(versions: Seq[Long]): Set[String] =
+        versions.flatMap(v => manifestBody(dir, v)
+          .filter(_.startsWith("@chunk:")).map(_.stripPrefix("@chunk:"))).toSet
+      (1 to 12).foreach { i =>
+        SnapshotStore.commitAppend(spark,
+          spark.range(1000L * i, 1000L * i + 5)
+            .selectExpr("id", "cast(id as string) as v").repartition(5),
+          dir, Some(i.toLong - 1))
+        expected += 5
+        if (i % 3 == 0) {
+          val keepFrom = i.toLong - 1 // keep the last two versions
+          SnapshotStore.vacuum(spark, dir, keepFrom, orphanMinAgeMs = 0L)
+          // head and the oldest kept version both read exact
+          assert(SnapshotStore.read(spark, dir).count() == expected)
+          assert(SnapshotStore.read(spark, dir, Some(keepFrom)).count() == expected - 5)
+          // on-disk chunks == exactly those the surviving manifests reference
+          val surviving = (keepFrom to i.toLong)
+          assert(chunkFiles() == referencedChunks(surviving),
+            s"after vacuum at keepFrom=$keepFrom: disk=${chunkFiles()} " +
+              s"referenced=${referencedChunks(surviving)}")
+        }
+      }
+      // a full rewrite strands every chunk; one vacuum reclaims them all
+      SnapshotStore.commit(spark, Seq((1L, "z")).toDF("id", "v"), dir, Some(12L))
+      SnapshotStore.vacuum(spark, dir, keepFrom = 13L, orphanMinAgeMs = 0L)
+      assert(chunkFiles().isEmpty, "stranded chunks must be reclaimed")
+      assert(rowsOf(SnapshotStore.read(spark, dir)) == Set(1L -> "z"))
+    } finally SnapshotStore.chunkInlineThreshold = prior
+  }
+
   // ------------------------- commit groups -------------------------
 
   import graft.sources.SnapshotStore.{GroupAppend, GroupFull}
