@@ -256,14 +256,16 @@ object Bench {
         // prior-warm comparison scaled by the host calibration: on a host
         // running uniformly 1.5x slower, a 1.8x-of-prior warm number is
         // in-family, not an outlier worth a third run
+        // ONE definition of "stall-class": the same predicate triggers the
+        // re-measurement, bounds the retry loop, and decides the cold cap —
+        // two drifting copies would retry under one rule and cap under
+        // another (round-18 review)
         def stallClass(v: Double): Boolean =
           v > math.max(3.0, 2.0 * cold) ||
             priorWarm.get(name).exists(p =>
               v > 2.0 * p * hostFactor && v - p * hostFactor > 0.2)
-        val jitterVsPrior = ok && priorWarm.get(name)
-          .exists(p => warm0 > 2.0 * p * hostFactor && warm0 - p * hostFactor > 0.2)
         val warm =
-          if (ok && (warm0 > math.max(3.0, 2.0 * cold) || jitterVsPrior)) {
+          if (ok && stallClass(warm0)) {
             // flag the row even when every retry FAILS (round-9 review):
             // a "remeasured" row whose value still looks like a stall
             // tells the reader the re-measurement could not clear it

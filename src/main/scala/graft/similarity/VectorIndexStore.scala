@@ -87,17 +87,33 @@ object VectorIndexStore {
     * No-op (returns None) when the current version has no tombstone set
     * or an empty one — an empty rewrite would churn the whole index
     * member for nothing.
+    *
+    * Race safety (round-18 review): the tombstone set is read INSIDE the
+    * member transforms, not captured before the commit — a delete that
+    * lands between this compaction's base read and its publish bumps the
+    * group version, so the publish conflicts and commitGroup's retry
+    * re-runs the transforms against the FRESH set. A pre-captured set
+    * would instead be half-applied on retry: the racing delete's ids
+    * neither dropped from the index nor kept in the tombstone member —
+    * silently resurfacing taken-down rows.
     */
   def compact(spark: SparkSession, dir: String,
-      batchId: Option[Long] = None): Option[Long] =
-    tombstonesAt(spark, dir).filter(!_.isEmpty).flatMap { t =>
-      SnapshotStore.commitGroup(spark, dir, Map(
-        Index -> GroupFull(cur =>
-          cur.getOrElse(sys.error(s"compact($dir): no index member"))
-            .join(org.apache.spark.sql.functions.broadcast(t.select("n_id")),
-              Seq("n_id"), "left_anti")),
-        Tombstones -> GroupFull(_ => t.limit(0))), batchId)
-    }
+      batchId: Option[Long] = None): Option[Long] = {
+    // cheap no-op gate only — correctness comes from the in-transform reads
+    if (!tombstonesAt(spark, dir).exists(t => !t.isEmpty)) return None
+    SnapshotStore.commitGroup(spark, dir, Map(
+      Index -> GroupFull { cur =>
+        val t = tombstonesAt(spark, dir)
+          .getOrElse(sys.error(s"compact($dir): tombstone member vanished"))
+        cur.getOrElse(sys.error(s"compact($dir): no index member"))
+          .join(org.apache.spark.sql.functions.broadcast(t.select("n_id")),
+            Seq("n_id"), "left_anti")
+      },
+      Tombstones -> GroupFull { cur =>
+        cur.getOrElse(sys.error(s"compact($dir): tombstone member vanished"))
+          .limit(0)
+      }), batchId)
+  }
 
   /** The model AS OF group version `g` (current when None) — every member
     * resolved through ONE group manifest, so quantizers and codes are
