@@ -68,7 +68,13 @@ object MovingFrame {
         "(frame multiset invariance)")
     val spark = df.sparkSession
     val sortCols = (partCol +: orderCols).map(col)
-    val nParts = spark.sparkContext.defaultParallelism
+    // scale the range-partition count with the INPUT, not just the core
+    // count: at 100x the fixture, 32 partitions means 32 sorts of ~2M rows
+    // each (spill-bound); following the scan's split count keeps per-task
+    // sorts cache-sized while the tail exchange stays partition-count-
+    // bounded (a few hundred (flag, value) pairs, never data-sized)
+    val nParts = math.max(spark.sparkContext.defaultParallelism,
+      df.queryExecution.toRdd.getNumPartitions)
     // pin ONE partitioning for both passes (tail collection and the frame
     // pass must see identical boundaries) and pay the range sort once
     val sorted = df.repartitionByRange(nParts, sortCols: _*)
