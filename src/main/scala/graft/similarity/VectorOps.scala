@@ -617,7 +617,8 @@ object VectorOps {
     * only the PQ sub-block geometry changes.
     */
   def ivfpqTrain(vectors: DataFrame, nCells: Int, m: Int, dsub: Int,
-      ksub: Int, residual: Boolean = false, perm: Seq[Int] = Nil): IvfPqModel = {
+      ksub: Int, residual: Boolean = false, perm: Seq[Int] = Nil,
+      superCells: Option[Int] = None): IvfPqModel = {
     require(perm.isEmpty || !residual,
       "OPQ-lite permutation is defined for the no-residual variant")
     val withN = withNorm(vectors, "nv", "nn")
@@ -625,8 +626,13 @@ object VectorOps {
     // coarse IVF quantizer: first-nCells vectors by id (deterministic sample)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
-    // corpus assignment via the no-explosion broadcast fold (see foldAssign)
-    val corpusCells = foldAssign(withN, centroids, "nv", "nn")
+    // corpus assignment via the no-explosion broadcast fold (see foldAssign);
+    // superCells = Some(s) swaps in the two-level routing tree
+    // ([[foldAssignTwoLevel]]) — same output shape, no single k·dim
+    // broadcast value, the v20 ceiling removal applied to the PQ build
+    val corpusCells = superCells.fold(
+        foldAssign(withN, centroids, "nv", "nn"))(s =>
+        foldAssignTwoLevel(withN, centroids, s, "nv", "nn"))
       .select("n_id", "cell")
     // ---- PQ codebook over (residual) unit-vector sub-blocks ----
     val unit = withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u"))

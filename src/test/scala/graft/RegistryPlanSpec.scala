@@ -82,6 +82,11 @@ class RegistryPlanSpec extends SparkSpec {
       "tables (one pinned manifest per version); the index sides are " +
       "cell/code equi-joins and the diff is a (q_id, n_id) full-outer " +
       "equi-join"),
+    "v22_knn_ivfpq_twolevel" -> ("v9's bounded shapes with the BUILD " +
+      "assignment two-level: the corpus-side crosses are 1-row broadcast " +
+      "array attaches (super array twice, routing pass) and the children " +
+      "arrive via a broadcast EQUI-join on the super id; codebook encode " +
+      "and the O(q*k) query probe are v9's unchanged"),
     "v21_index_compaction" -> ("v9b's bounded O(q*k) query-side probe " +
       "against the COMPACTED persisted group index; the index side is the " +
       "cell equi-join with NO prune joins at all — compaction's whole " +
