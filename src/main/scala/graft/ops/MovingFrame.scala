@@ -100,15 +100,30 @@ object MovingFrame {
         buf.iterator
       }.collect()
     // prefix history per partition: for partition i, the last `keep`
-    // values PER FLAG across all tails of partitions < i, in order
+    // values PER FLAG across all tails of partitions < i, in order. ONE
+    // forward fold over partitions in index order, maintaining a running
+    // per-flag deque capped at `keep` and snapshotting it before folding
+    // in partition i's own tail — O(P·flags·frame) driver work total.
+    // (The per-`i` re-scan of all prior tails this replaces was
+    // O(P²·frame): harmless at a few hundred partitions, but P follows
+    // the scan's split count, and a 100 TB input has 10⁵–10⁶ splits —
+    // a quadratic driver stall in exactly the regime the operator was
+    // re-shaped for.)
     val byPartition = tails.groupBy(_._1)
     val maxPid = if (tails.isEmpty) -1 else tails.map(_._1).max
+    val running = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayDeque[Double]]
     val prefix: Map[Int, Map[Any, Seq[Double]]] =
       (0 to maxPid + 1).map { i =>
-        val before = (0 until i).flatMap(j =>
-          byPartition.getOrElse(j, Array.empty[(Int, Any, Double)]))
-        i -> before.groupBy(_._2)
-          .map { case (flag, rows) => flag -> rows.map(_._3).takeRight(keep).toSeq }
+        val snap = i -> running.map { case (f, d) => f -> d.toSeq }.toMap
+        byPartition.getOrElse(i, Array.empty[(Int, Any, Double)])
+          .foreach { case (_, flag, v) =>
+            val d = running.getOrElseUpdate(flag,
+              new scala.collection.mutable.ArrayDeque[Double]())
+            d.append(v)
+            if (d.length > keep) d.removeHead()
+          }
+        snap
       }.toMap
     val bPrefix = spark.sparkContext.broadcast(prefix)
 

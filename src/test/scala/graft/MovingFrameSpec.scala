@@ -66,6 +66,20 @@ class MovingFrameSpec extends SparkSpec {
     assert(bFirst._5 == 100.0)
   }
 
+  test("many more range partitions than rows-per-partition (linear prefix fold)") {
+    // force a partition count far above the data's natural split count so
+    // the prefix map is built across HUNDREDS of mostly-tiny partitions —
+    // the regime the O(P·flags·frame) forward fold replaced the quadratic
+    // per-i re-scan in. Values/medians must be identical to the window.
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 3000).map { _ =>
+      (Seq("A", "B")(rnd.nextInt(2)), rnd.nextInt(400).toLong,
+        rnd.nextInt(3).toLong, rnd.nextInt(20).toDouble)
+    }
+    val df = rows.toDF("flag", "k1", "k2", "v").repartition(257)
+    assert(canon(reshaped(df, 10)) === canon(windowed(df, 10)))
+  }
+
   test("interpolated median matches percentile on even and odd frames") {
     val df = (0 until 9).map(i => ("A", i.toLong, 0L, i.toDouble))
       .toDF("flag", "k1", "k2", "v")
