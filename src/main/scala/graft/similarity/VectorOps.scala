@@ -406,7 +406,8 @@ object VectorOps {
     */
   def ivfTopKRefined(
       vectors: DataFrame, queries: DataFrame,
-      nCells: Int, nProbe: Int, k: Int, iters: Int = 1): DataFrame = {
+      nCells: Int, nProbe: Int, k: Int, iters: Int = 1,
+      superCells: Option[Int] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val seeds = withN.orderBy(col("n_id")).limit(nCells)
@@ -421,18 +422,26 @@ object VectorOps {
         .filter(col("r") <= rankLimit)
         .select(keep.toIndexedSeq :+ col("cell"): _*)
     }
-    // train: per iteration, assign to the previous centroids (foldAssign —
-    // no n·k row explosion per pass) and take the per-cell vector mean
+    // corpus-side assignment: the no-explosion broadcast fold, or — with
+    // superCells — the two-level routing tree REBUILT per iteration from
+    // the current centroids (Lloyd's assignment step is itself a corpus ×
+    // all-centroids pass, so the k·dim single-array broadcast ceiling
+    // applies to EVERY iteration, not just the final encode)
+    def assignAll(cents: DataFrame): DataFrame = superCells.fold(
+      foldAssign(withN, cents, "nv", "nn"))(s =>
+      foldAssignTwoLevel(withN, cents, s, "nv", "nn"))
+    // train: per iteration, assign to the previous centroids and take the
+    // per-cell vector mean
     val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      foldAssign(withN, cents, "nv", "nn")
+      assignAll(cents)
         .groupBy("cell")
         .agg(vecMean(col("nv")).as("mv"))
         .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
     }
     // search: same probe shape as ivfTopK, against the trained centroids
-    val corpusCells = foldAssign(withN, refined, "nv", "nn")
+    val corpusCells = assignAll(refined)
       .select(withN.columns.map(col).toIndexedSeq :+ col("cell"): _*)
     val q = withNorm(queries, "nv", "nn")
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
@@ -461,23 +470,30 @@ object VectorOps {
     * aggregation — (sum-vector, count) partials per (cell, partition) cross
     * the shuffle, never exploded dims.
     */
-  def kmeansAssign(vectors: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def kmeansAssign(vectors: DataFrame, nCells: Int, iters: Int,
+      superCells: Option[Int] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val seeds = withN.orderBy(col("n_id")).limit(nCells)
       .select(col("n_id").as("cell"), col("nv").as("cv"), col("nn").as("cn"))
     // assignment is the no-explosion broadcast fold (see foldAssign): same
     // argmax on the same doubles as the historical crossJoin+window, n rows
-    // per pass instead of n·k
+    // per pass instead of n·k. superCells: the two-level routing tree
+    // ([[foldAssignTwoLevel]]), rebuilt per iteration — at the corpus-scaled
+    // cell counts the curation consumers use (sd1Cells ≈ n/256) the flat
+    // fold's single k·dim broadcast array is the ceiling, per iteration.
+    def assignAll(cents: DataFrame): DataFrame = superCells.fold(
+      foldAssign(withN, cents, "nv", "nn"))(s =>
+      foldAssignTwoLevel(withN, cents, s, "nv", "nn"))
     val vecMean = udaf(new graft.functions.Aggregators.VectorMean)
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      foldAssign(withN, cents, "nv", "nn")
+      assignAll(cents)
         .groupBy("cell")
         .agg(vecMean(col("nv")).as("mv"))
         .select(col("cell"), transform(col("mv"), m => round(m, 6)).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
     }
-    foldAssign(withN, refined, "nv", "nn")
+    assignAll(refined)
       .select(col("n_id"), col("nv"), col("nn"), col("cell"),
         round(col("csim"), 6).as("csim"))
   }
@@ -678,10 +694,17 @@ object VectorOps {
     * oracle replays exactly that.
     */
   def ivfpqEncode(vectors: DataFrame, model: IvfPqModel,
-      m: Int, dsub: Int): DataFrame = {
+      m: Int, dsub: Int, superCells: Option[Int] = None): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-    val cells = foldAssign(withN, model.centroids, "nv", "nn")
+    // superCells: the two-level (IMI) routing tree against the standing
+    // centroids. The append path runs NIGHTLY at 100 TB — far more often
+    // than train — so the k·dim single-array broadcast ceiling bites here
+    // first; callers pass the SAME superCells the model trained with so
+    // append ≡ re-encode holds under the two-level assignment too.
+    val cells = superCells.fold(
+        foldAssign(withN, model.centroids, "nv", "nn"))(s =>
+        foldAssignTwoLevel(withN, model.centroids, s, "nv", "nn"))
       .select("n_id", "cell")
     val subs = subBlocks(
       withN.select(col("n_id"), transform(col("nv"), _ / col("nn")).as("u")),

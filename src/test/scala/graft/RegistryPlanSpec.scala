@@ -45,9 +45,11 @@ class RegistryPlanSpec extends SparkSpec {
       "(foldAssign: n rows x k in-expression dots, no n*k row explosion); the " +
       "query side keeps the bounded O(q*k) broadcast-centroid probe — the " +
       "SEARCH join is the cell equi-join"),
-    "v4b_knn_ivf_refined" -> ("same 1-row foldAssign attach as v4, run per " +
-      "Lloyd pass, plus the bounded query-side probe — search stays the cell " +
-      "equi-join"),
+    "v4b_knn_ivf_refined" -> ("v20's two-level shapes run per Lloyd pass " +
+      "(1-row super-array attaches + routing pass; children via a broadcast " +
+      "EQUI-join on the super id — no single k-entry array value ships in " +
+      "any iteration), plus the bounded query-side probe — search stays " +
+      "the cell equi-join"),
     "v15_knn_filtered" -> ("v4's foldAssign attach + bounded query probe; the " +
       "metadata predicate then PRUNES the assigned corpus before the cell " +
       "equi-join (pre-filtered search — see the dedicated filter-placement " +
@@ -64,10 +66,12 @@ class RegistryPlanSpec extends SparkSpec {
     "v10_knn_ivfpq_residual" -> ("same bounded shapes as v9 (broadcast-centroid " +
       "assignment, broadcast-codebook encode over residuals); search is the cell " +
       "equi-join plus (b, code) equi-joins"),
-    "v9c_knn_ivfpq_append" -> ("v9's bounded shapes split across the lifecycle: " +
-      "train on the standing corpus (foldAssign attach + " +
-      "broadcast-codebook encode), ivfpqEncode on arrivals (same shapes over the " +
-      "arrival batch only), search unchanged (cell + (b, code) equi-joins)"),
+    "v9c_knn_ivfpq_append" -> ("v9's bounded shapes split across the lifecycle, " +
+      "with the TWO-LEVEL assignment on both halves: train on the standing " +
+      "corpus (v20's super-attach + routing shapes + broadcast-codebook " +
+      "encode), ivfpqEncode on arrivals (the same two-level shapes over the " +
+      "arrival batch only — the nightly path the ceiling removal exists " +
+      "for), search unchanged (cell + (b, code) equi-joins)"),
     "km1_kmeans_assign" -> ("v4b's 1-row foldAssign centroid-array attach, " +
       "run per iteration — the output is the assignment itself"),
     "v20_knn_ivf_twolevel" -> ("v4's bounded shapes, two-level: the " +

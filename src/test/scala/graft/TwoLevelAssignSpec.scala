@@ -133,6 +133,43 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(agree.filter(col("fs") =!= col("ts")).count() == 0)
   }
 
+  test("encode path: two-level append rows equal a two-level full re-encode (append ≡ re-encode)") {
+    // The v9c invariant under the two-level assignment: encoding a batch
+    // against a standing model (ivfpqEncode with superCells) must produce
+    // byte-identical index rows to what a full re-encode of those vectors
+    // through the same routing tree yields — assignment is a pure function
+    // of (vector, quantizer), two-level included.
+    val c = Tables.embeddings(spark, "/root/testdata/sf0.001").select(
+      col("vec_id").as("n_id"),
+      VectorOps.toDouble(col("embedding")).as("nv"))
+      .localCheckpoint()
+    val isNew = col("n_id") % 10 === 0
+    val standing = c.filter(!isNew)
+    val k = graft.queries.VectorQueries.ivfCells(standing.count())
+    val supers = Some(graft.queries.VectorQueries.imiSuperCells(k))
+    val model = VectorOps.ivfpqTrain(standing, nCells = k,
+      m = 4, dsub = 4, ksub = 8, superCells = supers)
+    val pinned = VectorOps.IvfPqModel(model.centroids.localCheckpoint(),
+      model.codebook.localCheckpoint(), model.index.localCheckpoint())
+    val appended = VectorOps.ivfpqEncode(c.filter(isNew), pinned,
+      m = 4, dsub = 4, superCells = supers)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    // reference: re-encode EVERY vector through the same quantizers, keep
+    // the arrival ids — the oracle's replay shape, in-process
+    val reAll = VectorOps.ivfpqEncode(c, pinned, m = 4, dsub = 4,
+      superCells = supers)
+      .filter(isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(appended.nonEmpty)
+    assert(appended == reAll)
+    // and the two-level cells really differ from nothing — each arrival
+    // landed in a cell the standing model owns
+    val cells = pinned.centroids.select("cell").collect().map(_.getLong(0)).toSet
+    assert(appended.map(_._2).forall(cells.contains))
+  }
+
   test("children payload: every centroid routed exactly once, supers bounded, max child array measured") {
     val df = fixture(300, seed = 19)
     val k = 25
