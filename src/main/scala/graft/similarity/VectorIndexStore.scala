@@ -98,21 +98,70 @@ object VectorIndexStore {
     * silently resurfacing taken-down rows.
     */
   def compact(spark: SparkSession, dir: String,
-      batchId: Option[Long] = None): Option[Long] = {
+      batchId: Option[Long] = None): Option[Long] =
+    compactImpl(spark, dir, batchId, () => ())
+
+  /** Test seam: `onTransformStart` fires at the start of each commit
+    * attempt's index transform — IndexLifecycleSpec injects a racing
+    * [[delete]] there to pin that the conflict retry re-applies the FRESH
+    * tombstone set (the round-18 HIGH finding's exact interleaving).
+    */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      batchId: Option[Long], onTransformStart: () => Unit): Option[Long] = {
     // cheap no-op gate only — correctness comes from the in-transform reads
     if (!tombstonesAt(spark, dir).exists(t => !t.isEmpty)) return None
     SnapshotStore.commitGroup(spark, dir, Map(
       Index -> GroupFull { cur =>
+        onTransformStart()
         val t = tombstonesAt(spark, dir)
           .getOrElse(sys.error(s"compact($dir): tombstone member vanished"))
+        // NO broadcast hint (round-18 advice): the motivating scenario is a
+        // corpus-proportional takedown wave — exactly when a forced
+        // broadcast OOMs the one operation meant to absorb it. A one-off
+        // maintenance rewrite can afford a shuffled left_anti; the hint
+        // stays on the SERVING-time prunes, where the small-set contract
+        // holds per query.
         cur.getOrElse(sys.error(s"compact($dir): no index member"))
-          .join(org.apache.spark.sql.functions.broadcast(t.select("n_id")),
-            Seq("n_id"), "left_anti")
+          .join(t.select("n_id"), Seq("n_id"), "left_anti")
       },
       Tombstones -> GroupFull { cur =>
         cur.getOrElse(sys.error(s"compact($dir): tombstone member vanished"))
           .limit(0)
       }), batchId)
+  }
+
+  /** Decision record of [[compactIfNeeded]]: the measured live/dead counts,
+    * whether the threshold fired, and the published version (None when the
+    * trigger held back or the compaction no-opped).
+    */
+  case class CompactDecision(nLive: Long, nDead: Long, compacted: Boolean,
+      version: Option[Long])
+
+  /** The compaction TRIGGER — the v11→v18 monitor→act pattern applied to
+    * the delete lifecycle: [[compact]] fires only when the tombstone set
+    * exceeds `thresholdPct` percent of the live index. [[delete]] is cheap
+    * and serving tolerates a small anti-join; compacting on every takedown
+    * would pay the O(index) rewrite per delete, while never compacting
+    * grows the anti-join side without bound (the round-17 hole). The
+    * threshold is where a maintainer amortizes: rewrite once per
+    * accumulated wave.
+    *
+    * The decision is PURE INTEGER arithmetic — fire iff
+    * `100·nDead > thresholdPct·nLive` — so an oracle replays it
+    * closed-form from the same counts (no float ratio crosses engines).
+    * nLive counts DISTINCT index ids (the index member holds m rows per
+    * vector). The counts are advisory reads outside the commit; the
+    * compaction itself keeps [[compact]]'s in-transform reads, so a
+    * racing delete still conflict-retries against the fresh set.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, thresholdPct: Int,
+      batchId: Option[Long] = None): CompactDecision = {
+    val nDead = tombstonesAt(spark, dir).map(_.count()).getOrElse(0L)
+    val nLive = SnapshotStore.readGroup(spark, dir, Index)
+      .select("n_id").distinct().count()
+    val fire = 100L * nDead > thresholdPct.toLong * nLive
+    val v = if (fire) compact(spark, dir, batchId) else None
+    CompactDecision(nLive, nDead, fire, v)
   }
 
   /** The model AS OF group version `g` (current when None) — every member

@@ -126,4 +126,72 @@ class IndexLifecycleSpec extends SparkSpec {
     // quantizers carried forward untouched
     assert(VectorIndexStore.modelAt(spark, dir, Some(2L)).centroids.count() == 8L)
   }
+
+  test("a delete racing compact's publish: the conflict retry re-applies the FRESH tombstone set") {
+    // The round-18 HIGH finding's exact interleaving: a takedown lands
+    // AFTER compact's no-op gate read but BEFORE its publish. compact's
+    // in-transform reads make that a version conflict → retry against the
+    // fresh set; the pre-fix code (tombstones captured before the commit)
+    // would re-stage the STALE set on retry and empty the member anyway —
+    // silently resurfacing the racing takedown's rows.
+    val df = clustered()
+    val dir = newDir()
+    val m0 = VectorOps.ivfpqTrain(df, nCells = 8, m = 4, dsub = 16, ksub = 16)
+    assert(VectorIndexStore.build(spark, dir, m0, Some(0L)).contains(0L))
+    val setA = df.filter(col("n_id") % 7 === 0).select("n_id").localCheckpoint()
+    assert(VectorIndexStore.delete(spark, dir, setA, Some(1L)).contains(1L))
+    // the racing takedown: a STRICT superset (set A plus the %11 wave)
+    val setB = df.filter(col("n_id") % 7 === 0 || col("n_id") % 11 === 0)
+      .select("n_id").localCheckpoint()
+    val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = VectorIndexStore.compactImpl(spark, dir, Some(3L), () =>
+      if (injected.getAndIncrement() == 0) {
+        // lands g2 between compact's gate and its publish attempt
+        assert(VectorIndexStore.delete(spark, dir, setB, Some(2L)).contains(2L))
+      })
+    // the injection fired, the first publish conflicted, the retry landed
+    assert(injected.get() >= 2, s"transform ran ${injected.get()} time(s) — no conflict retry")
+    assert(got.contains(3L))
+    // the compacted index dropped the RACING delete's ids too — not just
+    // the set the gate saw
+    val bIds = setB.collect().map(_.getLong(0)).toSet
+    val idxNow = VectorIndexStore.modelAt(spark, dir).index
+      .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxNow.intersect(bIds).isEmpty,
+      s"racing takedown resurfaced: ${idxNow.intersect(bIds)}")
+    val allIds = df.select("n_id").collect().map(_.getLong(0)).toSet
+    assert(idxNow == allIds -- bIds, "compaction dropped a live row")
+    // and the tombstone member emptied in the SAME commit
+    assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+  }
+
+  test("compactIfNeeded: below threshold the group is untouched; above it compaction fires") {
+    val df = clustered() // 160 rows
+    val dir = newDir()
+    val m0 = VectorOps.ivfpqTrain(df, nCells = 8, m = 4, dsub = 16, ksub = 16)
+    assert(VectorIndexStore.build(spark, dir, m0, Some(0L)).contains(0L))
+    // wave 1: 2 ids of 160 = 1.25% — below the 5% threshold
+    val small = df.filter(col("n_id").isin(3L, 17L)).select("n_id").localCheckpoint()
+    assert(VectorIndexStore.delete(spark, dir, small, Some(1L)).contains(1L))
+    val d1 = VectorIndexStore.compactIfNeeded(spark, dir, thresholdPct = 5, Some(2L))
+    assert(d1.nLive == 160L && d1.nDead == 2L && !d1.compacted && d1.version.isEmpty)
+    // held back: version unchanged, tombstones still pending, serving
+    // still needs the anti-join
+    assert(SnapshotStore.groupVersion(spark, dir).contains(1L))
+    assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.count() == 2L))
+    // wave 2: the %7 set joins — 25 of 160 ≈ 15.6% > 5% — fires
+    val big = df.filter(col("n_id") % 7 === 0 || col("n_id").isin(3L, 17L))
+      .select("n_id").localCheckpoint()
+    // batch ids and group versions DIVERGE here: the held-back trigger
+    // consumed no version, so batch 3 lands at g2 and the compaction at g3
+    assert(VectorIndexStore.delete(spark, dir, big, Some(3L)).contains(2L))
+    val d2 = VectorIndexStore.compactIfNeeded(spark, dir, thresholdPct = 5, Some(4L))
+    assert(d2.nLive == 160L && d2.nDead == big.count() && d2.compacted)
+    assert(d2.version.contains(3L))
+    val bigIds = big.collect().map(_.getLong(0)).toSet
+    val idxNow = VectorIndexStore.modelAt(spark, dir).index
+      .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxNow.intersect(bigIds).isEmpty)
+    assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+  }
 }
