@@ -113,11 +113,16 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("v13: each cell drops exactly ceil(10%) least-prototypical members") {
+    // mirror the shipped cellAssignment chain exactly: sd1Cells-scaled
+    // cell count AND the two-level routing (round 19) — a flat replica
+    // here would disagree wherever the IMI approximation reroutes a row
+    val emb = Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("n_id"),
+      graft.similarity.VectorOps.toDouble(col("embedding")).as("nv"))
+    val k = graft.queries.VectorQueries.sd1Cells(emb.count())
     val asg = graft.similarity.VectorOps.kmeansAssign(
-      Tables.embeddings(spark, sfDir).select(
-        col("vec_id").as("n_id"),
-        graft.similarity.VectorOps.toDouble(col("embedding")).as("nv")),
-      nCells = 16, iters = 2)
+      emb, nCells = k, iters = 2,
+      superCells = Some(graft.queries.VectorQueries.imiSuperCells(k)))
       .select(col("n_id"), col("cell")).collect()
       .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length }
     val pruned = graft.queries.VectorQueries
