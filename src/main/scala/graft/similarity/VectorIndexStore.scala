@@ -149,16 +149,23 @@ object VectorIndexStore {
     * The decision is PURE INTEGER arithmetic — fire iff
     * `100·nDead > thresholdPct·nLive` — so an oracle replays it
     * closed-form from the same counts (no float ratio crosses engines).
-    * nLive counts DISTINCT index ids (the index member holds m rows per
-    * vector). The counts are advisory reads outside the commit; the
-    * compaction itself keeps [[compact]]'s in-transform reads, so a
-    * racing delete still conflict-retries against the fresh set.
+    * nLive counts index VECTORS: the member holds exactly one row per
+    * (vector, block), so rows ÷ |blocks| is the id count WITHOUT a
+    * corpus-wide distinct — a monitor that shuffles every index id to
+    * decide whether to pay an O(index) rewrite would cost the class of
+    * the act it gates (round-19 review); plain counts are parquet-footer
+    * reads and the block column is |m| values. The counts are advisory
+    * reads outside the commit; the compaction itself keeps [[compact]]'s
+    * in-transform reads, so a racing delete still conflict-retries
+    * against the fresh set.
     */
   def compactIfNeeded(spark: SparkSession, dir: String, thresholdPct: Int,
       batchId: Option[Long] = None): CompactDecision = {
     val nDead = tombstonesAt(spark, dir).map(_.count()).getOrElse(0L)
-    val nLive = SnapshotStore.readGroup(spark, dir, Index)
-      .select("n_id").distinct().count()
+    val idx = SnapshotStore.readGroup(spark, dir, Index)
+    val nRows = idx.count()
+    val nBlocks = idx.select("b").distinct().count()
+    val nLive = if (nBlocks == 0) 0L else nRows / nBlocks
     val fire = 100L * nDead > thresholdPct.toLong * nLive
     val v = if (fire) compact(spark, dir, batchId) else None
     CompactDecision(nLive, nDead, fire, v)
