@@ -151,7 +151,13 @@ object ScaleStress {
     // its round-18 re-shape (range-partitioned moving frames — the 3-task
     // window sort it replaced measured r10 = 6.31). tt3 stays out: a
     // bounded serving diff over tt2's machinery (v19's rationale).
-    "v20_knn_ivf_twolevel", "v21_index_compaction", "w5_median_window")
+    "v20_knn_ivf_twolevel", "v21_index_compaction", "w5_median_window",
+    // round-20 addition: v24 is the probe-INVERSION serving twin (the
+    // query batch broadcasts, the k = √n centroid rows stream) — its
+    // whole reason to exist is the k·dim broadcast ceiling, so the sweep
+    // measures it against its flat twin (v20) at every scale to locate
+    // the crossover
+    "v24_knn_ivf_inverted_probe")
 
   val ratioBound = 15.0
 

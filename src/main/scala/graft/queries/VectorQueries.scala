@@ -92,6 +92,29 @@ object VectorQueries {
         superCells = Some(imiSuperCells(cells)))
     }),
 
+    // V24: PROBE-INVERSION serving — v20's exact query (same cells, same
+    // two-level corpus assignment, same hyperparameters) with the probe
+    // join's BUILD side flipped: broadcast the bounded query batch and
+    // stream the k centroid rows through the same keyed rank window.
+    // Closes the last documented ANN scale ceiling (the SCALE.md
+    // round-19 serving-probe audit, route (a)): at corpus-scaled
+    // k = √n ≥ 10^5 centroids the flat probe builds an O(k·dim) hash
+    // relation PER QUERY BATCH (~100–160 MB at n = 10^10 vectors,
+    // ~0.5 GB at 10^12); inverted, nothing centroid-sized is broadcast
+    // anywhere in the probe — the q·k intermediate rows shuffle by q_id
+    // exactly as before. Output is bit-identical to v20 (same doubles,
+    // same tie contract), so the oracle IS v20's closed form; the
+    // flipped build side is plan-pinned in RegistryPlanSpec and the
+    // flat-vs-inverted crossover is measured in the 100x scale legs.
+    "v24_knn_ivf_inverted_probe" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cells = annCells(s, d)
+      VectorOps.ivfTopK(c, c.filter(col("n_id") < qBatch),
+        nCells = cells, nProbe = 4, k = 5,
+        superCells = Some(imiSuperCells(cells)),
+        invertProbe = true)
+    }),
+
     // V4b: IVF with a TRAINED quantizer — TWO deterministic Lloyd
     // refinements of the first-ivfCells(n) seed (per-cell mean centroids, rounded 6dp
     // per iteration so the SQL replay is exact), then the same 4-probe
@@ -334,7 +357,12 @@ object VectorQueries {
           val idx = S.modelAt(s, path).index
           val liveAfter = idx.count() / math.max(1L,
             idx.select("b").distinct().count())
-          (step, dec.nLive, dec.nDead, 100.0 * dec.nDead / dec.nLive,
+          // max(1, nLive) guards the audit ratio on an empty index (the
+          // adjacent liveAfter already guards its divisor the same way);
+          // nLive > 0 on every fixture wave, so the guard never changes a
+          // published value — it only keeps NaN/Infinity out of the record
+          (step, dec.nLive, dec.nDead,
+            100.0 * dec.nDead / math.max(1L, dec.nLive),
             if (dec.compacted) "compact" else "hold", liveAfter)
         }
         Seq(
@@ -1757,7 +1785,7 @@ object VectorQueries {
          WHERE a.vec_id < 20 AND b.vec_id != a.vec_id)
        WHERE rank <= 5"""
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "qc1_quality_classifier" -> {
       val wLit = qcWeights.mkString("[", ", ", "]")
       s"""SELECT vec_id, label::BIGINT AS label,
@@ -2178,4 +2206,13 @@ object VectorQueries {
            FROM qcell q JOIN ccell n ON q.cell = n.cell AND n.vec_id != q.vec_id)
          WHERE rank <= 5"""
   )
+
+  /** v24 is v20 with the probe join's BUILD side flipped (broadcast the
+    * bounded query batch, stream the k centroids) — a PLAN-ONLY change:
+    * same cosine expression on the same doubles, same (csim DESC, cell
+    * ASC) tie contract, bit-identical output. Its closed form therefore
+    * IS v20's; the inverted plan shape is pinned in RegistryPlanSpec.
+    */
+  val oracles: Map[String, String] =
+    oracles0 + ("v24_knn_ivf_inverted_probe" -> oracles0("v20_knn_ivf_twolevel"))
 }

@@ -149,15 +149,21 @@ object VectorIndexStore {
     * The decision is PURE INTEGER arithmetic — fire iff
     * `100·nDead > thresholdPct·nLive` — so an oracle replays it
     * closed-form from the same counts (no float ratio crosses engines).
-    * nLive counts index VECTORS: the member holds exactly one row per
-    * (vector, block), so rows ÷ |blocks| is the id count WITHOUT a
+    * nLive counts index VECTORS — all vectors still physically in the
+    * index member, INCLUDING tombstoned-but-uncompacted ones (the
+    * denominator is "what a rewrite would have to touch", which is what
+    * the threshold amortizes against): the member holds exactly one row
+    * per (vector, block), so rows ÷ |blocks| is the id count WITHOUT a
     * corpus-wide distinct — a monitor that shuffles every index id to
     * decide whether to pay an O(index) rewrite would cost the class of
     * the act it gates (round-19 review); plain counts are parquet-footer
-    * reads and the block column is |m| values. The counts are advisory
-    * reads outside the commit; the compaction itself keeps [[compact]]'s
-    * in-transform reads, so a racing delete still conflict-retries
-    * against the fresh set.
+    * reads and the block column is |m| values. The one-row-per-(vector,
+    * block) invariant that division rides on is ASSERTED from the same
+    * counts (a partially-appended or malformed member would otherwise
+    * skew the trigger silently). The counts are advisory reads outside
+    * the commit; the compaction itself keeps [[compact]]'s in-transform
+    * reads, so a racing delete still conflict-retries against the fresh
+    * set.
     */
   def compactIfNeeded(spark: SparkSession, dir: String, thresholdPct: Int,
       batchId: Option[Long] = None): CompactDecision = {
@@ -165,10 +171,52 @@ object VectorIndexStore {
     val idx = SnapshotStore.readGroup(spark, dir, Index)
     val nRows = idx.count()
     val nBlocks = idx.select("b").distinct().count()
+    require(nBlocks == 0L || nRows % nBlocks == 0L,
+      s"compactIfNeeded($dir): index member is not one row per (vector, " +
+        s"block) — $nRows rows over $nBlocks blocks; a partial append or " +
+        "malformed member would silently skew the trigger")
     val nLive = if (nBlocks == 0) 0L else nRows / nBlocks
     val fire = 100L * nDead > thresholdPct.toLong * nLive
     val v = if (fire) compact(spark, dir, batchId) else None
     CompactDecision(nLive, nDead, fire, v)
+  }
+
+  /** One micro-batch of takedown MAINTENANCE — the STREAMING consumer of
+    * [[compactIfNeeded]] (round-19 verdict #5): land this batch's takedown
+    * ids into the tombstone set, then evaluate the compaction trigger at
+    * the batch commit point. This is the `foreachBatch` body of an index
+    * maintainer's takedown stream: deletes stay cheap per batch, and the
+    * O(index) rewrite fires only when the accumulated wave crosses the
+    * threshold — the v23 two-wave shape, in-stream.
+    *
+    * Exactly-once under replay: both commits carry ids derived from the
+    * micro-batch id (the delete at `2·batchId`, the compaction at
+    * `2·batchId + 1` — the maintenance loop owns the group's id space, the
+    * single-writer contract [[SnapshotStore.commitGroup]] already
+    * requires). A re-delivered batch is swallowed whole: the delete is a
+    * no-op (the union below is idempotent AND the group drops the seen
+    * id), and the trigger recount sees either the same held state (hold
+    * again, no commit) or the post-fire empty tombstone set (no fire) —
+    * the group version is untouched either way. A crash BETWEEN the two
+    * commits heals on replay: the delete is swallowed, the recount still
+    * crosses the threshold, and the compaction commits under its own
+    * unseen id. The group's replay probe is MONOTONIC (any id ≤ the last
+    * seen is swallowed), so bootstrap commits (the initial [[build]])
+    * must carry NO batch id — micro-batch ids start at 0 and the doubled
+    * space is the stream's alone.
+    *
+    * The tombstone publish is the CURRENT set ∪ this batch (distinct) —
+    * [[delete]] publishes full sets, so accumulation is the caller's job
+    * and this is the caller.
+    */
+  def applyTakedownBatch(spark: SparkSession, dir: String, ids: DataFrame,
+      thresholdPct: Int, batchId: Long): CompactDecision = {
+    val batch = ids.select("n_id")
+    val full = tombstonesAt(spark, dir)
+      .fold(batch)(cur => cur.select("n_id").unionByName(batch))
+      .distinct()
+    delete(spark, dir, full, Some(2L * batchId))
+    compactIfNeeded(spark, dir, thresholdPct, Some(2L * batchId + 1L))
   }
 
   /** The model AS OF group version `g` (current when None) — every member

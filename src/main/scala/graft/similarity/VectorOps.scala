@@ -273,14 +273,38 @@ object VectorOps {
     val children = routed.groupBy("super")
       .agg(array_sort(collect_list(
         struct(col("child").as("cell"), col("cv"), col("cn")))).as("kids"))
-    // level 1: corpus row -> nearest super (fold over nSuper entries)
+    foldAssignTwoLevelWith(df, superC, children, vec, norm)
+  }
+
+  /** Level-1 + level-2 folds over a PREBUILT routing tree — the body of
+    * [[foldAssignTwoLevel]], split so TwoLevelAssignSpec can inject a
+    * deliberately broken `children` table (a super with no kids row) and
+    * pin the childless-super guard below.
+    *
+    * Childless-super guard: the children join is a LEFT join with a
+    * fallback to the super itself (supers are centroids, so `cell = super`
+    * with the level-1 cosine is a valid assignment). A super can lose all
+    * children only through an FP-exact cosine tie chain (every centroid —
+    * including the super itself, whose self-cosine is the maximum — routed
+    * to a smaller-id super), and the same tie normally reroutes level-1
+    * vectors too; but that impossibility argument lives in ulp-land
+    * (parallel-but-not-identical centroids can break the self-tie), and an
+    * inner join would silently DROP any row that reaches a childless super
+    * — vanishing it from sd1/v13 curation with no error. The left-join
+    * fallback converts the prose argument into an invariant: every input
+    * row comes out assigned, worst case to its super.
+    */
+  private[graft] def foldAssignTwoLevelWith(df: DataFrame, superC: DataFrame,
+      children: DataFrame, vec: String, norm: String): DataFrame = {
+    // level 1: corpus row -> nearest super (fold over nSuper entries);
+    // keep the level-1 cosine as the fallback csim
     val withSuper = foldAssign(df, superC, vec, norm)
       .withColumnRenamed("cell", "super")
-      .drop("csim")
+      .withColumnRenamed("csim", "ssim")
     // level 2: fold within the routed super's children
     val init = struct(
       lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cell"))
-    withSuper.join(broadcast(children), "super")
+    withSuper.join(broadcast(children), Seq("super"), "left")
       .withColumn("best",
         aggregate(col("kids"), init, (acc, c) => {
           val sim = dot(col(vec), c.getField("cv")) /
@@ -290,9 +314,11 @@ object VectorOps {
             .otherwise(acc)
         }))
       .drop("kids")
-      .withColumn("cell", col("best.cell"))
-      .withColumn("csim", col("best.s"))
-      .drop("best", "super")
+      // aggregate(NULL, ...) is NULL: a childless super leaves best NULL
+      // and the coalesce assigns the row to the super itself
+      .withColumn("cell", coalesce(col("best.cell"), col("super")))
+      .withColumn("csim", coalesce(col("best.s"), col("ssim")))
+      .drop("best", "super", "ssim")
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nCells` cells
@@ -333,12 +359,20 @@ object VectorOps {
     *                      is small and broadcasts. Cell geometry untouched
     *                      (deleted centroids still define their cells —
     *                      they index, they just never surface).
+    * @param invertProbe  flip the probe join's BUILD side: broadcast the
+    *                      bounded query batch and stream the k centroid
+    *                      rows (v24) instead of broadcasting the k-row
+    *                      centroid relation — the serving shape for
+    *                      corpus-scaled k = √n ≥ 10^5 where the flat
+    *                      probe's O(k·dim) broadcast is the ceiling.
+    *                      Bit-identical output (see the inline note).
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
       nCells: Int, nProbe: Int, k: Int,
       corpusFilter: Option[Column] = None,
       tombstones: Option[DataFrame] = None,
-      superCells: Option[Int] = None): DataFrame = {
+      superCells: Option[Int] = None,
+      invertProbe: Boolean = false): DataFrame = {
     val withN = withNorm(vectors, "nv", "nn")
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val centroids = withN.orderBy(col("n_id")).limit(nCells)
@@ -348,10 +382,27 @@ object VectorOps {
     // is the per-row rank, and the shuffle/compare key is one long, never
     // the 64-double vector. Bounded: |Q| is a serving batch, so q·k rows
     // are fine here; the CORPUS side uses the no-explosion foldAssign.
+    //
+    // invertProbe — the PROBE-INVERSION serving shape (v24): the flat
+    // probe broadcasts the k-row centroid relation to the query batch,
+    // which at corpus-scaled k = √n is an O(k·dim) hash relation PER
+    // QUERY BATCH (~100–160 MB at n = 10^10 vectors, ~0.5 GB at 10^12 —
+    // the SCALE.md serving-probe audit; past broadcast limits long before
+    // the corpus is). Inverted, the BOUNDED |Q| batch broadcasts instead
+    // and the k centroid rows STREAM through the cross join; the same
+    // q·k intermediate rows then shuffle by q_id into the same rank
+    // window. Same cosine expression on the same doubles, same
+    // (csim DESC, cell ASC) tie contract — the output is bit-identical;
+    // only the build side of the probe join flips. The crossover: flat
+    // wins while k·dim broadcasts cheaply (fixture scale), inverted wins
+    // once the centroid relation outgrows the query batch.
     def assign(df: DataFrame, idCol: String, vec: String, norm: String,
         rankLimit: Int, out: String) = {
       val keep = df.columns.map(col)
-      val scored = df.crossJoin(broadcast(centroids))
+      val crossed =
+        if (invertProbe) centroids.crossJoin(broadcast(df))
+        else df.crossJoin(broadcast(centroids))
+      val scored = crossed
         .withColumn("csim", cosineWithNorms(col(vec), col("cv"), col(norm), col("cn")))
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cell").asc)

@@ -165,6 +165,66 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
   }
 
+  test("streaming takedown maintenance: a trickle batch holds, the wave batch fires exactly one compaction, replay is swallowed") {
+    // The v23 two-wave shape IN-STREAM (round-19 verdict #5): the trigger
+    // wired into the micro-batch commit point via applyTakedownBatch — the
+    // foreachBatch body of an index maintainer's takedown stream.
+    val df = clustered() // 160 rows
+    val dir = newDir()
+    val m0 = VectorOps.ivfpqTrain(df, nCells = 8, m = 4, dsub = 16, ksub = 16)
+    // bootstrap build carries NO batch id: the group's replay probe is
+    // monotonic (lastBatchId >= id swallows), so the id space belongs to
+    // the stream — a build tagged 100 would swallow micro-batches 0..50
+    assert(VectorIndexStore.build(spark, dir, m0).contains(0L))
+    val decisions =
+      scala.collection.mutable.ArrayBuffer.empty[VectorIndexStore.CompactDecision]
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("n_id"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        decisions += VectorIndexStore.applyTakedownBatch(
+          spark, dir, b, thresholdPct = 5, batchId = id)
+        ()
+      }
+      .start()
+    try {
+      // batch 0: 2 of 160 = 1.25% — the trickle; the trigger must HOLD
+      mem.addData(3L, 17L); q.processAllAvailable()
+      assert(decisions.size == 1)
+      assert(decisions(0).nDead == 2L && !decisions(0).compacted
+        && decisions(0).version.isEmpty)
+      // held back: only the delete's version landed; tombstones pending
+      assert(SnapshotStore.groupVersion(spark, dir).contains(1L))
+      assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.count() == 2L))
+      // batch 1: the %7 wave joins the pending set — 23 fresh ids,
+      // 25 accumulated ≈ 15.6% > 5% — EXACTLY ONE compaction commit
+      mem.addData((0L until 160L).filter(_ % 7 == 0): _*)
+      q.processAllAvailable()
+      assert(decisions.size == 2)
+      assert(decisions(1).nLive == 160L && decisions(1).nDead == 25L
+        && decisions(1).compacted)
+      // versions: g0 build, g1 trickle delete, g2 wave delete, g3 compact
+      assert(decisions(1).version.contains(3L))
+      assert(SnapshotStore.groupVersion(spark, dir).contains(3L))
+      val goneIds = (0L until 160L).filter(i => i % 7 == 0 || i == 3L || i == 17L).toSet
+      val idxNow = VectorIndexStore.modelAt(spark, dir).index
+        .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxNow.intersect(goneIds).isEmpty)
+      assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+    } finally q.stop()
+    // replay: re-deliver the FIRED batch (crash-after-commit recovery) —
+    // both its commits are swallowed and the version is untouched
+    val replayIds = (0L until 160L).filter(_ % 7 == 0).toDF("n_id")
+    val replay = VectorIndexStore.applyTakedownBatch(
+      spark, dir, replayIds, thresholdPct = 5, batchId = 1L)
+    assert(!replay.compacted && replay.version.isEmpty)
+    assert(SnapshotStore.groupVersion(spark, dir).contains(3L))
+    // the replayed delete did NOT resurrect the tombstone set
+    assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+  }
+
   test("compactIfNeeded: below threshold the group is untouched; above it compaction fires") {
     val df = clustered() // 160 rows
     val dir = newDir()

@@ -81,6 +81,12 @@ class RegistryPlanSpec extends SparkSpec {
       "the super id — the point of the shape: no single k-entry array " +
       "value ever ships; the query probe is the bounded O(q*k) " +
       "broadcast-centroid window"),
+    "v24_knn_ivf_inverted_probe" -> ("v20's bounded corpus shapes " +
+      "(1-row super-array attaches; children via a broadcast equi-join); " +
+      "the probe cross is INVERTED — the build side is the bounded |Q| " +
+      "query batch and the k centroid rows STREAM, so nothing " +
+      "centroid-sized is ever broadcast (the dedicated build-side test " +
+      "pins which side builds)"),
     "tt2_index_time_travel" -> ("both version legs serve through the " +
       "bounded O(q*k) query-side probe against the PERSISTED group " +
       "tables (one pinned manifest per version); the index sides are " +
@@ -309,6 +315,48 @@ class RegistryPlanSpec extends SparkSpec {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
       s"post-compaction serving still plans a prune join:\n$plan")
+  }
+
+  test("v24 inverts the probe's build side: the query batch builds, the centroid relation streams") {
+    // The serving-probe ceiling (SCALE.md r19 audit): the flat probe
+    // broadcasts the k = √n centroid relation per query batch — O(k·dim)
+    // hash relation, ~100 MB+ at n = 10^10. v24 must build the BOUNDED
+    // query batch instead; a regression here silently reinstates the
+    // ceiling while staying hash-green (the output is identical by
+    // design), so the shape IS the contract.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case r: ReusedExchangeExec => r +: allNodes(r.child)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // every BNLJ's BUILD-side output column names (the broadcast relation)
+    def bnljBuilds(name: String): Seq[Seq[String]] =
+      allNodes(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan)
+        .collect { case b: BroadcastNestedLoopJoinExec =>
+          (if (b.buildSide == BuildRight) b.right else b.left).output.map(_.name)
+        }
+    // positive control — the flat twin (v20) broadcasts the multi-row
+    // (cell, cv, cn) centroid relation in its probe; without this the
+    // negative assertion below could pass vacuously on a renamed column
+    val flat = bnljBuilds("v20_knn_ivf_twolevel")
+    assert(flat.exists(o => o.contains("cell") && o.contains("cv")),
+      s"control: v20's probe should broadcast the centroid relation, got $flat")
+    // v24: the probe's build side is the bounded query batch...
+    val inv = bnljBuilds("v24_knn_ivf_inverted_probe")
+    assert(inv.exists(o => o.contains("q_id") && o.contains("qv")),
+      s"v24's probe does not build the query batch: $inv")
+    // ...and NO multi-row centroid relation builds anywhere: the only
+    // other BNLJs are foldAssign's 1-row collected-array attaches (a
+    // single array column, never (cell, cv, cn) rows)
+    assert(!inv.exists(o => o.contains("cell") && o.contains("cv")),
+      s"a centroid relation is still broadcast in v24's plan: $inv")
   }
 
   test("v18 scopes the re-encode to drifted cells (semi-join) and carries untouched codes (anti-join)") {

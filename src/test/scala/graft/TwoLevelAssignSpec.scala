@@ -170,6 +170,68 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(appended.map(_._2).forall(cells.contains))
   }
 
+  test("childless-super guard: a row routed to a kid-less super falls back to the super itself, never drops") {
+    // ADVICE.md (r19) argued childless supers are tie-chain-unreachable —
+    // a prose argument living in ulp-land (parallel-but-not-identical
+    // centroids can break the self-routing tie). The guard converts it to
+    // an invariant: the children join is LEFT with a fallback to the
+    // super. Fabricate the "impossible" state through the test seam: a
+    // children table where super 2 owns nothing (every centroid misrouted
+    // to super 1), then rows whose nearest super IS 2.
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val df = Seq(
+      (10L, Array(1.0, 0.0)), // nearest super 1
+      (11L, Array(0.0, 1.0)), // nearest super 2 — the would-be drop
+      (12L, Array(0.1, 0.9))  // nearest super 2 — the would-be drop
+    ).toDF("n_id", "nv").withColumn("nn", VectorOps.l2norm(col("nv")))
+    val superC = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("cell", "cv").withColumn("cn", VectorOps.l2norm(col("cv")))
+      .localCheckpoint()
+    // deliberately broken routing: BOTH centroids under super 1
+    val children = superC
+      .select(col("cell").as("child"), col("cv"), col("cn"), lit(1L).as("super"))
+      .groupBy("super")
+      .agg(array_sort(collect_list(
+        struct(col("child").as("cell"), col("cv"), col("cn")))).as("kids"))
+    val got = VectorOps.foldAssignTwoLevelWith(df, superC, children, "nv", "nn")
+      .select("n_id", "cell", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the guard: EVERY input row comes out — an inner join would return 1
+    assert(got.size == 3, s"childless-super rows dropped: $got")
+    // row 10 rode the normal path (super 1's kids, best child = cell 1)
+    assert(got(10L) == ((1L, 1.0)))
+    // rows 11/12 hit the childless super and fell back to the super
+    // itself with the level-1 cosine — a valid cell, loudly-defined
+    // semantics, no silent vanish from curation
+    assert(got(11L) == ((2L, 1.0)))
+    assert(got(12L)._1 == 2L)
+    val expected12 = 0.9 / (math.sqrt(0.1 * 0.1 + 0.9 * 0.9) * 1.0)
+    assert(math.abs(got(12L)._2 - expected12) < 1e-12)
+    // and the PRODUCTION tree (routing built in-function) preserves row
+    // count on a real fixture — the invariant the guard exists to hold
+    val fx = fixture(200, seed = 20)
+    val cents = centroidsOf(fx, 11)
+    assert(VectorOps.foldAssignTwoLevel(fx, cents, 4, "nv", "nn").count() == 200L)
+  }
+
+  test("v24 probe inversion is plan-only: bit-identical output to its flat twin v20") {
+    // invertProbe flips which side of the probe cross BUILDS — same cosine
+    // expression on the same doubles, same (csim DESC, cell ASC) window.
+    // The twin faces must agree on every row and every rounded cosine, or
+    // v24's reuse of v20's oracle is a lie.
+    val d = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val flat = rows("v20_knn_ivf_twolevel")
+    val inv = rows("v24_knn_ivf_inverted_probe")
+    assert(flat.nonEmpty)
+    assert(inv == flat,
+      s"probe inversion changed results: only-flat=${(flat -- inv).take(3)} " +
+        s"only-inverted=${(inv -- flat).take(3)}")
+  }
+
   test("children payload: every centroid routed exactly once, supers bounded, max child array measured") {
     val df = fixture(300, seed = 19)
     val k = 25
