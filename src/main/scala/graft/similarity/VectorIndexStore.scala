@@ -101,13 +101,30 @@ object VectorIndexStore {
       batchId: Option[Long] = None): Option[Long] =
     compactImpl(spark, dir, batchId, () => ())
 
+  /** Tombstone waves up to this many rows ride a broadcast hint in the
+    * compaction anti-join; larger waves fall back to the shuffled
+    * left_anti. Why a GATE and not either extreme (round-20 A/B): the
+    * round-18 advice dropped the unconditional hint because a
+    * corpus-proportional takedown wave is exactly when a forced broadcast
+    * OOMs the one operation meant to absorb it — but the same-host
+    * worktree A/B then measured the unconditional shuffle at 1.79x on the
+    * 100x leg with a FIXED small wave (22.5 s hinted vs 40.2 s shuffled,
+    * 1x legs identical): shuffling the ENTIRE index by n_id to prune a
+    * tiny set is the common case's cost. The gate buys both worlds from a
+    * count the compaction path already affords (one scan of the small
+    * tombstone member): 4M ids ≈ 32 MB raw longs, well under executor
+    * memory even with hash-relation overhead.
+    */
+  private[graft] val BroadcastableTombstoneRows = 4L * 1000 * 1000
+
   /** Test seam: `onTransformStart` fires at the start of each commit
     * attempt's index transform — IndexLifecycleSpec injects a racing
     * [[delete]] there to pin that the conflict retry re-applies the FRESH
     * tombstone set (the round-18 HIGH finding's exact interleaving).
     */
   private[graft] def compactImpl(spark: SparkSession, dir: String,
-      batchId: Option[Long], onTransformStart: () => Unit): Option[Long] = {
+      batchId: Option[Long], onTransformStart: () => Unit,
+      maxBroadcastRows: Long = BroadcastableTombstoneRows): Option[Long] = {
     // cheap no-op gate only — correctness comes from the in-transform reads
     if (!tombstonesAt(spark, dir).exists(t => !t.isEmpty)) return None
     SnapshotStore.commitGroup(spark, dir, Map(
@@ -115,14 +132,17 @@ object VectorIndexStore {
         onTransformStart()
         val t = tombstonesAt(spark, dir)
           .getOrElse(sys.error(s"compact($dir): tombstone member vanished"))
-        // NO broadcast hint (round-18 advice): the motivating scenario is a
-        // corpus-proportional takedown wave — exactly when a forced
-        // broadcast OOMs the one operation meant to absorb it. A one-off
-        // maintenance rewrite can afford a shuffled left_anti; the hint
-        // stays on the SERVING-time prunes, where the small-set contract
-        // holds per query.
+        // gated broadcast (see BroadcastableTombstoneRows): small waves
+        // hint, corpus-proportional waves shuffle — the wave size is read
+        // IN-TRANSFORM like the set itself, so a conflict retry re-gates
+        // against the fresh wave too
+        val tomb = t.select("n_id")
+        val pruned =
+          if (t.count() <= maxBroadcastRows)
+            org.apache.spark.sql.functions.broadcast(tomb)
+          else tomb
         cur.getOrElse(sys.error(s"compact($dir): no index member"))
-          .join(t.select("n_id"), Seq("n_id"), "left_anti")
+          .join(pruned, Seq("n_id"), "left_anti")
       },
       Tombstones -> GroupFull { cur =>
         cur.getOrElse(sys.error(s"compact($dir): tombstone member vanished"))

@@ -225,6 +225,31 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
   }
 
+  test("gated compaction hint: the shuffle route (wave over the broadcast bound) produces the identical index") {
+    // Round-20 A/B: the unconditional shuffle cost 1.79x at 100x on a
+    // fixed wave, so compact() gates its broadcast hint on the in-transform
+    // tombstone count. The gate is plan-only — both routes must rewrite
+    // the index identically; this pins it by forcing the shuffle route
+    // (maxBroadcastRows = 0) against the hinted route on twin groups.
+    val df = clustered()
+    val dead = df.filter(col("n_id") % 11 === 0).select("n_id").localCheckpoint()
+    def compacted(maxBroadcastRows: Long): Set[(Long, Long, Int, Long)] = {
+      val dir = newDir()
+      val m0 = VectorOps.ivfpqTrain(df, nCells = 8, m = 4, dsub = 16, ksub = 16)
+      VectorIndexStore.build(spark, dir, m0, Some(0L))
+      VectorIndexStore.delete(spark, dir, dead, Some(1L))
+      assert(VectorIndexStore.compactImpl(spark, dir, Some(2L), () => (),
+        maxBroadcastRows).contains(2L))
+      VectorIndexStore.modelAt(spark, dir).index.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    }
+    val hinted = compacted(VectorIndexStore.BroadcastableTombstoneRows)
+    val shuffled = compacted(0L)
+    assert(hinted.nonEmpty && hinted == shuffled)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(hinted.map(_._1).intersect(deadIds).isEmpty)
+  }
+
   test("compactIfNeeded: below threshold the group is untouched; above it compaction fires") {
     val df = clustered() // 160 rows
     val dir = newDir()
