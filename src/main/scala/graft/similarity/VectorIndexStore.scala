@@ -227,15 +227,20 @@ object VectorIndexStore {
     *
     * The tombstone publish is the CURRENT set ∪ this batch (distinct) —
     * [[delete]] publishes full sets, so accumulation is the caller's job
-    * and this is the caller.
+    * and this is the caller. The union reads the member INSIDE the
+    * commit transform (the [[compact]] race-fix recipe, not a
+    * pre-captured read): each commit attempt unions against the
+    * member's state at THAT attempt, so even a contract-violating
+    * racing writer conflict-retries into a fresh union instead of
+    * half-applying a stale one.
     */
   def applyTakedownBatch(spark: SparkSession, dir: String, ids: DataFrame,
       thresholdPct: Int, batchId: Long): CompactDecision = {
     val batch = ids.select("n_id")
-    val full = tombstonesAt(spark, dir)
-      .fold(batch)(cur => cur.select("n_id").unionByName(batch))
-      .distinct()
-    delete(spark, dir, full, Some(2L * batchId))
+    SnapshotStore.commitGroup(spark, dir,
+      Map(Tombstones -> GroupFull { cur =>
+        cur.fold(batch)(c => c.select("n_id").unionByName(batch)).distinct()
+      }), Some(2L * batchId))
     compactIfNeeded(spark, dir, thresholdPct, Some(2L * batchId + 1L))
   }
 
