@@ -305,6 +305,12 @@ object VectorOps {
     val init = struct(
       lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cell"))
     withSuper.join(broadcast(children), Seq("super"), "left")
+      // an EMPTY kids array would fold to the init sentinel (cell = -1,
+      // csim = -Inf) instead of engaging the null fallback below —
+      // unreachable through foldAssignTwoLevel (collect_list never emits
+      // empty arrays) but the seam accepts arbitrary children tables, so
+      // normalize empty to NULL and let one fallback cover both
+      .withColumn("kids", when(size(col("kids")) > 0, col("kids")))
       .withColumn("best",
         aggregate(col("kids"), init, (acc, c) => {
           val sim = dot(col(vec), c.getField("cv")) /
@@ -400,7 +406,14 @@ object VectorOps {
         rankLimit: Int, out: String) = {
       val keep = df.columns.map(col)
       val crossed =
-        if (invertProbe) centroids.crossJoin(broadcast(df))
+        if (invertProbe)
+          // the streamed side: orderBy().limit() leaves the centroid
+          // relation in ONE partition, and at k = √n ≥ 10^5 a single task
+          // would emit all q·k probe rows — spread the k rows (tiny vs
+          // the corpus) across the cluster before the cross join
+          centroids.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism)
+            .crossJoin(broadcast(df))
         else df.crossJoin(broadcast(centroids))
       val scored = crossed
         .withColumn("csim", cosineWithNorms(col(vec), col("cv"), col(norm), col("cn")))
