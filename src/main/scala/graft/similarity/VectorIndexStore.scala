@@ -236,6 +236,18 @@ object VectorIndexStore {
     */
   def applyTakedownBatch(spark: SparkSession, dir: String, ids: DataFrame,
       thresholdPct: Int, batchId: Long): CompactDecision = {
+    // single-writer id-space assert (round-20 advice): normal progress
+    // (last = 2b−1 or below) and legitimate replay (last = 2b or 2b+1)
+    // pass; a FOREIGN writer's larger id — which would otherwise make the
+    // monotonic replay probe silently swallow LIVE batches — fails loudly
+    SnapshotStore.lastGroupBatchId(spark, dir).foreach { last =>
+      require(last <= 2L * batchId + 1L,
+        s"applyTakedownBatch($dir, batch $batchId): group's last batch id " +
+          s"$last is ahead of this stream's id space [${2 * batchId}, " +
+          s"${2 * batchId + 1}] — another writer owns ids in this group, " +
+          "and the monotonic replay probe would silently swallow live " +
+          "batches; this maintenance stream must be the group's only writer")
+    }
     val batch = ids.select("n_id")
     SnapshotStore.commitGroup(spark, dir,
       Map(Tombstones -> GroupFull { cur =>

@@ -705,7 +705,9 @@ object SnapshotStore {
     finally in.close()
   }
 
-  private def lastGroupBatchId(spark: SparkSession, groupDir: String): Option[Long] = {
+  // private[graft]: VectorIndexStore.applyTakedownBatch asserts its
+  // single-writer id-space contract against it (round-20 advice)
+  private[graft] def lastGroupBatchId(spark: SparkSession, groupDir: String): Option[Long] = {
     val (fs, p) = fsOf(spark, groupDir)
     val gd = new Path(p, GroupDir)
     if (!fs.exists(gd)) return None

@@ -223,6 +223,15 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(SnapshotStore.groupVersion(spark, dir).contains(3L))
     // the replayed delete did NOT resurrect the tombstone set
     assert(VectorIndexStore.tombstonesAt(spark, dir).exists(_.isEmpty))
+    // a FOREIGN writer's larger id in the group trips the id-space
+    // assert loudly (the monotonic replay probe would otherwise swallow
+    // this stream's live batches silently)
+    VectorIndexStore.delete(spark, dir, replayIds, Some(100L))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexStore.applyTakedownBatch(
+        spark, dir, replayIds, thresholdPct = 5, batchId = 2L)
+    }
+    assert(e.getMessage.contains("only writer"))
   }
 
   test("gated compaction hint: the shuffle route (wave over the broadcast bound) produces the identical index") {
