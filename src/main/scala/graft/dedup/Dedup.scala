@@ -771,6 +771,82 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Size gate for the driver-local union-find finish (see
+    * [[localComponents]]): edge lists at or below this row count are
+    * resolved on the driver in one bounded collect instead of O(rounds)
+    * cluster barriers. 2M edges ≈ 32 MB of raw longs (~100 MB as JVM
+    * tuples) — far below driver headroom, and >2000x the densest verify
+    * fixture's pair count. Parameterized (scale deployments tune or
+    * disable it via the session conf; <= 0 disables), NOT a constant
+    * tuned to local mode: at 100 TB the INITIAL pair set blows past any
+    * sane gate and the distributed rounds run unchanged — the gate's
+    * production value is the CONTRACTED graph inside the star re-route,
+    * which shrinks geometrically and crosses the gate after a few rounds,
+    * cutting the O(log n) round tail (each round = 2 shuffles + an
+    * exceptAll fixpoint probe) to one bounded collect.
+    */
+  private def localMaxEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.cc.localMaxEdges")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+
+  /** Driver-local connected components over a BOUNDED integral-keyed edge
+    * list: one collect, one union-find pass (min id as component root —
+    * exactly the "min reachable id" contract of the distributed
+    * resolvers, so labels are bit-identical), one parallelize back.
+    *
+    * Returns None when the id type is not integral — Spark's min/least on
+    * strings order by UTF-8 bytes while JVM String ordering is UTF-16
+    * code-unit based (they diverge on supplementary characters), so
+    * non-integral keys keep the distributed path rather than risk a
+    * root-choice mismatch.
+    *
+    * The caller gates on [[localMaxEdges]] BEFORE collecting (the count
+    * runs over already-checkpointed blocks), so the collect is bounded by
+    * construction — this is the standard endgame of iterative graph
+    * contraction (finish locally once the active graph fits), not an
+    * unbounded driver loop.
+    */
+  private def localComponents(p: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = p.schema("a").dataType
+    val integral = dt == LongType || dt == IntegerType || dt == ShortType
+    if (!integral || p.schema("b").dataType != dt) None
+    else {
+      val edges = p.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // index nodes; union-find with the SMALLER id winning root status
+      val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def nodeOf(id: Long): Int =
+        idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+      val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val ia = nodeOf(a); val ib = nodeOf(b)
+        while (parent.length < ids.length) parent += parent.length
+        val ra = find(ia); val rb = find(ib)
+        if (ra != rb) {
+          // root = the member with the smaller ORIGINAL id
+          if (ids(ra) <= ids(rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = p.sparkSession
+      import spark.implicits._
+      val labels = ids.indices.map(i => (ids(i), ids(find(i)))).toDF("doc_id", "cluster")
+      Some(
+        if (dt == LongType) labels
+        else labels.select(col("doc_id").cast(dt).as("doc_id"),
+          col("cluster").cast(dt).as("cluster")))
+    }
+  }
+
   /** ADAPTIVE cluster resolution — the production entry point (d7/d12/d13
     * route through this): start with min-label propagation (one join +
     * aggregate per round, unbeatable on the shallow star-shaped clusters
@@ -801,6 +877,21 @@ object Dedup {
   private[graft] def ccAutoRouted(pairs: DataFrame, maxIter: Int = 10,
       churnDecay: Double = 0.75): (DataFrame, Boolean) = {
     val p = pairs.select(col("a"), col("b")).trackedCheckpoint()
+    // ENTRY GATE: a bounded edge list resolves on the driver in one
+    // union-find pass — same min-reachable-id labels, none of the
+    // O(rounds) checkpoint+count barriers (measured: sd1's 943-pair CC
+    // cost ~90 Spark jobs through propagation + star rounds). The count
+    // reads the just-materialized checkpoint blocks; at 100 TB it is the
+    // one cheap action before the distributed rounds engage.
+    val gate = localMaxEdges(p)
+    if (gate > 0 && p.count() <= gate) {
+      localComponents(p) match {
+        case Some(labels) =>
+          graft.ops.Checkpoints.release(p)
+          return (labels, false)
+        case None => () // non-integral ids: distributed path below
+      }
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -858,11 +949,20 @@ object Dedup {
           s"(last $prevChurn) — contracting and finishing with star rounds")
       val la = labels.select(col("node").as("a"), col("label").as("la"))
       val lb = labels.select(col("node").as("b"), col("label").as("lb"))
-      val contracted = p.join(la, "a").join(lb, "b")
-        .select(least(col("la"), col("lb")).as("a"),
-          greatest(col("la"), col("lb")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-      val starred = connectedComponentsStar(contracted)
+      // checkpointed: consumed by the size gate's count and then by either
+      // finish — and at 100 TB this is where the gate earns its keep: the
+      // contracted graph shrinks by every cluster propagation already
+      // resolved, so it crosses the bounded-collect threshold long before
+      // the star rounds would have converged.
+      val contracted = graft.ops.Checkpoints.tracked(
+        p.join(la, "a").join(lb, "b")
+          .select(least(col("la"), col("lb")).as("a"),
+            greatest(col("la"), col("lb")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+      val localFinish =
+        if (gate > 0 && contracted.count() <= gate) localComponents(contracted)
+        else None
+      val starred = localFinish.getOrElse(connectedComponentsStar(contracted))
         .select(col("doc_id").as("label"), col("cluster"))
       // compose: a node's final cluster is its current label's star
       // cluster; labels whose component fully contracted already (no

@@ -9,6 +9,14 @@ import graft.dedup.Dedup
   * actually produce, with an automatic re-route to star contraction when
   * the label churn stops decaying — the chain-shaped pathology where
   * propagation needs O(diameter) rounds.
+  *
+  * Round 20 adds the SIZE-GATED LOCAL FINISH: an edge list at or below
+  * `spark.graft.cc.localMaxEdges` resolves on the driver in one bounded
+  * union-find pass (same min-reachable-id labels), so a fixture-sized CC
+  * costs one collect instead of O(rounds) checkpoint+count barriers. The
+  * distributed tests below disable the gate to keep exercising the
+  * machinery the gate bypasses at small scale (at 100 TB the initial
+  * edge set exceeds any sane gate and that machinery is the path).
   */
 class CcRouteSpec extends SparkSpec {
 
@@ -17,13 +25,20 @@ class CcRouteSpec extends SparkSpec {
     ps.toDF("a", "b")
   }
 
+  /** Run `body` with the local-finish gate disabled (distributed path). */
+  private def distributedOnly[T](body: => T): T = {
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try body
+    finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("chain graph: the star re-route engages and labels stay exact") {
     // doc i pairs only with i+1 — a 300-deep chain. Propagation alone
     // would need 300 rounds (the default maxIter=10 would NOT converge);
     // the router must detect the non-decaying churn and finish with star
     // contraction.
     val chain = pairsOf((1L until 300L).map(i => (i, i + 1)))
-    val (labels, routed) = Dedup.ccAutoRouted(chain)
+    val (labels, routed) = distributedOnly { Dedup.ccAutoRouted(chain) }
     assert(routed, "chain-shaped churn must trigger the star re-route")
     val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length === 300)
@@ -37,7 +52,7 @@ class CcRouteSpec extends SparkSpec {
       (2L to 40L).map(i => (1L, i)) ++
         (102L to 140L).map(i => (101L, i)) ++
         (202L to 240L).map(i => (201L, i)))
-    val (labels, routed) = Dedup.ccAutoRouted(stars)
+    val (labels, routed) = distributedOnly { Dedup.ccAutoRouted(stars) }
     assert(!routed, "shallow clusters must not pay the star machinery")
     val byCluster = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._2).view.mapValues(_.length).toMap
@@ -51,12 +66,57 @@ class CcRouteSpec extends SparkSpec {
       (1L until 80L).map(i => (i, i + 1)) ++         // a chain
         (502L to 520L).map(i => (501L, i)) ++        // a star
         Seq((900L, 901L)))                           // a pair
-    val auto = Dedup.connectedComponentsAuto(mixed)
+    val auto = distributedOnly { Dedup.connectedComponentsAuto(mixed) }
     val prop = Dedup.connectedComponents(mixed, maxIter = 100)
     val star = Dedup.connectedComponentsStar(mixed)
     assert(auto.exceptAll(prop).count() == 0 && prop.exceptAll(auto).count() == 0,
       "auto vs propagation disagree")
     assert(auto.exceptAll(star).count() == 0 && star.exceptAll(auto).count() == 0,
       "auto vs star disagree")
+  }
+
+  test("local finish: gated union-find labels == distributed labels") {
+    // default gate (2M) engages on every fixture-sized graph; the labels
+    // must be bit-identical to the full distributed resolver on chains
+    // (deep diameter), stars (shallow), merged components, and singleton
+    // pairs — the shapes the faces' oracles hash
+    val mixed = pairsOf(
+      (1L until 150L).map(i => (i, i + 1)) ++        // deep chain
+        (502L to 560L).map(i => (501L, i)) ++        // star
+        Seq((560L, 600L), (600L, 501L)) ++           // cycle back into it
+        Seq((900L, 901L), (903L, 902L)))             // pairs, one reversed
+    val local = Dedup.connectedComponentsAuto(mixed)
+    assert(local.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "default gate must resolve a fixture-sized graph locally")
+    val dist = distributedOnly { Dedup.connectedComponentsAuto(mixed) }
+    assert(local.exceptAll(dist).count() == 0 && dist.exceptAll(local).count() == 0,
+      "local union-find vs distributed labels disagree")
+  }
+
+  test("local finish: contracted-graph gate inside the star re-route") {
+    // gate sized BETWEEN the raw edge count and the contracted edge count:
+    // the entry gate must NOT engage (600 edges > 300), propagation must
+    // re-route on the chain churn, and the star stage's contracted graph
+    // (smaller after propagation collapsed local neighborhoods) finishes
+    // locally — the 100 TB shape in miniature. Labels stay exact.
+    val chain = pairsOf((1L until 600L).map(i => (i, i + 1)))
+    spark.conf.set("spark.graft.cc.localMaxEdges", "300")
+    try {
+      val (labels, routed) = Dedup.ccAutoRouted(chain)
+      assert(routed, "chain churn must still trigger the re-route")
+      val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === 600)
+      assert(rows.forall(_._2 == 1L), "every chain member labels to the min id")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
+  test("local finish: non-integral ids fall back to the distributed path") {
+    import spark.implicits._
+    val strs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("a", "b")
+    val labels = Dedup.connectedComponentsAuto(strs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 }
