@@ -998,6 +998,7 @@ object Dedup {
     var edges = p.select(col("a").as("u"), col("b").as("v"))
       .union(p.select(col("b").as("u"), col("a").as("v")))
       .filter(col("u") =!= col("v")).distinct().trackedCheckpoint()
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -1028,12 +1029,19 @@ object Dedup {
         .union(relinked.select(col("b").as("u"), col("a").as("v")))
         .distinct().trackedCheckpoint()
       // Exact convergence: the directed edge set is unchanged. Both sides
-      // are checkpointed, so this is one anti-join over materialized rows,
-      // and the driver receives a single scalar.
-      val changed = next.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(next).limit(1).count()
+      // are DISTINCT sets, so |next| != |edges| alone proves change (one
+      // cheap count over the fresh checkpoint), and with EQUAL counts one
+      // empty set-difference proves equality (A ⊆ B with |A| = |B| ⇒
+      // A = B) — the second exceptAll shuffle of the old probe was
+      // redundant every round, and the count-only fast path covers every
+      // round that actually changed something.
+      val nextCount = next.count()
+      val changed =
+        if (nextCount != edgeCount) 1L
+        else next.exceptAll(edges).limit(1).count()
       graft.ops.Checkpoints.release(edges)
       edges = next
+      edgeCount = nextCount
       converged = changed == 0
       iter += 1
     }

@@ -345,10 +345,18 @@ object GraphQueries {
       j += 1
       val votes = both.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("cnt").desc, col("label").asc)
-      val next = votes.withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
+      // winner per node = argmax by (cnt, smallest label) — as a plain
+      // max_by aggregate rather than a row_number window: (dst, label) is
+      // unique after the vote aggregation, so maximizing the
+      // (cnt, -label) struct picks EXACTLY the window's
+      // `ORDER BY cnt DESC, label ASC` row-1, while the aggregate gets
+      // map-side partials before the per-node exchange and skips the
+      // window's sort entirely (guide: aggregate before you shuffle).
+      // Labels here are node ids >= 0 (part keys), so -label can't
+      // overflow.
+      val next = votes
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
         .select(col("dst").as("node"), col("label"))
         .trackedCheckpoint()
       graft.ops.Checkpoints.release(prevCkpt)

@@ -588,11 +588,14 @@ object TextQueries {
     // one left join + three filtered aggregates over the checkpointed
     // truth frame.
     "d17_lsh_recall_audit" -> ((s, d) => {
-      val t = graft.ops.Checkpoints.tracked(shingled(s, d))
+      // the shingled frame has ONE consumer now that candidates read the
+      // standing index (below) — checkpointing the exploded grams alone
+      // replaces the former two-checkpoint chain
       val ex = graft.ops.Checkpoints.tracked(
         // per-doc dedup is row-local (array_distinct) — no distinct
         // shuffle; see the tx15 note
-        t.select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
+        shingled(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
       // exact Jaccard as pure AGGREGATION, never per-pair array ops:
       // |A∩B| is the sharing join's group count, |A∪B| = |A|+|B|-|A∩B| from
       // per-doc distinct counts — the same integers the oracle's
@@ -609,8 +612,13 @@ object TextQueries {
         .select(col("a"), col("b"),
           (col("ninter").cast("double") /
             (col("na") + col("nb") - col("ninter"))).as("jaccard"))
-      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
-      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // candidates from the SHARED standing band-key index (the d15/d10
+      // pattern — "one index, many consumers"): the generator under audit
+      // is d3's banded MinHash, and the persisted index IS that
+      // generator's output (identical deterministic values), so the audit
+      // no longer re-runs the signature lineage it is not auditing
+      val cand = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+        materialize = false)
       val f = graft.ops.Checkpoints.tracked(
         truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
           .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit")))
@@ -632,8 +640,9 @@ object TextQueries {
     // signature collision simply scores J = 0.0 exactly.
     "d18_lsh_precision_audit" -> ((s, d) => {
       val t = shingled(s, d)
-      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
-      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // candidates from the shared standing band-key index (see d17)
+      val cand = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+        materialize = false)
       val withSets = cand
         .join(t.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(t.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
@@ -671,10 +680,12 @@ object TextQueries {
       // exact Jaccard as pure aggregation (the d17 form), over anchor-rooted
       // pairs only — the anchorTruth helper shared with d21/d22
       val truth = anchorTruth(t, anchors)
-      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
-      // candidates restricted to the same anchor-rooted pairs the truth set
-      // holds (generation itself is the untouched production path)
-      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // candidates from the shared standing band-key index (see d17) —
+      // generation is still the production d3 generator, read from its
+      // persisted output; restricted to the same anchor-rooted pairs the
+      // truth set holds
+      val cand = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+          materialize = false)
         .join(broadcast(anchors.withColumnRenamed("doc_id", "a")), "a")
       val f = graft.ops.Checkpoints.tracked(
         truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
@@ -698,8 +709,9 @@ object TextQueries {
     "d20_lsh_precision_sampled" -> ((s, d) => {
       val t = shingled(s, d)
       val anchors = anchorDocs(t).withColumnRenamed("doc_id", "a")
-      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
-      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // candidates from the shared standing band-key index (see d17)
+      val cand = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+          materialize = false)
         .join(broadcast(anchors), "a")
       val withSets = cand
         .join(t.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
@@ -730,8 +742,9 @@ object TextQueries {
       val t = graft.ops.Checkpoints.tracked(shingled(s, d))
       val anchors = anchorStrata(t)
       val truth = anchorTruth(t, anchors.select("doc_id"))
-      val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
-      val cand = Dedup.candidatePairs(Dedup.lshBandKeys(sigs, "doc_id", "sig"), "doc_id")
+      // candidates from the shared standing band-key index (see d17)
+      val cand = Dedup.candidatePairs(bandKeyIndex(s, d), "doc_id",
+          materialize = false)
         .join(broadcast(anchors.select(col("doc_id").as("a"))), "a")
       val f = graft.ops.Checkpoints.tracked(
         truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
@@ -779,8 +792,14 @@ object TextQueries {
         anchorTruth(t, anchors.select("doc_id")))
       val sigs = Dedup.withMinhashSig(t, "sh", "sig").select("doc_id", "sig")
       def face(label: String, rowsPerBand: Int, numBands: Int) = {
-        val cand = Dedup.candidatePairs(
-            Dedup.lshBandKeys(sigs, "doc_id", "sig", rowsPerBand, numBands), "doc_id")
+        // the production banding (2x4) IS the standing index's contents —
+        // read it there (see d17); only the counterfactual 4x2 banding
+        // re-derives band keys from the signatures
+        val bk =
+          if (rowsPerBand == 2 && numBands == 4) bandKeyIndex(s, d)
+          else Dedup.lshBandKeys(sigs, "doc_id", "sig", rowsPerBand, numBands)
+        val cand = Dedup.candidatePairs(bk, "doc_id",
+            materialize = rowsPerBand != 2 || numBands != 4)
           .join(broadcast(anchors.select(col("doc_id").as("a"))), "a")
         val f = graft.ops.Checkpoints.tracked(
           truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
@@ -2002,8 +2021,13 @@ object TextQueries {
     * Returns (a, b, jaccard).
     */
   private def anchorTruth(t: DataFrame, anchorIds: DataFrame): DataFrame = {
+    // per-doc dedup is row-local (array_distinct) — (doc_id, g) rows are
+    // then unique by construction, so the historical corpus-wide
+    // `.distinct()` here was a full extra Exchange over the largest
+    // intermediate (docs x shingles) for rows already distinct (the d17
+    // form; guide §2.4 — remove shuffles outright)
     val ex = graft.ops.Checkpoints.tracked(
-      t.select(col("doc_id"), explode(col("sh")).as("g")).distinct())
+      t.select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
     val exA = ex.join(broadcast(anchorIds), "doc_id")
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     exA.as("l").join(ex.as("r"), "g")
