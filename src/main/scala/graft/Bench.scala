@@ -305,6 +305,25 @@ object Bench {
     }
     println(renderJson())
     writeRecord()
+    // COMPACT SUMMARY as the FINAL stdout line (round-20 verdict #2): the
+    // full JSON line above carries the 242-query warm+cold maps (~17 KB),
+    // and a consumer that keeps only a bounded stdout tail truncates it
+    // mid-JSON — it has never parsed (BENCH_r16..r20 all record
+    // parsed: null). This line carries the scalars and failure lists only
+    // (a few hundred bytes), so it survives any sane tail window; the
+    // per-query maps stay in the full line above and in the
+    // bench_full_*.json records rewritten after every query.
+    val summary = {
+      val done = results.toSeq
+      val total = done.collect { case (_, v, _, true, false) => v }.sum
+      val nOk = done.count { case (_, _, _, ok, sk) => ok && !sk }
+      val failed = done.collect { case (k, _, _, false, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val skipped = done.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"failed":$failed,"skipped":$skipped,"n_remeasured":${remeasured.size},"warmup_sec":$warmupSec%.2f,"ckpt_sec":$ckptSec%.2f,"host_factor":$hostFactor%.3f,"budget_sec":$budgetSec,"sf":"$sfDir","full_record":"${outs.head}"}"""
+    }
+    println(summary)
     spark.stop()
   }
 }

@@ -812,7 +812,11 @@ object Dedup {
     val integral = dt == LongType || dt == IntegerType || dt == ShortType
     if (!integral || p.schema("b").dataType != dt) None
     else {
+      // null endpoints are dropped, matching the distributed path (whose
+      // equi-joins never match null keys) — Row.getLong would silently
+      // read a null as node 0 (round-20 advice)
       val edges = p.select(col("a").cast("long"), col("b").cast("long"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       // index nodes; union-find with the SMALLER id winning root status
       val idx = scala.collection.mutable.HashMap.empty[Long, Int]
@@ -839,7 +843,20 @@ object Dedup {
       }
       val spark = p.sparkSession
       import spark.implicits._
-      val labels = ids.indices.map(i => (ids(i), ids(find(i)))).toDF("doc_id", "cluster")
+      // Above ~100k labels, parallelize instead of toDF-on-a-Seq: a local
+      // Seq becomes a LocalRelation embedded (and re-serialized) in EVERY
+      // downstream consumer's plan — at the 2M-edge gate that is up to ~4M
+      // boxed rows riding each plan tree (round-20 advice). An RDD-backed
+      // frame ships the rows once. BELOW the threshold the LocalRelation
+      // stays deliberately: its exact size statistic is what lets the
+      // consumers' anti-joins pick a broadcast build directly (an RDD scan
+      // reports unknown stats and would demote them to sort-merge).
+      val rows = ids.indices.map(i => (ids(i), ids(find(i))))
+      val labels =
+        if (rows.length <= 100000) rows.toDF("doc_id", "cluster")
+        else spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            rows.length / 100000))).toDF("doc_id", "cluster")
       Some(
         if (dt == LongType) labels
         else labels.select(col("doc_id").cast(dt).as("doc_id"),
@@ -1006,11 +1023,15 @@ object Dedup {
       // re-links to m. Keeps smaller-neighbor edges for small-star.
       val mins = edges.groupBy("u")
         .agg(least(min(col("v")), col("u").cast(edges.schema("v").dataType)).as("m"))
+      // one distinct AFTER the union, not one on each branch: the union's
+      // distinct already dedups globally, so a per-branch distinct was a
+      // full extra Exchange per round doing subset work (round-21; the
+      // map-side partial aggregate still shrinks the union's shuffle)
       val afterLarge = edges.join(mins, "u")
         .select(
           when(col("v") > col("u"), col("v")).otherwise(col("u")).as("a"),
           when(col("v") > col("u"), col("m")).otherwise(col("v")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
         .select(col("a").as("u"), col("b").as("v"))
         .union(mins.filter(col("m") =!= col("u"))
           .select(col("u"), col("m").as("v")))

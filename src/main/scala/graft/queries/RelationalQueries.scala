@@ -55,7 +55,15 @@ object RelationalQueries {
       val exploded = li
         .join(p, li("l_partkey") === p("p_partkey"))
         .select(col("l_orderkey"), explode(split(col("p_name"), " ")).as("tag"))
-      val dict = exploded.select("tag").distinct()
+      // The dictionary is derived from PART alone, not from the exploded
+      // join output: every joined tag is a part-name word, so part's tag
+      // set is a (slightly larger) superset — and normalizeTag is a pure
+      // per-tag function, so superset rows are inert under the inner join.
+      // The first cut re-ran the full lineitem⋈part join + explode +
+      // corpus-wide distinct just to enumerate the dictionary; at 100 TB
+      // that is a second pass over the fact table for a part-bounded
+      // vocabulary (guide §2.4 — remove shuffles outright).
+      val dict = p.select(explode(split(col("p_name"), " ")).as("tag")).distinct()
         .withColumn("normalized",
           TagNormalize.normalizeTag(concat(lit("  "), upper(col("tag")), lit(" "))))
       exploded.join(broadcast(dict), "tag")

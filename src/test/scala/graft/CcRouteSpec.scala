@@ -33,15 +33,16 @@ class CcRouteSpec extends SparkSpec {
   }
 
   test("chain graph: the star re-route engages and labels stay exact") {
-    // doc i pairs only with i+1 — a 300-deep chain. Propagation alone
-    // would need 300 rounds (the default maxIter=10 would NOT converge);
+    // doc i pairs only with i+1 — a 120-deep chain. Propagation alone
+    // would need 120 rounds (the default maxIter=10 would NOT converge);
     // the router must detect the non-decaying churn and finish with star
-    // contraction.
-    val chain = pairsOf((1L until 300L).map(i => (i, i + 1)))
+    // contraction. (Sized to prove the shape, not to burn wall-clock:
+    // round-21 cut the suite for the driver's test-gate timeout.)
+    val chain = pairsOf((1L until 120L).map(i => (i, i + 1)))
     val (labels, routed) = distributedOnly { Dedup.ccAutoRouted(chain) }
     assert(routed, "chain-shaped churn must trigger the star re-route")
     val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(rows.length === 300)
+    assert(rows.length === 120)
     assert(rows.forall(_._2 == 1L), "every chain member must label to the min id")
   }
 
@@ -62,8 +63,11 @@ class CcRouteSpec extends SparkSpec {
   test("auto route agrees with both fixed algorithms on a mixed graph") {
     // chains + stars + a singleton pair: all three resolvers must produce
     // identical labelings (min reachable id per node)
+    // chain depth 24: deep enough that the auto router must re-route while
+    // exhaustive propagation still needs O(diameter) rounds — at 80 this
+    // one test burned 33 s of the suite's gate budget (round-21)
     val mixed = pairsOf(
-      (1L until 80L).map(i => (i, i + 1)) ++         // a chain
+      (1L until 24L).map(i => (i, i + 1)) ++         // a chain
         (502L to 520L).map(i => (501L, i)) ++        // a star
         Seq((900L, 901L)))                           // a pair
     val auto = distributedOnly { Dedup.connectedComponentsAuto(mixed) }
@@ -96,17 +100,17 @@ class CcRouteSpec extends SparkSpec {
 
   test("local finish: contracted-graph gate inside the star re-route") {
     // gate sized BETWEEN the raw edge count and the contracted edge count:
-    // the entry gate must NOT engage (600 edges > 300), propagation must
+    // the entry gate must NOT engage (240 edges > 120), propagation must
     // re-route on the chain churn, and the star stage's contracted graph
     // (smaller after propagation collapsed local neighborhoods) finishes
     // locally — the 100 TB shape in miniature. Labels stay exact.
-    val chain = pairsOf((1L until 600L).map(i => (i, i + 1)))
-    spark.conf.set("spark.graft.cc.localMaxEdges", "300")
+    val chain = pairsOf((1L until 240L).map(i => (i, i + 1)))
+    spark.conf.set("spark.graft.cc.localMaxEdges", "120")
     try {
       val (labels, routed) = Dedup.ccAutoRouted(chain)
       assert(routed, "chain churn must still trigger the re-route")
       val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(rows.length === 600)
+      assert(rows.length === 240)
       assert(rows.forall(_._2 == 1L), "every chain member labels to the min id")
     } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
