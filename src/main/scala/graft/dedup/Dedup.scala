@@ -207,17 +207,22 @@ object Dedup {
     * arbitrary pairs inside a boilerplate bucket are not enumerated).
     * Returns normalized (a, b) with a < b; caller dedups/verifies.
     *
-    * Both sides are checkpoint-tracked (consumed twice: size pass + join);
-    * the size pass is two map-side-combinable counts, so DETECTING an
-    * explosive key never materializes its pairs. Oversized keys number at
-    * most |candidates|/maxPairs — broadcastable by construction.
+    * Both sides are consumed twice (size pass + join) but deliberately NOT
+    * checkpointed (round-21): they are map-only explodes over the caller's
+    * already-checkpointed `rows` frame, so the recompute pipelines into
+    * each consumer's shuffle map stage for free, while materializing them
+    * cost two barrier jobs plus a write per join — pure overhead at every
+    * scale (the shuffled bytes are identical either way). The size pass is
+    * two map-side-combinable counts, so DETECTING an explosive key never
+    * materializes its pairs. Oversized keys number at most
+    * |candidates|/maxPairs — broadcastable by construction.
     */
   private def guardedSegWinJoin(segSide: DataFrame, winSide: DataFrame,
       keys: Seq[String], sidCol: String, widCol: String, what: String,
       maxPairs: Long): DataFrame = {
     val kc = keys.map(col)
-    val seg = graft.ops.Checkpoints.tracked(segSide)
-    val win = graft.ops.Checkpoints.tracked(winSide)
+    val seg = segSide
+    val win = winSide
     def norm(df: DataFrame, a: String, b: String): DataFrame = df
       .filter(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("a"), greatest(col(a), col(b)).as("b"))
@@ -1041,10 +1046,13 @@ object Dedup {
       // are that neighbor's smaller edge, handled on its own row).
       val down = afterLarge.filter(col("v") < col("u"))
       val sMins = down.groupBy("u").agg(min(col("v")).as("m"))
+      // no distinct here: `next` dedups the symmetrized union globally one
+      // line down, so a distinct on relinked was another full subset-work
+      // Exchange per round (the afterLarge argument; round-21)
       val relinked = down.join(sMins, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(sMins.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       val next = relinked
         .select(col("a").as("u"), col("b").as("v"))
         .union(relinked.select(col("b").as("u"), col("a").as("v")))
